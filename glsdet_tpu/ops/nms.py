@@ -1,0 +1,158 @@
+"""Fixed-shape greedy NMS for XLA:TPU.
+
+The reference uses three NMS implementations (mmcv CUDA ``batched_nms``,
+``torchvision.ops.boxes.batched_nms`` at yolox-drone/merge_results.py:153,
+and a pure-python loop at yolox-ufp/ufpmp_det_eval.py:149).  All are
+greedy class-wise NMS; this module reproduces those semantics as a single
+fixed-shape XLA program:
+
+1. sort candidates by score (descending) once,
+2. precompute the dense IoU matrix (one big batched op),
+3. run an O(K) ``lax.fori_loop`` of cheap vector steps that walks the
+   sorted order maintaining a keep mask — the only sequential part.
+
+Padding rows carry ``score = -inf`` and are never kept.  Class-wise
+behavior uses the coordinate-offset trick: each class's boxes are
+translated to a disjoint region so a single NMS pass is class-wise.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from glsdet_tpu.ops.boxes import pairwise_iou
+
+NEG_INF = -1e9
+
+
+def nms(boxes: jnp.ndarray, scores: jnp.ndarray, iou_threshold: float,
+        offset: float = 0.0) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Greedy NMS over a fixed-size candidate set.
+
+    Args:
+        boxes: (K, 4) xyxy.
+        scores: (K,).  Padding rows should have ``-inf`` (any kept-mask
+            consumers must also check score validity).
+        iou_threshold: suppress j if IoU(i, j) > threshold for a kept,
+            higher-scoring i.  Strictly-greater comparison matches the
+            reference (``ovr <= thresh`` survives, ufpmp_det_eval.py:175).
+        offset: 1.0 reproduces the legacy +1 pixel-area convention of the
+            reference's python NMS; 0.0 matches torchvision/mmcv.
+
+    Returns:
+        keep: (K,) bool mask over the *input* order.
+        order: (K,) indices sorting scores descending (for ranked output).
+    """
+    k = scores.shape[0]
+    order = jnp.argsort(-scores)
+    sorted_boxes = boxes[order]
+    valid = scores[order] > NEG_INF / 2
+
+    iou_mat = pairwise_iou(sorted_boxes, sorted_boxes, offset=offset)
+
+    def body(i, keep):
+        # Current box survives if not yet suppressed; if it survives it
+        # suppresses later overlapping boxes.
+        alive_i = keep[i]
+        suppress = (iou_mat[i] > iou_threshold) & alive_i
+        suppress = suppress.at[i].set(False)
+        # Only boxes *after* i in the ranking can be suppressed by i.
+        later = jnp.arange(k) > i
+        return keep & ~(suppress & later)
+
+    keep_sorted = jax.lax.fori_loop(0, k, body, valid)
+    # Scatter back to input order.
+    keep = jnp.zeros((k,), dtype=bool).at[order].set(keep_sorted)
+    return keep, order
+
+
+def batched_nms(boxes: jnp.ndarray, scores: jnp.ndarray,
+                class_ids: jnp.ndarray, iou_threshold: float,
+                offset: float = 0.0,
+                coord_bound: float = 8192.0) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Class-wise greedy NMS via the coordinate-offset trick.
+
+    Matches torchvision ``batched_nms`` semantics (merge_results.py:153)
+    and mmcv ``batched_nms`` with ``class_agnostic=False``.
+
+    Args:
+        boxes: (K, 4); scores: (K,); class_ids: (K,) int.
+        coord_bound: any value larger than the max image dimension.
+
+    Returns:
+        (keep mask over input order, descending-score order indices).
+    """
+    offsets = class_ids.astype(boxes.dtype)[:, None] * coord_bound
+    shifted = boxes + offsets
+    return nms(shifted, scores, iou_threshold, offset=offset)
+
+
+def soft_nms(boxes: jnp.ndarray, scores: jnp.ndarray,
+             iou_threshold: float = 0.3, sigma: float = 0.5,
+             score_threshold: float = 0.001,
+             method: str = "gaussian") -> jnp.ndarray:
+    """Soft-NMS (gaussian / linear), the alternative offered by the
+    reference fusion script (yolox-drone/merge_results.py:41 ``py_cpu_softnms``).
+
+    Returns re-weighted scores (same order as input); the caller filters by
+    ``score_threshold``.
+    """
+    k = scores.shape[0]
+    order = jnp.argsort(-scores)
+    sorted_boxes = boxes[order]
+    sorted_scores = scores[order]
+    iou_mat = pairwise_iou(sorted_boxes, sorted_boxes)
+
+    def body(i, s):
+        # The current highest remaining is taken greedily in sorted order;
+        # decay all later boxes by their overlap with it.
+        ious = iou_mat[i]
+        if method == "gaussian":
+            decay = jnp.exp(-(ious ** 2) / sigma)
+        else:
+            decay = jnp.where(ious > iou_threshold, 1.0 - ious, 1.0)
+        later = jnp.arange(k) > i
+        alive = s[i] >= score_threshold
+        factor = jnp.where(later & alive, decay, 1.0)
+        return s * factor
+
+    new_sorted = jax.lax.fori_loop(0, k, body, sorted_scores)
+    return jnp.zeros_like(scores).at[order].set(new_sorted)
+
+
+def multiclass_nms(mlvl_boxes: jnp.ndarray, mlvl_scores: jnp.ndarray,
+                   score_thr: float, iou_threshold: float,
+                   max_per_img: int) -> tuple[jnp.ndarray, jnp.ndarray,
+                                              jnp.ndarray, jnp.ndarray]:
+    """mmdet ``multiclass_nms`` analog (mmdet/core/post_processing/bbox_nms.py:8)
+    with fixed output size.
+
+    Args:
+        mlvl_boxes: (N, 4) shared boxes per anchor.
+        mlvl_scores: (N, C) per-class scores (sigmoid, no bg column).
+
+    Returns:
+        (max_per_img, 4) boxes, (max_per_img,) scores, (max_per_img,)
+        labels, (max_per_img,) validity mask.  Ranked by score descending.
+    """
+    n, c = mlvl_scores.shape
+    boxes = jnp.repeat(mlvl_boxes, c, axis=0)            # (N*C, 4)
+    scores = mlvl_scores.reshape(-1)                     # (N*C,)
+    labels = jnp.tile(jnp.arange(c), (n,))               # (N*C,)
+    scores = jnp.where(scores > score_thr, scores, NEG_INF)
+
+    # Cap candidates to a fixed budget before the O(K^2) IoU matrix.
+    budget = min(boxes.shape[0], 4 * max_per_img if max_per_img > 0 else n * c)
+    top_scores, top_idx = jax.lax.top_k(scores, budget)
+    top_boxes = boxes[top_idx]
+    top_labels = labels[top_idx]
+
+    keep, _ = batched_nms(top_boxes, top_scores, top_labels, iou_threshold)
+    kept_scores = jnp.where(keep, top_scores, NEG_INF)
+    out_scores, out_idx = jax.lax.top_k(kept_scores, max_per_img)
+    out_boxes = top_boxes[out_idx]
+    out_labels = top_labels[out_idx]
+    valid = out_scores > NEG_INF / 2
+    out_scores = jnp.where(valid, out_scores, 0.0)
+    return out_boxes, out_scores, out_labels, valid

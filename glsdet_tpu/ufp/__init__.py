@@ -1,0 +1,18 @@
+from glsdet_tpu.ufp.packing import (
+    Region,
+    foreground_regions,
+    pack_regions,
+    strip_pack,
+    unified_foreground_packing,
+)
+from glsdet_tpu.ufp.assembly import assemble_mosaic, unmap_chip_detections
+
+__all__ = [
+    "Region",
+    "foreground_regions",
+    "pack_regions",
+    "strip_pack",
+    "unified_foreground_packing",
+    "assemble_mosaic",
+    "unmap_chip_detections",
+]

@@ -1,0 +1,147 @@
+"""On-device mosaic assembly and chip-detection unmapping.
+
+The reference assembles the UFP mosaic on the host with a python loop of
+``cv2`` crop/resize/paste per region (ufpmp_det_eval.py:182-193) and
+unmaps chip detections with nested python loops (:282-296).  Both are
+rebuilt here as fixed-shape XLA programs:
+
+- ``assemble_mosaic``: *inverse mapping* — every output pixel computes
+  which region covers it and bilinearly samples the source image at the
+  corresponding (downscaled) coordinate.  One gather pass, no dynamic
+  shapes, embarrassingly parallel — the natural TPU formulation of
+  crop+resize+paste.
+- ``unmap_chip_detections``: vectorized IoF gating of mosaic detections
+  against chip rectangles plus the inverse affine back to original image
+  coordinates.
+
+Regions are padded to a fixed ``max_regions``; padding rows have
+``scale_factor = 0`` and are ignored.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from glsdet_tpu.ops.boxes import pairwise_iof
+
+
+def regions_to_array(regions, max_regions: int) -> np.ndarray:
+    """Pack a list of ``Region`` into a padded (max_regions, 7) float array
+    ``[x1, y1, w, h, new_x, new_y, scale_factor]``; padding rows are zero.
+
+    Coordinates are floored like the reference's mosaic assembly
+    (``math.floor`` at ufpmp_det_eval.py:188) so chip boundaries land on
+    integer pixels.
+    """
+    arr = np.zeros((max_regions, 7), dtype=np.float32)
+    for i, r in enumerate(regions[:max_regions]):
+        arr[i] = np.floor(np.asarray(r.as_row(), dtype=np.float64))
+    return arr
+
+
+def assemble_mosaic(image: jnp.ndarray, regions: jnp.ndarray,
+                    out_h: int, out_w: int) -> jnp.ndarray:
+    """Build the packed mosaic from a source image.
+
+    Args:
+        image: (H, W, C) source image (any float/int dtype).
+        regions: (R, 7) padded rows ``[x1, y1, w, h, new_x, new_y, factor]``
+            with integer-valued entries; ``factor == 0`` marks padding.
+        out_h, out_w: static mosaic canvas size (regions outside are
+            clipped; callers bucket mosaic sizes to bound recompiles).
+
+    Returns:
+        (out_h, out_w, C) float32 mosaic; uncovered pixels are zero.
+    """
+    img = image.astype(jnp.float32)
+    h, w = img.shape[0], img.shape[1]
+    yy = jax.lax.broadcasted_iota(jnp.float32, (out_h, out_w), 0)
+    xx = jax.lax.broadcasted_iota(jnp.float32, (out_h, out_w), 1)
+
+    def per_region(carry, region):
+        src_y, src_x, covered = carry
+        x1, y1, rw, rh, nx, ny, f = (region[0], region[1], region[2],
+                                     region[3], region[4], region[5],
+                                     region[6])
+        valid = f > 0
+        inv_f = jnp.where(valid, 1.0 / jnp.maximum(f, 1.0), 0.0)
+        inside = ((xx >= nx) & (xx < nx + rw * f)
+                  & (yy >= ny) & (yy < ny + rh * f) & valid)
+        # cv2.resize (bilinear) coordinate convention:
+        #   src = (dst + 0.5) * (src_size / dst_size) - 0.5
+        ry = (yy - ny + 0.5) * inv_f - 0.5
+        rx = (xx - nx + 0.5) * inv_f - 0.5
+        # Clamp inside the crop so samples never bleed past the region.
+        ry = jnp.clip(ry, 0.0, rh - 1.0) + y1
+        rx = jnp.clip(rx, 0.0, rw - 1.0) + x1
+        src_y = jnp.where(inside, ry, src_y)
+        src_x = jnp.where(inside, rx, src_x)
+        covered = covered | inside
+        return (src_y, src_x, covered), None
+
+    zeros = jnp.zeros((out_h, out_w), jnp.float32)
+    (src_y, src_x, covered), _ = jax.lax.scan(
+        per_region, (zeros, zeros, zeros.astype(bool)), regions)
+
+    # Bilinear gather from the source image.
+    y0 = jnp.clip(jnp.floor(src_y), 0, h - 1)
+    x0 = jnp.clip(jnp.floor(src_x), 0, w - 1)
+    y1i = jnp.clip(y0 + 1, 0, h - 1)
+    x1i = jnp.clip(x0 + 1, 0, w - 1)
+    wy = (src_y - y0)[..., None]
+    wx = (src_x - x0)[..., None]
+    y0, x0, y1i, x1i = (a.astype(jnp.int32) for a in (y0, x0, y1i, x1i))
+
+    p00 = img[y0, x0]
+    p01 = img[y0, x1i]
+    p10 = img[y1i, x0]
+    p11 = img[y1i, x1i]
+    top = p00 * (1 - wx) + p01 * wx
+    bot = p10 * (1 - wx) + p11 * wx
+    out = top * (1 - wy) + bot * wy
+    return jnp.where(covered[..., None], out, 0.0)
+
+
+def chip_boxes_from_regions(regions: jnp.ndarray) -> jnp.ndarray:
+    """(R, 7) region rows -> (R, 4) xyxy chip rectangles in mosaic coords."""
+    nx, ny = regions[:, 4], regions[:, 5]
+    w, h, f = regions[:, 2], regions[:, 3], regions[:, 6]
+    return jnp.stack([nx, ny, nx + w * f, ny + h * f], axis=-1)
+
+
+def unmap_chip_detections(det_boxes: jnp.ndarray, det_valid: jnp.ndarray,
+                          regions: jnp.ndarray,
+                          iof_threshold: float = 0.9):
+    """Map mosaic-space detections back to original-image coordinates.
+
+    A detection transfers through a chip when IoF(det, chip) > threshold
+    (normalized by the detection's area, ufpmp_det_eval.py:290); it is
+    then un-scaled by the chip's factor and translated to the source crop
+    origin.  A detection matching several chips is duplicated by each in
+    the reference's nested loop — here every (det, chip) pair above the
+    threshold yields an output slot, which is identical semantics.
+
+    Args:
+        det_boxes: (N, 4) xyxy in mosaic coords.
+        det_valid: (N,) bool.
+        regions: (R, 7) padded region rows.
+
+    Returns:
+        boxes: (N, R, 4) unmapped xyxy; valid: (N, R) bool transfer mask.
+    """
+    chips = chip_boxes_from_regions(regions)           # (R, 4)
+    live = regions[:, 6] > 0                           # (R,)
+    iof = pairwise_iof(det_boxes, chips)               # (N, R)
+    take = (iof > iof_threshold) & det_valid[:, None] & live[None, :]
+
+    f = jnp.maximum(regions[:, 6], 1.0)                # (R,)
+    ox, oy = regions[:, 0], regions[:, 1]
+    nx, ny = regions[:, 4], regions[:, 5]
+    x1 = (det_boxes[:, None, 0] - nx) / f + ox
+    y1 = (det_boxes[:, None, 1] - ny) / f + oy
+    x2 = x1 + (det_boxes[:, None, 2] - det_boxes[:, None, 0]) / f
+    y2 = y1 + (det_boxes[:, None, 3] - det_boxes[:, None, 1]) / f
+    boxes = jnp.stack([x1, y1, x2, y2], axis=-1)       # (N, R, 4)
+    return boxes, take

@@ -1,0 +1,116 @@
+"""NMS vs the reference's pure-python greedy oracle."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+import glsdet_tpu.ops.nms as N
+
+
+def py_greedy_nms(dets, thresh, offset=0.0):
+    """Numpy oracle with the same semantics as ufpmp_det_eval.py:149
+    (offset=1) / torchvision (offset=0)."""
+    x1, y1, x2, y2, scores = dets[:, 0], dets[:, 1], dets[:, 2], dets[:, 3], dets[:, 4]
+    areas = (x2 - x1 + offset) * (y2 - y1 + offset)
+    order = scores.argsort()[::-1]
+    keep = []
+    while order.size > 0:
+        i = order[0]
+        keep.append(i)
+        xx1 = np.maximum(x1[i], x1[order[1:]])
+        yy1 = np.maximum(y1[i], y1[order[1:]])
+        xx2 = np.minimum(x2[i], x2[order[1:]])
+        yy2 = np.minimum(y2[i], y2[order[1:]])
+        w = np.maximum(0.0, xx2 - xx1 + offset)
+        h = np.maximum(0.0, yy2 - yy1 + offset)
+        inter = w * h
+        ovr = inter / (areas[i] + areas[order[1:]] - inter)
+        order = order[np.where(ovr <= thresh)[0] + 1]
+    return sorted(keep)
+
+
+def random_dets(rng, n, size=200.0):
+    xy = rng.uniform(0, size, (n, 2))
+    wh = rng.uniform(5, 60, (n, 2))
+    scores = rng.uniform(0.01, 1.0, (n, 1))
+    return np.concatenate([xy, xy + wh, scores], axis=1).astype(np.float32)
+
+
+def test_nms_matches_python_oracle():
+    rng = np.random.RandomState(0)
+    for trial in range(5):
+        dets = random_dets(rng, 60)
+        for thresh in (0.3, 0.5, 0.6):
+            keep, _ = N.nms(jnp.asarray(dets[:, :4]), jnp.asarray(dets[:, 4]), thresh)
+            got = sorted(np.flatnonzero(np.asarray(keep)).tolist())
+            want = py_greedy_nms(dets, thresh)
+            assert got == want, (trial, thresh)
+
+
+def test_nms_legacy_offset_matches_reference_nms():
+    rng = np.random.RandomState(7)
+    dets = random_dets(rng, 40)
+    keep, _ = N.nms(jnp.asarray(dets[:, :4]), jnp.asarray(dets[:, 4]), 0.6, offset=1.0)
+    got = sorted(np.flatnonzero(np.asarray(keep)).tolist())
+    assert got == py_greedy_nms(dets, 0.6, offset=1.0)
+
+
+def test_nms_padding_never_kept():
+    rng = np.random.RandomState(3)
+    dets = random_dets(rng, 10)
+    boxes = np.concatenate([dets[:, :4], np.zeros((6, 4), np.float32)])
+    scores = np.concatenate([dets[:, 4], np.full((6,), N.NEG_INF, np.float32)])
+    keep, _ = N.nms(jnp.asarray(boxes), jnp.asarray(scores), 0.5)
+    assert not np.any(np.asarray(keep)[10:])
+
+
+def test_batched_nms_classwise():
+    # Two identical boxes in different classes must both survive.
+    boxes = jnp.asarray([[0.0, 0, 10, 10], [0, 0, 10, 10]])
+    scores = jnp.asarray([0.9, 0.8])
+    ids = jnp.asarray([0, 1])
+    keep, _ = N.batched_nms(boxes, scores, ids, 0.5)
+    assert np.all(np.asarray(keep))
+    # Same class: only the higher-scoring survives.
+    keep2, _ = N.batched_nms(boxes, scores, jnp.asarray([0, 0]), 0.5)
+    assert np.asarray(keep2).tolist() == [True, False]
+
+
+def test_batched_nms_matches_per_class_oracle():
+    rng = np.random.RandomState(11)
+    dets = random_dets(rng, 80)
+    cls = rng.randint(0, 4, (80,))
+    keep, _ = N.batched_nms(jnp.asarray(dets[:, :4]), jnp.asarray(dets[:, 4]),
+                            jnp.asarray(cls), 0.5)
+    got = sorted(np.flatnonzero(np.asarray(keep)).tolist())
+    want = []
+    for c in range(4):
+        idx = np.flatnonzero(cls == c)
+        if idx.size == 0:
+            continue
+        sub_keep = py_greedy_nms(dets[idx], 0.5)
+        want.extend(idx[sub_keep].tolist())
+    assert got == sorted(want)
+
+
+def test_multiclass_nms_fixed_shape_and_jit():
+    rng = np.random.RandomState(5)
+    n, c, cap = 100, 10, 20
+    boxes = jnp.asarray(random_dets(rng, n)[:, :4])
+    scores = jnp.asarray(rng.uniform(0, 1, (n, c)).astype(np.float32))
+    fn = jax.jit(lambda b, s: N.multiclass_nms(b, s, 0.05, 0.6, cap))
+    ob, osc, ol, ov = fn(boxes, scores)
+    assert ob.shape == (cap, 4) and osc.shape == (cap,) and ol.shape == (cap,)
+    osc = np.asarray(osc)
+    ov = np.asarray(ov)
+    assert np.all(np.diff(osc[ov]) <= 1e-6)  # ranked descending
+    assert np.all(osc[~ov] == 0.0)
+
+
+def test_soft_nms_decays_overlaps():
+    boxes = jnp.asarray([[0.0, 0, 10, 10], [1, 1, 11, 11], [50, 50, 60, 60]])
+    scores = jnp.asarray([0.9, 0.8, 0.7])
+    new = np.asarray(N.soft_nms(boxes, scores, sigma=0.5))
+    assert new[0] == 0.9            # top box untouched
+    assert new[1] < 0.8             # overlapping box decayed
+    assert abs(new[2] - 0.7) < 1e-6  # far box untouched

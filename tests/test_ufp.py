@@ -1,0 +1,160 @@
+"""UFP packing geometry + on-device mosaic assembly tests."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from glsdet_tpu.ufp.packing import (
+    foreground_regions, pack_regions, scale_boxes, strip_pack,
+    unified_foreground_packing)
+from glsdet_tpu.ufp.assembly import (
+    assemble_mosaic, chip_boxes_from_regions, regions_to_array,
+    unmap_chip_detections)
+
+
+def test_scale_boxes_expand_and_clip():
+    boxes = np.array([[10, 10, 30, 30], [0, 0, 2000, 1000]], np.float64)
+    got = scale_boxes(boxes, 1.5, (1333, 800))
+    np.testing.assert_allclose(got[0], [5, 5, 35, 35])
+    np.testing.assert_allclose(got[1], [0, 0, 1332, 799])
+
+
+def test_foreground_regions_merges_overlaps():
+    # Merge happens iff union-bbox area < sum of areas: [0,0,10,10] and
+    # [2,2,12,12] union to 144 < 200 so they merge; the far one stays.
+    boxes = np.array([[0, 0, 10, 10], [2, 2, 12, 12], [100, 100, 110, 110]],
+                     np.float64)
+    regions, factors = foreground_regions(boxes, boxes.copy())
+    assert regions.shape[0] == 2
+    np.testing.assert_allclose(regions[0], [0, 0, 12, 12])
+    np.testing.assert_allclose(regions[1], [100, 100, 110, 110])
+    # 10x10 boxes (+1 convention -> 121 px^2) are < 32^2 -> 4x upscale.
+    assert factors.tolist() == [4, 4]
+
+
+def test_foreground_regions_scale_factor_thresholds():
+    mk = lambda s: np.array([[0, 0, s - 1, s - 1]], np.float64)  # area s^2
+    for size, want in ((16, 4), (40, 2), (100, 1)):
+        _, f = foreground_regions(mk(size), mk(size).copy())
+        assert f.tolist() == [want], size
+
+
+def test_strip_pack_no_overlap_and_within_width():
+    rng = np.random.RandomState(0)
+    sizes = [(float(rng.randint(10, 120)), float(rng.randint(10, 120)))
+             for _ in range(25)]
+    width = 300.0
+    height, placed = strip_pack(width, sizes, sort_by="height")
+    assert height > 0
+    rects = []
+    for (w, h), (x, y) in zip(sizes, placed):
+        assert x >= 0 and y >= 0
+        assert x + w <= width + 1e-9
+        assert y + h <= height + 1e-9
+        rects.append((x, y, x + w, y + h))
+    # pairwise non-overlap
+    for i in range(len(rects)):
+        for j in range(i + 1, len(rects)):
+            a, b = rects[i], rects[j]
+            ix = min(a[2], b[2]) - max(a[0], b[0])
+            iy = min(a[3], b[3]) - max(a[1], b[1])
+            assert ix <= 1e-9 or iy <= 1e-9, (i, j, a, b)
+
+
+def test_pack_regions_near_square():
+    rng = np.random.RandomState(1)
+    regions = []
+    for _ in range(12):
+        x, y = rng.randint(0, 800, 2)
+        w, h = rng.randint(40, 200, 2)
+        regions.append([x, y, x + w, y + h])
+    regions = np.asarray(regions, np.float64)
+    factors = np.ones(12, np.int64)
+    out, mw, mh = pack_regions(regions, factors)
+    assert len(out) == 12
+    assert mw <= 2666 and mh <= 2666 + 200  # near-square by construction
+    for r in out:
+        assert r.new_x >= 0 and r.new_y >= 0
+        assert r.new_x + r.w * r.scale_factor <= mw + 1e-9
+        assert r.new_y + r.h * r.scale_factor <= mh + 1e-9
+
+
+def test_ufp_end_to_end_regions_cover_inputs():
+    rng = np.random.RandomState(2)
+    n = 30
+    xy = rng.uniform(0, 900, (n, 2))
+    wh = rng.uniform(10, 80, (n, 2))
+    boxes = np.concatenate([xy, xy + wh], axis=1)
+    regions, mw, mh = unified_foreground_packing(boxes, 1.5, (1000, 1000))
+    assert len(regions) >= 1 and mw > 0 and mh > 0
+    # Total packed area ~= sum of scaled region areas (no overlap proven in
+    # strip test; here just sanity-check the mosaic isn't degenerate).
+    area = sum(r.w * r.scale_factor * r.h * r.scale_factor for r in regions)
+    assert area <= mw * mh + 1e-6
+
+
+def test_ufp_empty_input():
+    regions, mw, mh = unified_foreground_packing(np.zeros((0, 4)), 1.5, (100, 100))
+    assert regions == [] and mw == 0 and mh == 0
+
+
+def test_assemble_mosaic_identity_region():
+    # One region, factor 1, pasted at origin => mosaic equals the crop.
+    img = np.arange(40 * 40 * 3, dtype=np.float32).reshape(40, 40, 3)
+    regions = np.zeros((4, 7), np.float32)
+    regions[0] = [5, 7, 16, 12, 0, 0, 1]  # crop 16x12 at (5,7) -> (0,0) x1
+    out = np.asarray(assemble_mosaic(jnp.asarray(img), jnp.asarray(regions), 32, 32))
+    np.testing.assert_allclose(out[:12, :16], img[7:19, 5:21], atol=1e-4)
+    assert np.all(out[12:, :] == 0) and np.all(out[:, 16:] == 0)
+
+
+def test_assemble_mosaic_2x_upscale_matches_bilinear():
+    rng = np.random.RandomState(3)
+    img = rng.uniform(0, 255, (24, 24, 3)).astype(np.float32)
+    regions = np.zeros((2, 7), np.float32)
+    regions[0] = [4, 4, 8, 8, 0, 0, 2]  # 8x8 crop upscaled 2x -> 16x16
+    out = np.asarray(assemble_mosaic(jnp.asarray(img), jnp.asarray(regions), 16, 16))
+    crop = img[4:12, 4:12]
+    # cv2-convention bilinear 2x oracle
+    want = np.zeros((16, 16, 3), np.float32)
+    for yo in range(16):
+        for xo in range(16):
+            sy = np.clip((yo + 0.5) / 2 - 0.5, 0, 7)
+            sx = np.clip((xo + 0.5) / 2 - 0.5, 0, 7)
+            y0, x0 = int(np.floor(sy)), int(np.floor(sx))
+            y1, x1 = min(y0 + 1, 7), min(x0 + 1, 7)
+            wy, wx = sy - y0, sx - x0
+            want[yo, xo] = (crop[y0, x0] * (1 - wy) * (1 - wx)
+                            + crop[y0, x1] * (1 - wy) * wx
+                            + crop[y1, x0] * wy * (1 - wx)
+                            + crop[y1, x1] * wy * wx)
+    np.testing.assert_allclose(out, want, atol=1e-3)
+
+
+def test_unmap_chip_detections_inverse_affine():
+    regions = np.zeros((3, 7), np.float32)
+    regions[0] = [100, 200, 50, 40, 0, 0, 2]    # chip [0,0,100,80]
+    regions[1] = [300, 300, 30, 30, 120, 0, 1]  # chip [120,0,150,30]
+    det = jnp.asarray([[10.0, 10, 30, 30],      # inside chip 0
+                       [125.0, 5, 145, 25],     # inside chip 1
+                       [90.0, 70, 130, 85]])    # straddles -> IoF < 0.9
+    valid = jnp.asarray([True, True, True])
+    boxes, take = unmap_chip_detections(det, valid, jnp.asarray(regions))
+    take = np.asarray(take)
+    assert take[0].tolist() == [True, False, False]
+    assert take[1].tolist() == [False, True, False]
+    assert not take[2].any()
+    b0 = np.asarray(boxes)[0, 0]
+    # x: 10/2 + 100 = 105; y: 10/2 + 200 = 205; w = 20/2 = 10
+    np.testing.assert_allclose(b0, [105, 205, 115, 215], atol=1e-5)
+    b1 = np.asarray(boxes)[1, 1]
+    np.testing.assert_allclose(b1, [305, 305, 325, 325], atol=1e-5)
+
+
+def test_regions_roundtrip_and_chip_boxes():
+    from glsdet_tpu.ufp.packing import Region
+    rs = [Region(1.2, 2.7, 10.9, 5.1, 3.4, 4.9, 2)]
+    arr = regions_to_array(rs, 4)
+    assert arr.shape == (4, 7)
+    np.testing.assert_allclose(arr[0], [1, 2, 10, 5, 3, 4, 2])  # floored
+    chips = np.asarray(chip_boxes_from_regions(jnp.asarray(arr)))
+    np.testing.assert_allclose(chips[0], [3, 4, 3 + 20, 4 + 10])
