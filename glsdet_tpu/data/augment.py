@@ -1,0 +1,192 @@
+"""Host-side training augmentations (numpy/cv2), fixed output shapes.
+
+Behavioral references:
+- Mosaic / RandomAffine / MixUp / YOLOXHSVRandomAug:
+  ``yolox-ufp/mmdet/datasets/pipelines/transforms.py`` (:1947, :2480,
+  :2216, :2698) — the YOLOX training recipe
+  (configs/yolox/yolox_s_8x8_300e_coco.py:28-52).
+- letterbox + jitter resize: ``yolox-drone/models/core/dataloader.py:57``
+  (get_random_data) and :213 (4-image mosaic).
+
+These run on the host feeding fixed-shape device batches: every output is
+exactly ``img_size`` with GTs padded downstream.  Augmentation is plain
+numpy so the loader threads parallelize it; the device never sees a
+dynamic shape.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+
+def letterbox(img: np.ndarray, boxes: np.ndarray, size: Tuple[int, int],
+              pad_val: float = 114.0):
+    """Keep-ratio resize + center pad to ``size`` (h, w). Returns
+    (image, boxes, scale, (dx, dy))."""
+    import cv2
+
+    h0, w0 = img.shape[:2]
+    h, w = size
+    scale = min(h / h0, w / w0)
+    nw, nh = int(round(w0 * scale)), int(round(h0 * scale))
+    resized = cv2.resize(img, (nw, nh), interpolation=cv2.INTER_LINEAR)
+    out = np.full((h, w, 3), pad_val, img.dtype)
+    dx, dy = (w - nw) // 2, (h - nh) // 2
+    out[dy:dy + nh, dx:dx + nw] = resized
+    if len(boxes):
+        boxes = boxes.copy()
+        boxes[:, [0, 2]] = boxes[:, [0, 2]] * scale + dx
+        boxes[:, [1, 3]] = boxes[:, [1, 3]] * scale + dy
+    return out, boxes, scale, (dx, dy)
+
+
+def hsv_aug(img: np.ndarray, rng: np.random.RandomState,
+            h_delta: int = 5, s_delta: int = 30, v_delta: int = 30):
+    """YOLOXHSVRandomAug (transforms.py:2698): random HSV jitter."""
+    import cv2
+
+    dh = rng.uniform(-h_delta, h_delta)
+    ds = rng.uniform(-s_delta, s_delta)
+    dv = rng.uniform(-v_delta, v_delta)
+    hsv = cv2.cvtColor(img, cv2.COLOR_RGB2HSV).astype(np.int16)
+    hsv[..., 0] = (hsv[..., 0] + int(dh)) % 180
+    hsv[..., 1] = np.clip(hsv[..., 1] + int(ds), 0, 255)
+    hsv[..., 2] = np.clip(hsv[..., 2] + int(dv), 0, 255)
+    return cv2.cvtColor(hsv.astype(np.uint8), cv2.COLOR_HSV2RGB)
+
+
+def random_flip(img: np.ndarray, boxes: np.ndarray,
+                rng: np.random.RandomState, prob: float = 0.5):
+    if rng.rand() < prob:
+        img = img[:, ::-1]
+        if len(boxes):
+            w = img.shape[1]
+            boxes = boxes.copy()
+            boxes[:, [0, 2]] = w - boxes[:, [2, 0]]
+    return img, boxes
+
+
+def mosaic4(images: Sequence[np.ndarray], boxes_list: Sequence[np.ndarray],
+            labels_list: Sequence[np.ndarray], out_size: Tuple[int, int],
+            rng: np.random.RandomState, center_ratio=(0.5, 1.5),
+            pad_val: float = 114.0):
+    """4-image mosaic (transforms.py:1947): 2x canvas, random center split,
+    each image keep-ratio scaled into its quadrant; boxes clipped."""
+    import cv2
+
+    h, w = out_size
+    canvas = np.full((h * 2, w * 2, 3), pad_val, np.uint8)
+    cy = int(rng.uniform(*center_ratio) * h)
+    cx = int(rng.uniform(*center_ratio) * w)
+    all_boxes, all_labels = [], []
+
+    quadrants = ["tl", "tr", "bl", "br"]
+    for loc, img, boxes, labels in zip(
+            quadrants, images, boxes_list, labels_list):
+        h0, w0 = img.shape[:2]
+        scale = min(h / h0, w / w0)
+        nw, nh = int(w0 * scale), int(h0 * scale)
+        img_r = cv2.resize(img, (nw, nh))
+        if loc == "tl":
+            x1, y1 = max(cx - nw, 0), max(cy - nh, 0)
+            x2, y2 = cx, cy
+            sx1, sy1 = nw - (x2 - x1), nh - (y2 - y1)
+        elif loc == "tr":
+            x1, y1 = cx, max(cy - nh, 0)
+            x2, y2 = min(cx + nw, w * 2), cy
+            sx1, sy1 = 0, nh - (y2 - y1)
+        elif loc == "bl":
+            x1, y1 = max(cx - nw, 0), cy
+            x2, y2 = cx, min(cy + nh, h * 2)
+            sx1, sy1 = nw - (x2 - x1), 0
+        else:
+            x1, y1 = cx, cy
+            x2, y2 = min(cx + nw, w * 2), min(cy + nh, h * 2)
+            sx1, sy1 = 0, 0
+        canvas[y1:y2, x1:x2] = img_r[sy1:sy1 + (y2 - y1),
+                                     sx1:sx1 + (x2 - x1)]
+        if len(boxes):
+            b = boxes.copy() * scale
+            b[:, [0, 2]] += x1 - sx1
+            b[:, [1, 3]] += y1 - sy1
+            all_boxes.append(b)
+            all_labels.append(labels)
+
+    if all_boxes:
+        boxes = np.concatenate(all_boxes)
+        labels = np.concatenate(all_labels)
+        boxes[:, [0, 2]] = boxes[:, [0, 2]].clip(0, 2 * w)
+        boxes[:, [1, 3]] = boxes[:, [1, 3]].clip(0, 2 * h)
+        keep = (boxes[:, 2] > boxes[:, 0]) & (boxes[:, 3] > boxes[:, 1])
+        boxes, labels = boxes[keep], labels[keep]
+    else:
+        boxes = np.zeros((0, 4), np.float32)
+        labels = np.zeros((0,), np.int32)
+    return canvas, boxes.astype(np.float32), labels
+
+
+def random_affine(img: np.ndarray, boxes: np.ndarray, labels: np.ndarray,
+                  rng: np.random.RandomState,
+                  out_size: Tuple[int, int],
+                  max_rotate: float = 10.0, max_translate: float = 0.1,
+                  scale_range: Tuple[float, float] = (0.5, 1.5),
+                  max_shear: float = 2.0, pad_val: float = 114.0,
+                  border: Optional[Tuple[int, int]] = None):
+    """RandomAffine (transforms.py:2480): rot/scale/shear/translate about
+    the canvas center, typically halving the 2x mosaic canvas back to
+    ``out_size``; boxes warped by the same matrix and filtered."""
+    import cv2
+
+    h, w = out_size
+    h0, w0 = img.shape[:2]
+    if border is None:
+        border = (-h0 // 4, -w0 // 4) if (h0 > h or w0 > w) else (0, 0)
+
+    ang = math.radians(rng.uniform(-max_rotate, max_rotate))
+    scale = rng.uniform(*scale_range)
+    shear_x = math.tan(math.radians(rng.uniform(-max_shear, max_shear)))
+    shear_y = math.tan(math.radians(rng.uniform(-max_shear, max_shear)))
+    tx = rng.uniform(0.5 - max_translate, 0.5 + max_translate) * w
+    ty = rng.uniform(0.5 - max_translate, 0.5 + max_translate) * h
+
+    # center -> rotate/scale -> shear -> translate
+    cxm = np.array([[1, 0, -w0 / 2], [0, 1, -h0 / 2], [0, 0, 1]], np.float64)
+    rot = np.array([
+        [math.cos(ang) * scale, -math.sin(ang) * scale, 0],
+        [math.sin(ang) * scale, math.cos(ang) * scale, 0],
+        [0, 0, 1]], np.float64)
+    shr = np.array([[1, shear_x, 0], [shear_y, 1, 0], [0, 0, 1]], np.float64)
+    trn = np.array([[1, 0, tx], [0, 1, ty], [0, 0, 1]], np.float64)
+    mat = trn @ shr @ rot @ cxm
+
+    out = cv2.warpPerspective(
+        img, mat, (w, h), borderValue=(pad_val,) * 3)
+    if len(boxes):
+        n = len(boxes)
+        corners = np.ones((n * 4, 3), np.float64)
+        corners[:, :2] = boxes[:, [0, 1, 2, 1, 0, 3, 2, 3]].reshape(-1, 2)
+        warped = (mat @ corners.T).T[:, :2].reshape(n, 8)
+        xs = warped[:, 0::2]
+        ys = warped[:, 1::2]
+        new = np.stack([xs.min(1), ys.min(1), xs.max(1), ys.max(1)], axis=1)
+        new[:, [0, 2]] = new[:, [0, 2]].clip(0, w)
+        new[:, [1, 3]] = new[:, [1, 3]].clip(0, h)
+        wh = new[:, 2:4] - new[:, :2]
+        keep = (wh > 2).all(axis=1)
+        boxes, labels = new[keep].astype(np.float32), labels[keep]
+    return out, boxes, labels
+
+
+def mixup(img_a, boxes_a, labels_a, img_b, boxes_b, labels_b,
+          rng: np.random.RandomState, alpha: float = 0.5):
+    """MixUp (transforms.py:2216, ratio fixed ~0.5 in YOLOX recipe):
+    blends a second (letterboxed) image and concatenates its GTs."""
+    out = (img_a.astype(np.float32) * alpha
+           + img_b.astype(np.float32) * (1 - alpha)).astype(np.uint8)
+    boxes = np.concatenate([boxes_a, boxes_b]) if len(boxes_b) else boxes_a
+    labels = (np.concatenate([labels_a, labels_b])
+              if len(labels_b) else labels_a)
+    return out, boxes, labels

@@ -1,0 +1,118 @@
+"""COCO-format dataset reader + fixed-shape batch construction.
+
+Behavioral reference: ``yolox-ufp/mmdet/datasets/coco.py`` /
+``VisDrone.py:19`` (COCO-style index, per-image ann lookup, filter of empty
+images during training) and the fixed-shape requirements of XLA: every
+batch has static (B, H, W, 3) images and GTs padded to ``max_gt`` with a
+validity mask.
+
+Reading uses plain ``json`` — pycocotools is not a dependency of the data
+path (the eval module has its own numpy COCOeval).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+
+@dataclass
+class CocoRecord:
+    img_id: int
+    file_name: str
+    width: int
+    height: int
+    boxes: np.ndarray   # (n, 4) xyxy float32
+    labels: np.ndarray  # (n,) int32 contiguous [0, num_classes)
+
+
+class CocoDataset:
+    """Index of a COCO json; images loaded lazily by the pipeline."""
+
+    def __init__(self, ann_file: str, img_root: str,
+                 filter_empty: bool = False):
+        with open(ann_file) as f:
+            coco = json.load(f)
+        self.img_root = img_root
+        self.categories = sorted(
+            coco.get("categories", []), key=lambda c: c["id"])
+        self.cat_ids = [c["id"] for c in self.categories]
+        self.cat_to_contig = {cid: i for i, cid in enumerate(self.cat_ids)}
+        self.class_names = [c["name"] for c in self.categories]
+
+        anns_by_img: Dict[int, list] = {}
+        for a in coco.get("annotations", []):
+            if a.get("iscrowd", 0):
+                continue
+            anns_by_img.setdefault(a["image_id"], []).append(a)
+
+        self.records: List[CocoRecord] = []
+        for img in coco["images"]:
+            anns = anns_by_img.get(img["id"], [])
+            if filter_empty and not anns:
+                continue
+            boxes = np.array(
+                [[a["bbox"][0], a["bbox"][1],
+                  a["bbox"][0] + a["bbox"][2], a["bbox"][1] + a["bbox"][3]]
+                 for a in anns], np.float32).reshape(-1, 4)
+            labels = np.array(
+                [self.cat_to_contig[a["category_id"]] for a in anns],
+                np.int32)
+            self.records.append(CocoRecord(
+                img["id"], img["file_name"], img["width"], img["height"],
+                boxes, labels))
+
+        self.ignore_regions: Dict[int, np.ndarray] = {}
+        for r in coco.get("ignore_regions", []):
+            x, y, w, h = r["bbox"]
+            box = np.array([[x, y, x + w, y + h]], np.float32)
+            prev = self.ignore_regions.get(r["image_id"])
+            self.ignore_regions[r["image_id"]] = (
+                box if prev is None else np.concatenate([prev, box]))
+
+    def __len__(self):
+        return len(self.records)
+
+    def load_image(self, rec: CocoRecord) -> np.ndarray:
+        import cv2
+
+        path = os.path.join(self.img_root, rec.file_name)
+        img = cv2.imread(path)  # BGR uint8
+        if img is None:
+            raise FileNotFoundError(path)
+        return cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+
+
+# ImageNet mean/std of the mmdet pipelines (configs *img_norm_cfg*).
+IMAGENET_MEAN = np.array([123.675, 116.28, 103.53], np.float32)
+IMAGENET_STD = np.array([58.395, 57.12, 57.375], np.float32)
+
+
+def normalize(img: np.ndarray, mean=IMAGENET_MEAN,
+              std=IMAGENET_STD) -> np.ndarray:
+    return (img.astype(np.float32) - mean) / std
+
+
+def pad_gts(boxes: np.ndarray, labels: np.ndarray,
+            max_gt: int) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Pad/truncate GTs to (max_gt, ...) with a validity mask."""
+    n = min(len(boxes), max_gt)
+    out_boxes = np.zeros((max_gt, 4), np.float32)
+    out_labels = np.zeros((max_gt,), np.int32)
+    out_valid = np.zeros((max_gt,), bool)
+    out_boxes[:n] = boxes[:n]
+    out_labels[:n] = labels[:n]
+    out_valid[:n] = True
+    return out_boxes, out_labels, out_valid
+
+
+def make_batch(samples: Sequence[dict]) -> dict:
+    """Stack per-sample dicts (images already same shape) into arrays."""
+    return {
+        k: np.stack([s[k] for s in samples], axis=0)
+        for k in samples[0]
+    }

@@ -1,0 +1,109 @@
+"""Test-time decode + NMS for both detector families, fixed-shape XLA.
+
+Behavioral references:
+- YOLOX: ``yolox-ufp/mmdet/models/dense_heads/yolox_head.py`` (_bbox_decode
+  :298, _bboxes_nms :310 — score = obj * max-cls, single argmax label,
+  score_thr 0.01, NMS 0.65) and ``yolox-drone/models/core/utils_bbox.py``
+  (decode_outputs :254, non_max_suppression :375).
+- GFL/MP-Det: ``gfl_head.py`` (_get_bboxes_single :380 — per-level top
+  ``nms_pre=1000`` candidates by max sigmoid score, Integral decode,
+  multiclass NMS 0.6, max_per_img 100/500).
+
+Everything returns fixed-size ranked detection sets with validity masks,
+batched over images with vmap, so the whole eval path is one jitted
+program per (resolution, caps) bucket.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from glsdet_tpu.models.yolox_head import decode_boxes, flatten_head_outputs
+from glsdet_tpu.ops.integral import distance2bbox, integral_decode
+from glsdet_tpu.ops.nms import multiclass_nms
+from glsdet_tpu.ops.priors import grid_points
+
+
+def yolox_postprocess(
+    cls_out: Sequence[jnp.ndarray],
+    reg_out: Sequence[jnp.ndarray],
+    obj_out: Sequence[jnp.ndarray],
+    img_hw: Tuple[int, int],
+    strides: Sequence[int] = (8, 16, 32),
+    score_thr: float = 0.01,
+    iou_thr: float = 0.65,
+    max_dets: int = 100,
+):
+    """Per-level NHWC head maps -> (B, max_dets) ranked detections.
+
+    Returns dict(boxes (B,K,4), scores (B,K), labels (B,K), valid (B,K)).
+    """
+    centers_np, strides_np, _ = grid_points(img_hw, strides, offset=0.5)
+    grids = jnp.asarray(centers_np / strides_np[:, None] - 0.5)
+    stride_v = jnp.asarray(strides_np)
+
+    cls_f, reg_f, obj_f = flatten_head_outputs(cls_out, reg_out, obj_out)
+    boxes = decode_boxes(reg_f.astype(jnp.float32), grids, stride_v)
+    cls_p = jax.nn.sigmoid(cls_f.astype(jnp.float32))
+    obj_p = jax.nn.sigmoid(obj_f.astype(jnp.float32))
+    # single-label scoring (mmdet _bboxes_nms): score = obj * max cls
+    scores = cls_p * obj_p[..., None]  # (B, A, C)
+
+    def single(b, s):
+        return multiclass_nms(b, s, score_thr, iou_thr, max_dets)
+
+    ob, osc, ol, ov = jax.vmap(single)(boxes, scores)
+    return {"boxes": ob, "scores": osc, "labels": ol, "valid": ov}
+
+
+def gfl_postprocess(
+    cls_scores: Sequence[jnp.ndarray],
+    bbox_preds: Sequence[jnp.ndarray],
+    img_hw: Tuple[int, int],
+    strides: Sequence[int] = (8, 16, 32, 64, 128),
+    reg_max: int = 16,
+    score_thr: float = 0.01,
+    iou_thr: float = 0.6,
+    max_dets: int = 100,
+    scores_are_logits: bool = True,
+):
+    """GFL/MPHead per-level maps -> ranked detections.
+
+    cls_scores: per-level (B, H, W, C) proxy/cls scores (logits);
+    bbox_preds: per-level (B, H, W, 4*(reg_max+1)).
+    """
+    centers_np, strides_np, _ = grid_points(img_hw, strides, offset=0.0)
+    centers = jnp.asarray(centers_np)
+    stride_v = jnp.asarray(strides_np)
+
+    b = cls_scores[0].shape[0]
+    cls_f = jnp.concatenate(
+        [c.reshape(b, -1, c.shape[-1]) for c in cls_scores], axis=1)
+    reg_f = jnp.concatenate(
+        [p.reshape(b, -1, p.shape[-1]) for p in bbox_preds], axis=1)
+
+    dists = integral_decode(reg_f.astype(jnp.float32), reg_max)
+    dists = dists * stride_v[None, :, None]
+    boxes = distance2bbox(centers[None], dists, max_shape=img_hw)
+    scores = cls_f.astype(jnp.float32)
+    if scores_are_logits:
+        scores = jax.nn.sigmoid(scores)
+
+    def single(bx, s):
+        return multiclass_nms(bx, s, score_thr, iou_thr, max_dets)
+
+    ob, osc, ol, ov = jax.vmap(single)(boxes, scores)
+    return {"boxes": ob, "scores": osc, "labels": ol, "valid": ov}
+
+
+def rescale_detections(dets: dict, scale: float,
+                       offset: Tuple[float, float] = (0.0, 0.0)) -> dict:
+    """Undo a letterbox/resize: boxes -> original image coords."""
+    dx, dy = offset
+    shift = jnp.asarray([dx, dy, dx, dy], jnp.float32)
+    return {**dets, "boxes": (dets["boxes"] - shift) / scale}

@@ -1,0 +1,106 @@
+"""BoIW (Bag-of-Instance-Words) dictionary as functional train state.
+
+Behavioral reference: mp_head.py:78-81 (buffers), :184-201
+(``_update_dictionary`` ring-buffer write of up to 10 randomly sampled
+features per class per step), :480-499 (``update_ot`` — cosine k-means
+over each class's dictionary -> sorted cluster-size probabilities as the
+Sinkhorn target marginal).
+
+The reference mutates registered buffers under ``torch.no_grad``; here the
+dictionary is an explicit pytree threaded through the train step, updated
+with pure ops, checkpointed with the rest of the state (orbax), and — in
+the sharded setting — updated identically on every replica from
+all-gathered features, the deterministic replacement for the reference's
+rank-local mutation.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from glsdet_tpu.ops.kmeans import cosine_kmeans
+
+
+class BoIWState(NamedTuple):
+    embedding: jnp.ndarray     # (num_classes+1, num_words, C)
+    ptr: jnp.ndarray           # (num_classes+1,) int32 ring pointers
+    proxies_prob: jnp.ndarray  # (P,) Sinkhorn target marginals
+    beta: jnp.ndarray          # () float — 0 until epoch 2, then 1
+
+
+def init_boiw(key: jax.Array, num_classes: int, num_words: int,
+              feat_channels: int,
+              proxies_list: Sequence[int]) -> BoIWState:
+    emb = jax.random.normal(
+        key, (num_classes + 1, num_words, feat_channels), jnp.float32)
+    prob = jnp.concatenate(
+        [jnp.full((n,), 1.0 / n, jnp.float32) for n in proxies_list])
+    return BoIWState(
+        embedding=emb,
+        ptr=jnp.zeros((num_classes + 1,), jnp.int32),
+        proxies_prob=prob,
+        beta=jnp.zeros((), jnp.float32),
+    )
+
+
+def update_dictionary(state: BoIWState, key: jax.Array,
+                      features: jnp.ndarray, labels: jnp.ndarray,
+                      max_step: int = 10) -> BoIWState:
+    """Ring-buffer write of up to ``max_step`` random features per class.
+
+    features: (N, C); labels: (N,) in [0, num_classes] (num_classes = bg).
+    Pure-functional equivalent of mp_head.py:184-201; the random subset is
+    drawn with the PRNG key instead of python ``random.sample``.
+    """
+    num_slots, num_words, c = state.embedding.shape
+    n = features.shape[0]
+
+    def per_class(class_idx, carry):
+        emb, ptr, key = carry
+        key, sub = jax.random.split(key)
+        mask = labels == class_idx
+        cnt = jnp.sum(mask.astype(jnp.int32))
+        step = jnp.minimum(max_step, cnt)
+        # random positive subset: top-`max_step` of (uniform + big * mask)
+        scores = jax.random.uniform(sub, (n,)) + mask.astype(jnp.float32) * 10.0
+        _, idx = jax.lax.top_k(scores, max_step)
+        ranks = jnp.arange(max_step)
+        slots = (ptr[class_idx] + ranks) % num_words
+        # ranks beyond `step` write out-of-bounds -> dropped by scatter
+        slots = jnp.where(ranks < step, slots, num_words)
+        emb = emb.at[class_idx, slots].set(
+            features[idx].astype(emb.dtype), mode="drop")
+        ptr = ptr.at[class_idx].set((ptr[class_idx] + step) % num_words)
+        return emb, ptr, key
+
+    emb, ptr, _ = jax.lax.fori_loop(
+        0, num_slots, per_class, (state.embedding, state.ptr, key))
+    return state._replace(embedding=emb, ptr=ptr)
+
+
+def update_ot(state: BoIWState, key: jax.Array,
+              proxies_list: Sequence[int],
+              kmeans_iters: int = 20, restarts: int = 8) -> BoIWState:
+    """Re-estimate the per-proxy Sinkhorn marginals (mp_head.py:480-499).
+
+    For each foreground class: cosine k-means with k = its proxy count over
+    the class's dictionary, cluster-size histogram -> sorted probabilities.
+    """
+    _, num_words, _ = state.embedding.shape
+    probs = []
+    for cls_id, k in enumerate(proxies_list):
+        key, sub = jax.random.split(key)
+        _, assign, _ = cosine_kmeans(
+            sub, state.embedding[cls_id], k,
+            num_iters=kmeans_iters, restarts=restarts)
+        counts = jnp.sum(jax.nn.one_hot(assign, k, dtype=jnp.float32), axis=0)
+        probs.append(jnp.sort(counts / num_words))
+    return state._replace(proxies_prob=jnp.concatenate(probs))
+
+
+def enable_emd_training(state: BoIWState) -> BoIWState:
+    """Epoch-2 switch (optimal_transport_hook.py:25-29): beta 0 -> 1."""
+    return state._replace(beta=jnp.ones((), jnp.float32))

@@ -1,0 +1,160 @@
+"""MP-Det training loss: GFL + contrastive BoIW + Sinkhorn OT-to-proxies.
+
+Behavioral reference: mp_head.py ``loss``/``loss_single`` (:307-478):
+ - cls scores come from the multi-proxy cosine classifier over raw cls
+   features (forward_proxy :105),
+ - ``loss_emb`` (contrastive :272): softmax over the flattened
+   (num_classes+1) x num_words dictionary, positives = own-class words,
+   weighted by label weights, / num_total_samples / num_words, x beta,
+ - ``loss_op`` (:226-270): per-class Sinkhorn transport between that
+   class's positive features and its proxies (cost = normalized cosine
+   distance, reg 0.1, target marginal = current ``proxies_prob``),
+   averaged over classes, x beta,
+ - the BoIW dictionary ring-buffer update happens inside the loss pass
+   (:247) — here it returns a new functional state instead of mutating.
+
+Fixed-shape strategy: the OT loss caps positives per class at
+``max_pos_per_class`` random-ish (top-k by mask) anchors with a row mask —
+VisDrone images rarely exceed ~100 positives per class per batch.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from glsdet_tpu.models.mp_head import proxy_scores
+from glsdet_tpu.ops.sinkhorn import sinkhorn
+from glsdet_tpu.train.boiw import BoIWState, update_dictionary
+from glsdet_tpu.train.gfl_loss import GFLLossOut, GFLTargets, gfl_loss
+
+
+def contrastive_loss(features: jnp.ndarray, labels: jnp.ndarray,
+                     embedding: jnp.ndarray, num_total_samples: jnp.ndarray,
+                     weights: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """BoIW contrastive loss (mp_head.py:272-305).
+
+    features: (N, C) raw cls features; labels: (N,) in [0, num_classes];
+    embedding: (num_classes+1, num_words, C).
+    """
+    num_slots, num_words, c = embedding.shape
+    f = features * jax.lax.rsqrt(
+        jnp.sum(features * features, -1, keepdims=True) + 1e-12)
+    e = embedding.reshape(-1, c)
+    e = e * jax.lax.rsqrt(jnp.sum(e * e, -1, keepdims=True) + 1e-12)
+    logits = (f @ e.T).reshape(-1, num_slots, num_words)
+    # exp-sum over words per slot; sims are in [-1, 1] so exp is safe
+    exp_slot = jnp.exp(logits).sum(-1)  # (N, num_slots)
+    total = exp_slot.sum(-1)
+    pos = jnp.take_along_axis(exp_slot, labels[:, None], axis=1)[:, 0]
+    log_prob = jnp.log(pos / jnp.maximum(total, 1e-12))
+    if weights is not None:
+        log_prob = log_prob * weights
+    return -jnp.sum(log_prob) / num_total_samples / num_words
+
+
+def ot_proxy_loss(features: jnp.ndarray, labels: jnp.ndarray,
+                  proxies: jnp.ndarray, proxies_prob: jnp.ndarray,
+                  proxies_list: Sequence[int],
+                  max_pos_per_class: int = 256,
+                  reg: float = 0.1, num_iters: int = 100) -> jnp.ndarray:
+    """Sinkhorn OT loss (mp_head.py:254-270), fixed-shape per class."""
+    num_classes = len(proxies_list)
+    f = features * jax.lax.rsqrt(
+        jnp.sum(features * features, -1, keepdims=True) + 1e-12)
+    p = proxies * jax.lax.rsqrt(
+        jnp.sum(proxies * proxies, -1, keepdims=True) + 1e-12)
+    sim = f @ p.T  # (N, P)
+    dis = 1.0 - (sim + 1.0) / 2.0  # normalized cosine distance
+
+    loss = jnp.zeros((), f.dtype)
+    start = 0
+    n = features.shape[0]
+    k = min(max_pos_per_class, n)
+    for cls_id, nprox in enumerate(proxies_list):
+        mask = labels == cls_id
+        # deterministic top-k positive selection (first k positives)
+        scores = mask.astype(jnp.float32)
+        _, idx = jax.lax.top_k(scores, k)
+        valid = mask[idx]
+        cost = dis[idx, start:start + nprox]  # (k, nprox)
+        ut = proxies_prob[start:start + nprox]
+        # The plan is treated as a constant under differentiation (envelope
+        # theorem: at the entropic-OT optimum, d<P,C>/dC = P up to terms
+        # that vanish with the converged scalings). JAX cannot reverse-
+        # differentiate a while_loop anyway; the reference backprops through
+        # the unrolled torch loop, which converges to the same gradient.
+        plan = jax.lax.stop_gradient(
+            sinkhorn(cost, target_marginal=ut, reg=reg,
+                     num_iters=num_iters, row_mask=valid))
+        has_pos = jnp.any(valid)
+        loss = loss + jnp.where(has_pos, jnp.sum(plan * cost), 0.0)
+        start += nprox
+    return loss / num_classes
+
+
+class MPLossOut(NamedTuple):
+    total: jnp.ndarray
+    loss_cls: jnp.ndarray
+    loss_bbox: jnp.ndarray
+    loss_dfl: jnp.ndarray
+    loss_emb: jnp.ndarray
+    loss_op: jnp.ndarray
+    boiw: BoIWState
+
+
+def mp_loss(
+    cls_feats: jnp.ndarray,
+    bbox_pred_logits: jnp.ndarray,
+    proxies: jnp.ndarray,
+    membership: jnp.ndarray,
+    boiw: BoIWState,
+    rng: jax.Array,
+    targets: GFLTargets,
+    anchor_centers: jnp.ndarray,
+    anchor_strides: jnp.ndarray,
+    num_classes: int,
+    proxies_list: Sequence[int],
+    reg_max: int = 16,
+    gamma: float = 10.0,
+    axis_name: Optional[str] = None,
+) -> MPLossOut:
+    """Full MP-Det loss over flattened levels.
+
+    cls_feats: (B, A, C) raw cls features from MPHead (train mode).
+    """
+    b, a, c = cls_feats.shape
+    feat_flat = cls_feats.reshape(-1, c).astype(jnp.float32)
+    labels_flat = targets.labels.reshape(-1)
+
+    scores = proxy_scores(feat_flat, proxies.astype(jnp.float32),
+                          membership, gamma)  # (B*A, num_classes)
+    gfl = gfl_loss(
+        scores.reshape(b, a, num_classes), bbox_pred_logits, targets,
+        anchor_centers, anchor_strides, num_classes, reg_max,
+        axis_name=axis_name)
+
+    beta = boiw.beta
+    loss_emb = beta * contrastive_loss(
+        feat_flat, labels_flat, boiw.embedding, gfl.num_total_samples)
+    loss_op = beta * ot_proxy_loss(
+        feat_flat, labels_flat, proxies.astype(jnp.float32),
+        boiw.proxies_prob, proxies_list)
+
+    # dictionary update is on stop-gradient features (reference: no_grad)
+    if axis_name is not None:
+        # identical update on every replica: gather features across the mesh
+        gathered_f = jax.lax.all_gather(
+            jax.lax.stop_gradient(feat_flat), axis_name).reshape(-1, c)
+        gathered_l = jax.lax.all_gather(
+            labels_flat, axis_name).reshape(-1)
+    else:
+        gathered_f = jax.lax.stop_gradient(feat_flat)
+        gathered_l = labels_flat
+    new_boiw = update_dictionary(boiw, rng, gathered_f, gathered_l)
+
+    total = gfl.total + loss_emb + loss_op
+    return MPLossOut(total, gfl.loss_cls, gfl.loss_bbox, gfl.loss_dfl,
+                     loss_emb, loss_op, new_boiw)
