@@ -1,0 +1,96 @@
+"""End-to-end UFPMP inference benchmark (the BASELINE.json headline).
+
+Measures images/sec/chip of the full two-stage pipeline on the available
+accelerator: coarse YOLOX-s on the full frame -> UFP packing (host) ->
+on-device mosaic assembly -> MP-Det (ResNet-50 + MPHead) on the mosaic ->
+unmap + class-wise NMS.  Synthetic VisDrone-sized inputs (1360x765), real
+compute path, bfloat16 matmuls.
+
+Prints ONE json line: {"metric", "value", "unit", "vs_baseline"}.
+``vs_baseline`` is value / 25.0 — a generous estimate of the reference's
+end-to-end GPU rate (its stage-2 forward alone is ~40ms/img on the
+eval-time print at ufpmp_det_eval.py:325; packing/NMS add host time).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import sys
+
+    import jax
+    import jax.numpy as jnp
+
+    from glsdet_tpu.eval.two_stage import TwoStagePipeline
+    from glsdet_tpu.models import MPDet, YOLOXDetector
+
+    def log(msg):
+        print(f"# {time.strftime('%H:%M:%S')} {msg}", file=sys.stderr,
+              flush=True)
+
+    rng = jax.random.PRNGKey(0)
+    dtype = jnp.bfloat16
+
+    coarse_hw = (640, 640)
+    coarse = YOLOXDetector(num_classes=10, phi="s", dtype=dtype)
+    cx = jnp.zeros((1, *coarse_hw, 3), jnp.float32)
+    # init must be jitted: eager init dispatches hundreds of tiny ops,
+    # each a round-trip on a remote-tunnel TPU.
+    cvars = jax.jit(lambda r, x: coarse.init(r, x, train=False))(rng, cx)
+    log("coarse init done")
+
+    mp = MPDet(num_classes=10, depth=50, dtype=dtype)
+    mx = jnp.zeros((1, 1280, 1280, 3), jnp.float32)
+    mvars = jax.jit(lambda r, x: mp.init(r, x, train=False))(rng, mx)
+    log("mp init done")
+
+    pipe = TwoStagePipeline(
+        lambda images: coarse.apply(cvars, images, train=False),
+        lambda images: mp.apply(mvars, images, train=False),
+        coarse_hw,
+        mosaic_buckets=(1280,),
+        coarse_score_thr=0.05,
+    )
+
+    # synthetic drone frames with blocky "objects" so the coarse stage
+    # produces regions to pack
+    rs = np.random.RandomState(0)
+    frames = []
+    for _ in range(4):
+        img = rs.randint(0, 255, (765, 1360, 3), np.uint8)
+        frames.append(img)
+
+    # warmup / compile all buckets
+    t0 = time.time()
+    pipe.warmup((765, 1360))
+    compile_s = time.time() - t0
+    log(f"warmup done in {compile_s:.0f}s")
+
+    # timed loop
+    n_iters = 20
+    t0 = time.time()
+    for i in range(n_iters):
+        out = pipe(frames[i % len(frames)])
+    elapsed = time.time() - t0
+    ips = n_iters / elapsed
+
+    print(json.dumps({
+        "metric": "ufpmp_e2e_images_per_sec_per_chip",
+        "value": round(ips, 3),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(ips / 25.0, 3),
+        "detail": {
+            "compile_s": round(compile_s, 1),
+            "platform": jax.devices()[0].platform,
+            "device": str(jax.devices()[0]),
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -27,3 +27,18 @@ here is new and written for XLA:TPU.
 """
 
 __version__ = "0.1.0"
+
+import os as _os
+
+import jax as _jax
+
+# The deployment environment's sitecustomize force-registers the TPU
+# plugin and presets jax_platforms, overriding the JAX_PLATFORMS env var.
+# Honor the env var like stock JAX does so `JAX_PLATFORMS=cpu python ...`
+# works (tests and host-side tools rely on it).
+_env_platforms = _os.environ.get("JAX_PLATFORMS")
+if _env_platforms and _jax.config.jax_platforms != _env_platforms:
+    try:
+        _jax.config.update("jax_platforms", _env_platforms)
+    except RuntimeError:
+        pass  # backends already initialized; too late to change

@@ -1,0 +1,222 @@
+"""Dataclass config tree + registry + dotted-key overrides."""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple
+
+
+@dataclass
+class ModelConfig:
+    family: str = "yolox"            # yolox | mpdet | gfl
+    num_classes: int = 10
+    phi: str = "s"                   # yolox width/depth preset
+    depth: int = 50                  # resnet depth for mpdet/gfl
+    feat_channels: int = 256
+    reg_max: int = 16
+    gamma: float = 10.0
+    proxies_list: Tuple[int, ...] = (2, 3, 2, 5, 4, 8, 8, 4, 3, 3)
+    num_words: int = 200
+    dtype: str = "bfloat16"          # compute dtype
+    variant: str = ""                # attention variant: ffa|lsk|cfp|...
+
+
+@dataclass
+class DataConfig:
+    dataset: str = "visdrone"        # visdrone | uavdt | coco
+    ann_file: str = ""
+    img_root: str = ""
+    val_ann_file: str = ""
+    val_img_root: str = ""
+    img_hw: Tuple[int, int] = (640, 640)
+    max_gt: int = 300
+    batch_size: int = 8
+    mosaic: bool = True
+    mixup: bool = True
+    hsv: bool = True
+    flip_prob: float = 0.5
+    num_workers: int = 4
+
+
+@dataclass
+class TrainConfig:
+    epochs: int = 300
+    optimizer: str = "yolox_sgd"     # yolox_sgd | mp_sgd | adam_step
+    base_lr: float = 0.01
+    weight_decay: float = 5e-4
+    warmup_epochs: int = 5
+    num_last_epochs: int = 15        # no-aug + L1 epochs (YOLOX recipe)
+    min_lr_ratio: float = 0.05
+    grad_clip: float = 0.0
+    ema: bool = True
+    seed: int = 0
+    # MP-Det OT schedule (optimal_transport_hook.py)
+    ot_interval: int = 2000
+    ot_stop_epoch: int = 8
+    emd_start_epoch: int = 2
+    ckpt_interval: int = 1
+    log_interval: int = 50
+    work_dir: str = "work_dirs/default"
+    resume: str = ""
+
+
+@dataclass
+class EvalConfig:
+    score_thr: float = 0.01
+    nms_iou: float = 0.65
+    max_dets: int = 100
+    max_dets_coco: Tuple[int, ...] = (10, 100, 500)
+    # two-stage
+    ufp_scale: float = 1.5
+    chip_nms_iou: float = 0.6
+    fusion_nms_iou: float = 0.65
+    coarse_score_thr: float = 0.3
+    mosaic_buckets: Tuple[int, ...] = (768, 1280, 1792, 2688)
+    max_regions: int = 32
+
+
+@dataclass
+class Config:
+    name: str = "default"
+    model: ModelConfig = field(default_factory=ModelConfig)
+    data: DataConfig = field(default_factory=DataConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+    eval: EvalConfig = field(default_factory=EvalConfig)
+
+
+_REGISTRY: Dict[str, Callable[[], Config]] = {}
+
+
+def register_config(name: str):
+    def deco(fn: Callable[[], Config]):
+        _REGISTRY[name] = fn
+        return fn
+
+    return deco
+
+
+def list_configs() -> List[str]:
+    return sorted(_REGISTRY)
+
+
+def get_config(name: str) -> Config:
+    """Resolve a named config. Accepts 'coarse_det', 'coarse_det.py',
+    or a path ending in one of the registered names."""
+    import os
+
+    key = os.path.basename(name)
+    if key.endswith(".py"):
+        key = key[:-3]
+    if key not in _REGISTRY:
+        raise KeyError(
+            f"unknown config '{name}'; available: {list_configs()}")
+    cfg = _REGISTRY[key]()
+    cfg.name = key
+    return cfg
+
+
+def apply_overrides(cfg: Config, options: Dict[str, Any]) -> Config:
+    """mmdet --cfg-options analog: dotted keys into the dataclass tree,
+    e.g. {'train.base_lr': 0.02, 'data.batch_size': 16}."""
+    for dotted, value in options.items():
+        parts = dotted.split(".")
+        obj = cfg
+        for p in parts[:-1]:
+            obj = getattr(obj, p)
+        leaf = parts[-1]
+        if not hasattr(obj, leaf):
+            raise AttributeError(f"config has no field '{dotted}'")
+        cur = getattr(obj, leaf)
+        if cur is not None and not isinstance(value, type(cur)):
+            if isinstance(cur, tuple) and isinstance(value, (list, tuple)):
+                value = tuple(value)
+            else:
+                value = type(cur)(value)
+        setattr(obj, leaf, value)
+    return cfg
+
+
+# ---------------------------------------------------------------------------
+# Named configs (the public API surface per BASELINE.json)
+# ---------------------------------------------------------------------------
+
+
+@register_config("coarse_det")
+def coarse_det() -> Config:
+    """Stage-1 coarse detector: YOLOX-s at 640 on VisDrone full images.
+
+    Reconstruction note: the reference's configs/UFPMP-Det/coarse_det.py is
+    absent from the snapshot (SURVEY.md §0); README.md:82 trains it with
+    tools/train.py and loads epoch_12.pth, i.e. a 12-epoch schedule over
+    the YOLOX recipe.
+    """
+    cfg = Config(
+        model=ModelConfig(family="yolox", phi="s", num_classes=10),
+        data=DataConfig(dataset="visdrone", img_hw=(640, 640),
+                        batch_size=8),
+        train=TrainConfig(epochs=12, optimizer="yolox_sgd", base_lr=0.01,
+                          warmup_epochs=1, num_last_epochs=2,
+                          work_dir="work_dirs/coarse_det"),
+        eval=EvalConfig(score_thr=0.01, nms_iou=0.65),
+    )
+    return cfg
+
+
+@register_config("mp_det_res50")
+def mp_det_res50() -> Config:
+    """Stage-2 MP-Det: ResNet-50 + FPN + MPHead on UFP mosaics.
+
+    12-epoch 1x schedule (schedule_1x.py: SGD lr 0.01, steps [8, 11]),
+    OT hook every 2000 iters until epoch 8, emd/beta switch at epoch 2
+    (optimal_transport_hook.py:25-38).
+    """
+    cfg = Config(
+        model=ModelConfig(family="mpdet", depth=50, num_classes=10),
+        data=DataConfig(dataset="visdrone_ufp", img_hw=(1024, 1024),
+                        batch_size=4, mosaic=False, mixup=False),
+        train=TrainConfig(epochs=12, optimizer="mp_sgd", base_lr=0.01,
+                          weight_decay=1e-4, grad_clip=35.0,
+                          num_last_epochs=0,
+                          work_dir="work_dirs/mp_det_res50"),
+        eval=EvalConfig(score_thr=0.01, nms_iou=0.6, max_dets=500),
+    )
+    return cfg
+
+
+@register_config("yolox_s_300e")
+def yolox_s_300e() -> Config:
+    """Stock YOLOX-s 300-epoch recipe (configs/yolox/yolox_s_8x8_300e_coco.py)."""
+    return Config(
+        model=ModelConfig(family="yolox", phi="s", num_classes=10),
+        data=DataConfig(img_hw=(640, 640), batch_size=8),
+        train=TrainConfig(epochs=300, base_lr=0.01, warmup_epochs=5,
+                          num_last_epochs=15,
+                          work_dir="work_dirs/yolox_s_300e"),
+    )
+
+
+@register_config("yolox_tiny_ufp")
+def yolox_tiny_ufp() -> Config:
+    """yolox-drone style UFP trainer (train_ufp.py: 640, Adam+StepLR)."""
+    return Config(
+        model=ModelConfig(family="yolox", phi="tiny", num_classes=10),
+        data=DataConfig(img_hw=(640, 640), batch_size=8),
+        train=TrainConfig(epochs=100, optimizer="adam_step",
+                          base_lr=1e-3, weight_decay=5e-4,
+                          work_dir="work_dirs/yolox_tiny_ufp"),
+    )
+
+
+@register_config("gfl_res50")
+def gfl_res50() -> Config:
+    """Plain GFL baseline (MP-Det ablation)."""
+    return Config(
+        model=ModelConfig(family="gfl", depth=50, num_classes=10),
+        data=DataConfig(img_hw=(1024, 1024), batch_size=4, mosaic=False,
+                        mixup=False),
+        train=TrainConfig(epochs=12, optimizer="mp_sgd", base_lr=0.01,
+                          weight_decay=1e-4, grad_clip=35.0,
+                          num_last_epochs=0,
+                          work_dir="work_dirs/gfl_res50"),
+    )

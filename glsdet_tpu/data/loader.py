@@ -1,0 +1,158 @@
+"""Host-side training/eval pipelines + prefetching loader.
+
+Behavioral reference: the YOLOX train pipeline
+(configs/yolox/yolox_s_8x8_300e_coco.py:28-52 — Mosaic -> RandomAffine ->
+MixUp -> YOLOXHSVRandomAug -> RandomFlip -> Resize -> Pad) wrapped by
+``MultiImageMixDataset``, and ``build_dataloader``
+(mmdet/datasets/builder.py:86 — worker seeding, group sampling).  The
+torch DataLoader worker-process pool becomes a thread pool (numpy/cv2
+release the GIL) feeding fixed-shape batches; the infinite sampler
+analog is a seeded epoch-reshuffled index stream.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Iterator, Optional, Sequence, Tuple
+
+import numpy as np
+
+from glsdet_tpu.data.augment import (
+    hsv_aug,
+    letterbox,
+    mixup,
+    mosaic4,
+    random_affine,
+    random_flip,
+)
+from glsdet_tpu.data.coco import CocoDataset, make_batch, normalize, pad_gts
+
+
+class TrainPipeline:
+    """Mosaic+affine+mixup+hsv+flip -> fixed (H, W) + padded GTs."""
+
+    def __init__(self, dataset: CocoDataset, img_hw: Tuple[int, int],
+                 max_gt: int = 300, mosaic: bool = True,
+                 enable_mixup: bool = True, hsv: bool = True,
+                 flip_prob: float = 0.5):
+        self.ds = dataset
+        self.img_hw = img_hw
+        self.max_gt = max_gt
+        self.mosaic = mosaic
+        self.mixup = enable_mixup
+        self.hsv = hsv
+        self.flip_prob = flip_prob
+
+    def disable_aug(self):
+        """YOLOXModeSwitchHook analog: last-15-epochs plain pipeline."""
+        self.mosaic = False
+        self.mixup = False
+
+    def _load(self, idx: int):
+        rec = self.ds.records[idx]
+        img = self.ds.load_image(rec)
+        return img, rec.boxes.copy(), rec.labels.copy()
+
+    def __call__(self, idx: int, rng: np.random.RandomState) -> dict:
+        n = len(self.ds)
+        if self.mosaic:
+            idxs = [idx] + [rng.randint(n) for _ in range(3)]
+            imgs, bxs, lbs = zip(*[self._load(i) for i in idxs])
+            img, boxes, labels = mosaic4(
+                imgs, bxs, lbs, self.img_hw, rng)
+            img, boxes, labels = random_affine(
+                img, boxes, labels, rng, self.img_hw)
+            if self.mixup and rng.rand() < 0.5 and len(self.ds) > 1:
+                img2, b2, l2 = self._load(rng.randint(n))
+                img2, b2, _, _ = letterbox(img2, b2, self.img_hw)
+                img, boxes, labels = mixup(
+                    img, boxes, labels, img2, b2, l2, rng)
+        else:
+            img, boxes, labels = self._load(idx)
+            img, boxes, _, _ = letterbox(img, boxes, self.img_hw)
+        if self.hsv:
+            img = hsv_aug(img, rng)
+        img, boxes = random_flip(img, boxes, rng, self.flip_prob)
+        gt_boxes, gt_labels, gt_valid = pad_gts(boxes, labels, self.max_gt)
+        return {
+            "images": normalize(img),
+            "gt_boxes": gt_boxes,
+            "gt_labels": gt_labels,
+            "gt_valid": gt_valid,
+        }
+
+
+class EvalPipeline:
+    """Deterministic letterbox -> normalize; keeps undo metadata."""
+
+    def __init__(self, dataset: CocoDataset, img_hw: Tuple[int, int]):
+        self.ds = dataset
+        self.img_hw = img_hw
+
+    def __call__(self, idx: int) -> dict:
+        rec = self.ds.records[idx]
+        img = self.ds.load_image(rec)
+        out, _, scale, (dx, dy) = letterbox(
+            img, np.zeros((0, 4), np.float32), self.img_hw)
+        return {
+            "images": normalize(out),
+            "img_id": np.int64(rec.img_id),
+            "scale": np.float32(scale),
+            "offset": np.array([dx, dy], np.float32),
+            "orig_hw": np.array([rec.height, rec.width], np.int32),
+        }
+
+
+def train_loader(pipeline: TrainPipeline, batch_size: int, seed: int = 0,
+                 num_threads: int = 4,
+                 prefetch: int = 4) -> Iterator[dict]:
+    """Infinite shuffled batch stream with thread-pool prefetch."""
+    n = len(pipeline.ds)
+    q: "queue.Queue" = queue.Queue(maxsize=prefetch)
+    stop = threading.Event()
+
+    def producer():
+        epoch = 0
+        master = np.random.RandomState(seed)
+        while not stop.is_set():
+            order = master.permutation(n)
+            for start in range(0, n - batch_size + 1, batch_size):
+                idxs = order[start:start + batch_size]
+                seeds = master.randint(0, 2 ** 31, size=batch_size)
+                samples = [None] * batch_size
+
+                def work(j, i, s):
+                    samples[j] = pipeline(int(i), np.random.RandomState(s))
+
+                threads = [
+                    threading.Thread(target=work, args=(j, i, s))
+                    for j, (i, s) in enumerate(zip(idxs, seeds))
+                ]
+                for t in threads:
+                    t.start()
+                for t in threads:
+                    t.join()
+                if stop.is_set():
+                    return
+                q.put(make_batch(samples))
+            epoch += 1
+
+    th = threading.Thread(target=producer, daemon=True)
+    th.start()
+    try:
+        while True:
+            yield q.get()
+    finally:
+        stop.set()
+
+
+def eval_loader(pipeline: EvalPipeline, batch_size: int) -> Iterator[dict]:
+    """Sequential fixed-size batches; the tail batch repeats the last
+    sample (consumers dedupe by img_id)."""
+    n = len(pipeline.ds)
+    for start in range(0, n, batch_size):
+        idxs = list(range(start, min(start + batch_size, n)))
+        while len(idxs) < batch_size:
+            idxs.append(idxs[-1])
+        yield make_batch([pipeline(i) for i in idxs])

@@ -1,0 +1,105 @@
+"""Single-stage eval runner: dataset -> jitted forward+NMS -> COCO metrics.
+
+Behavioral reference: ``mmdet/apis/test.py:17`` (single_gpu_test loop) +
+``CocoDataset.evaluate``.  The loop streams fixed-shape letterboxed
+batches through one jitted program; detections are rescaled to original
+coordinates on host and fed to the numpy COCO evaluator
+(maxDets=[10,100,500] per ufpmp_det_eval.py:335).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from glsdet_tpu.data.coco import CocoDataset
+from glsdet_tpu.data.loader import EvalPipeline, eval_loader
+from glsdet_tpu.eval.coco_eval import CocoEvaluator, CocoEvalResult, summarize
+from glsdet_tpu.eval.postprocess import gfl_postprocess, yolox_postprocess
+
+
+def run_eval(
+    dataset: CocoDataset,
+    apply_fn: Callable,
+    family: str,
+    img_hw: Tuple[int, int],
+    num_classes: int,
+    batch_size: int = 8,
+    score_thr: float = 0.01,
+    nms_iou: float = 0.65,
+    max_dets: int = 100,
+    max_images: Optional[int] = None,
+    verbose: bool = True,
+) -> Tuple[CocoEvalResult, dict]:
+    """apply_fn(images) -> head outputs for the given family."""
+
+    if family == "yolox":
+        @jax.jit
+        def forward(images):
+            cls, reg, obj = apply_fn(images)
+            return yolox_postprocess(cls, reg, obj, img_hw,
+                                     score_thr=score_thr, iou_thr=nms_iou,
+                                     max_dets=max_dets)
+    else:
+        @jax.jit
+        def forward(images):
+            cls, reg = apply_fn(images)
+            return gfl_postprocess(cls, reg, img_hw, score_thr=score_thr,
+                                   iou_thr=nms_iou, max_dets=max_dets)
+
+    pipeline = EvalPipeline(dataset, img_hw)
+    dets_by_img: Dict[int, tuple] = {}
+    seen = set()
+    n_done = 0
+    t0 = time.time()
+    for batch in eval_loader(pipeline, batch_size):
+        out = forward(jnp.asarray(batch["images"]))
+        boxes = np.asarray(out["boxes"])
+        scores = np.asarray(out["scores"])
+        labels = np.asarray(out["labels"])
+        valid = np.asarray(out["valid"])
+        for i in range(len(batch["img_id"])):
+            img_id = int(batch["img_id"][i])
+            if img_id in seen:
+                continue
+            seen.add(img_id)
+            v = valid[i]
+            b = boxes[i][v]
+            # undo letterbox
+            dx, dy = batch["offset"][i]
+            s = batch["scale"][i]
+            b = (b - np.array([dx, dy, dx, dy])) / s
+            h0, w0 = batch["orig_hw"][i]
+            b[:, [0, 2]] = b[:, [0, 2]].clip(0, w0)
+            b[:, [1, 3]] = b[:, [1, 3]].clip(0, h0)
+            xywh = np.concatenate([b[:, :2], b[:, 2:] - b[:, :2]], axis=1)
+            dets_by_img[img_id] = (xywh, scores[i][v], labels[i][v])
+            n_done += 1
+        if max_images is not None and n_done >= max_images:
+            break
+    elapsed = time.time() - t0
+
+    gts = {}
+    for rec in dataset.records:
+        if max_images is not None and rec.img_id not in dets_by_img:
+            continue
+        b = rec.boxes
+        gts[rec.img_id] = (
+            np.concatenate([b[:, :2], b[:, 2:] - b[:, :2]], axis=1),
+            rec.labels)
+
+    evaluator = CocoEvaluator(num_classes)
+    result = evaluator.evaluate(gts, dets_by_img)
+    stats = {
+        "images": n_done,
+        "elapsed_s": round(elapsed, 2),
+        "images_per_sec": round(n_done / max(elapsed, 1e-9), 2),
+    }
+    if verbose:
+        print(summarize(result, dataset.class_names))
+        print(stats)
+    return result, stats

@@ -1,0 +1,178 @@
+"""Two-stage UFPMP inference pipeline (the north-star path).
+
+Behavioral reference: ``yolox-ufp/ufpmp_det_eval.py:208-338`` —
+per image: coarse detector on the full frame -> concat per-class boxes ->
+``UnifiedForegroundPacking(scale=1.5)`` -> mosaic assembly -> MP-Det on
+the mosaic -> chip unmapping with IoF>0.9 gating -> per-class NMS@0.6 ->
+COCO-format detections (COCOeval maxDets=[10,100,500]).
+
+TPU-first structure:
+- stage-1 and stage-2 forwards are two jitted programs with static
+  shapes; mosaic sizes are bucketed (SURVEY.md §7 hard parts) so stage-2
+  compiles once per bucket;
+- packing runs on host (microseconds, inherently sequential);
+- mosaic pixel assembly, unmapping, IoF gating and the final NMS are
+  on-device fixed-shape ops.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from glsdet_tpu.data.coco import normalize
+from glsdet_tpu.eval.postprocess import gfl_postprocess, yolox_postprocess
+from glsdet_tpu.ops.nms import NEG_INF, batched_nms
+from glsdet_tpu.ufp.assembly import (
+    assemble_mosaic,
+    regions_to_array,
+    unmap_chip_detections,
+)
+from glsdet_tpu.ufp.packing import unified_foreground_packing
+
+DEFAULT_BUCKETS = (768, 1280, 1792, 2688)
+
+
+def pick_bucket(h: float, w: float, buckets: Sequence[int]) -> int:
+    """Smallest bucket covering (h, w); mosaics beyond the largest bucket
+    are assembled clipped (reference mosaics are bounded at ~2666 wide)."""
+    need = max(h, w)
+    for b in buckets:
+        if need <= b:
+            return b
+    return buckets[-1]
+
+
+@functools.partial(jax.jit, static_argnames=("out_hw",))
+def _assemble_normalize(image, regions, out_hw):
+    canvas = assemble_mosaic(image, regions, out_hw, out_hw)
+    mean = jnp.asarray([123.675, 116.28, 103.53], jnp.float32)
+    std = jnp.asarray([58.395, 57.12, 57.375], jnp.float32)
+    return (canvas - mean) / std
+
+
+@functools.partial(jax.jit, static_argnames=("iou_thr", "max_out"))
+def _unmap_and_nms(det_boxes, det_scores, det_labels, det_valid, regions,
+                   iou_thr: float = 0.6, max_out: int = 500):
+    """Chip unmap + IoF gate + class-wise NMS, fixed shape."""
+    boxes_nr, valid_nr = unmap_chip_detections(det_boxes, det_valid, regions)
+    n, r = valid_nr.shape
+    boxes = boxes_nr.reshape(n * r, 4)
+    valid = valid_nr.reshape(n * r)
+    scores = jnp.where(valid, jnp.repeat(det_scores, r), NEG_INF)
+    labels = jnp.repeat(det_labels, r)
+    keep, _ = batched_nms(boxes, scores, labels, iou_thr)
+    kept = jnp.where(keep, scores, NEG_INF)
+    out_scores, idx = jax.lax.top_k(kept, max_out)
+    out_valid = out_scores > NEG_INF / 2
+    return (boxes[idx], jnp.where(out_valid, out_scores, 0.0),
+            labels[idx], out_valid)
+
+
+class TwoStagePipeline:
+    """End-to-end UFPMP inference: callable(image) -> detections dict."""
+
+    def __init__(self, coarse_apply, mp_apply, coarse_hw: Tuple[int, int],
+                 num_classes: int = 10,
+                 ufp_scale: float = 1.5,
+                 max_regions: int = 32,
+                 mosaic_buckets: Sequence[int] = DEFAULT_BUCKETS,
+                 coarse_score_thr: float = 0.3,
+                 chip_score_thr: float = 0.01,
+                 final_nms_thr: float = 0.6,
+                 max_coarse_dets: int = 200,
+                 max_chip_dets: int = 500):
+        """coarse_apply(images) -> (cls, reg, obj) per-level YOLOX maps;
+        mp_apply(images) -> (cls_scores, bbox_preds) per-level GFL maps.
+        Both already bound to trained variables and jittable."""
+        self.coarse_hw = coarse_hw
+        self.num_classes = num_classes
+        self.ufp_scale = ufp_scale
+        self.max_regions = max_regions
+        self.buckets = tuple(mosaic_buckets)
+        self.coarse_score_thr = coarse_score_thr
+        self.chip_score_thr = chip_score_thr
+        self.final_nms_thr = final_nms_thr
+        self.max_coarse = max_coarse_dets
+        self.max_chip = max_chip_dets
+
+        @jax.jit
+        def _coarse(images):
+            cls, reg, obj = coarse_apply(images)
+            return yolox_postprocess(
+                cls, reg, obj, coarse_hw, score_thr=coarse_score_thr,
+                max_dets=max_coarse_dets)
+
+        self._coarse = _coarse
+
+        @functools.partial(jax.jit, static_argnames=("hw",))
+        def _mp(images, hw):
+            cls, reg = mp_apply(images)
+            return gfl_postprocess(
+                cls, reg, (hw, hw), score_thr=chip_score_thr,
+                max_dets=max_chip_dets)
+
+        self._mp = _mp
+
+    def __call__(self, image: np.ndarray) -> dict:
+        """image: (H, W, 3) uint8/float RGB in original resolution.
+
+        Returns dict(boxes xyxy, scores, labels, valid) in original
+        coordinates (numpy).
+        """
+        import cv2
+
+        h0, w0 = image.shape[:2]
+        ch, cw = self.coarse_hw
+        # stage 1: plain resize (mmdet Resize keep_ratio=False for yolox
+        # test pipeline uses (640,640) fixed)
+        resized = cv2.resize(image, (cw, ch))
+        x = jnp.asarray(normalize(resized)[None])
+        dets = self._coarse(x)
+        boxes = np.asarray(dets["boxes"][0])
+        valid = np.asarray(dets["valid"][0])
+        # rescale coarse boxes to original coords
+        sx, sy = w0 / cw, h0 / ch
+        boxes = boxes * np.array([sx, sy, sx, sy], np.float32)
+        coarse_boxes = boxes[valid]
+
+        # stage 2: UFP pack on host
+        regions, mw, mh = unified_foreground_packing(
+            coarse_boxes.astype(np.float32), self.ufp_scale, (w0, h0))
+        if len(regions) == 0:
+            return {
+                "boxes": np.zeros((0, 4), np.float32),
+                "scores": np.zeros((0,), np.float32),
+                "labels": np.zeros((0,), np.int64),
+            }
+        bucket = pick_bucket(mh, mw, self.buckets)
+        reg_arr = jnp.asarray(regions_to_array(regions, self.max_regions))
+        mosaic = _assemble_normalize(
+            jnp.asarray(image.astype(np.float32)), reg_arr, bucket)
+        mp_dets = self._mp(mosaic[None], bucket)
+
+        fb, fs, fl, fv = _unmap_and_nms(
+            mp_dets["boxes"][0], mp_dets["scores"][0],
+            mp_dets["labels"][0], mp_dets["valid"][0], reg_arr,
+            self.final_nms_thr, self.max_chip)
+        fv = np.asarray(fv)
+        return {
+            "boxes": np.asarray(fb)[fv],
+            "scores": np.asarray(fs)[fv],
+            "labels": np.asarray(fl)[fv],
+        }
+
+    def warmup(self, image_hw: Tuple[int, int]):
+        """Compile all buckets once (synthetic inputs)."""
+        img = np.zeros((*image_hw, 3), np.uint8)
+        self(img)
+        for b in self.buckets:
+            reg = jnp.asarray(
+                regions_to_array([], self.max_regions))
+            mosaic = _assemble_normalize(
+                jnp.asarray(img.astype(np.float32)), reg, b)
+            self._mp(mosaic[None], b)

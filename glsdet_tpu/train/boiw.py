@@ -57,6 +57,7 @@ def update_dictionary(state: BoIWState, key: jax.Array,
     """
     num_slots, num_words, c = state.embedding.shape
     n = features.shape[0]
+    max_step = min(max_step, n)
 
     def per_class(class_idx, carry):
         emb, ptr, key = carry

@@ -1,0 +1,227 @@
+"""Training loop: config -> model/optimizer/loader -> epochs with hooks.
+
+Behavioral reference: ``mmdet/apis/train.py:71`` (train_detector:
+dataloaders -> DP wrap -> optimizer -> EpochBasedRunner -> hooks) and the
+hook set on the GLSDet paths:
+
+- OptimalTransportHook (core/hook/optimal_transport_hook.py:5): every
+  ``ot_interval`` iters while epoch < ot_stop_epoch run ``update_ot``;
+  at ``emd_start_epoch`` flip beta 0->1.
+- YOLOXModeSwitchHook (core/hook/yolox_mode_switch_hook.py:7): last
+  ``num_last_epochs`` epochs disable Mosaic/MixUp and enable L1.
+- CheckInvalidLossHook (core/hook/checkloss_hook.py:7): assert finite
+  loss every 50 iters.
+- ExpMomentumEMAHook — EMA folded into ``apply_updates``.
+- CheckpointHook / EvalHook — orbax checkpoint + COCO eval per epoch.
+
+The runner is deliberately plain python around one jitted step: all hot
+work is in the step; hooks are host-side schedule glue exactly like the
+reference's.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+import time
+from typing import Callable, Iterator, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from glsdet_tpu.config import Config
+from glsdet_tpu.data.coco import CocoDataset
+from glsdet_tpu.data.loader import TrainPipeline, train_loader
+from glsdet_tpu.models import GFLDet, MPDet, YOLOXDetector
+from glsdet_tpu.train import schedules
+from glsdet_tpu.train.boiw import enable_emd_training, init_boiw, update_ot
+from glsdet_tpu.train.state import TrainState
+from glsdet_tpu.train.steps import (
+    make_gfl_train_step,
+    make_mpdet_train_step,
+    make_yolox_train_step,
+)
+
+logger = logging.getLogger("glsdet_tpu")
+
+
+def build_model(cfg: Config, axis_name: Optional[str] = None):
+    import jax.numpy as jnp
+
+    dtype = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[
+        cfg.model.dtype]
+    if cfg.model.family == "yolox":
+        return YOLOXDetector(num_classes=cfg.model.num_classes,
+                             phi=cfg.model.phi, dtype=dtype,
+                             axis_name=axis_name)
+    if cfg.model.family == "mpdet":
+        return MPDet(num_classes=cfg.model.num_classes,
+                     depth=cfg.model.depth,
+                     feat_channels=cfg.model.feat_channels,
+                     proxies_list=cfg.model.proxies_list,
+                     gamma=cfg.model.gamma, dtype=dtype,
+                     axis_name=axis_name)
+    if cfg.model.family == "gfl":
+        return GFLDet(num_classes=cfg.model.num_classes,
+                      depth=cfg.model.depth,
+                      feat_channels=cfg.model.feat_channels,
+                      dtype=dtype, axis_name=axis_name)
+    raise ValueError(cfg.model.family)
+
+
+def build_optimizer(cfg: Config, steps_per_epoch: int):
+    t = cfg.train
+    total = t.epochs * steps_per_epoch
+    if t.optimizer == "yolox_sgd":
+        sched = schedules.yolox_warm_cos(
+            t.base_lr, t.warmup_epochs * steps_per_epoch, total,
+            t.num_last_epochs * steps_per_epoch, t.min_lr_ratio)
+        return schedules.yolox_sgd(sched, weight_decay=t.weight_decay)
+    if t.optimizer == "mp_sgd":
+        sched = schedules.schedule_1x(t.base_lr, steps_per_epoch)
+        return schedules.mp_det_sgd(
+            sched, weight_decay=t.weight_decay,
+            grad_clip=t.grad_clip or 35.0)
+    if t.optimizer == "adam_step":
+        import optax
+
+        sched = schedules.epoch_step_decay(t.base_lr, steps_per_epoch)
+        return optax.chain(
+            optax.add_decayed_weights(t.weight_decay),
+            optax.adam(sched))
+    raise ValueError(t.optimizer)
+
+
+def save_checkpoint(work_dir: str, state: TrainState, epoch: int):
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(os.path.join(work_dir, f"epoch_{epoch}"))
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(path, jax.tree.map(np.asarray, state), force=True)
+    ckptr.wait_until_finished()
+    return path
+
+
+def restore_checkpoint(path: str, target: TrainState) -> TrainState:
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    return ckptr.restore(os.path.abspath(path), target)
+
+
+def train(cfg: Config, dataset: Optional[CocoDataset] = None,
+          max_steps: Optional[int] = None,
+          eval_fn: Optional[Callable] = None) -> TrainState:
+    """Run the full training schedule. ``max_steps`` truncates for tests.
+
+    eval_fn(state, epoch) is the EvalHook analog, called per epoch.
+    """
+    os.makedirs(cfg.train.work_dir, exist_ok=True)
+    log_path = os.path.join(cfg.train.work_dir, "train.log.json")
+    rng = jax.random.PRNGKey(cfg.train.seed)
+
+    if dataset is None:
+        dataset = CocoDataset(cfg.data.ann_file, cfg.data.img_root,
+                              filter_empty=True)
+    pipeline = TrainPipeline(
+        dataset, cfg.data.img_hw, cfg.data.max_gt,
+        mosaic=cfg.data.mosaic, enable_mixup=cfg.data.mixup,
+        hsv=cfg.data.hsv, flip_prob=cfg.data.flip_prob)
+    steps_per_epoch = max(len(dataset) // cfg.data.batch_size, 1)
+
+    model = build_model(cfg)
+    tx = build_optimizer(cfg, steps_per_epoch)
+
+    sample = jnp.zeros((1, *cfg.data.img_hw, 3), jnp.float32)
+    variables = model.init(rng, sample, train=False)
+    boiw = None
+    if cfg.model.family == "mpdet":
+        boiw = init_boiw(rng, cfg.model.num_classes, cfg.model.num_words,
+                         cfg.model.feat_channels, cfg.model.proxies_list)
+    state = TrainState.create(variables, tx, rng, boiw=boiw)
+
+    if cfg.train.resume:
+        state = restore_checkpoint(cfg.train.resume, state)
+        logger.info("resumed from %s at step %d", cfg.train.resume,
+                    int(state.step))
+
+    if cfg.model.family == "mpdet":
+        step_fn = jax.jit(make_mpdet_train_step(
+            model, tx, cfg.data.img_hw, cfg.model.num_classes,
+            cfg.model.proxies_list, reg_max=cfg.model.reg_max,
+            gamma=cfg.model.gamma))
+        step_fn_l1 = step_fn
+    elif cfg.model.family == "gfl":
+        step_fn = jax.jit(make_gfl_train_step(
+            model, tx, cfg.data.img_hw, cfg.model.num_classes,
+            reg_max=cfg.model.reg_max))
+        step_fn_l1 = step_fn
+    else:
+        step_fn = jax.jit(make_yolox_train_step(
+            model, tx, cfg.data.img_hw, use_l1=False))
+        step_fn_l1 = jax.jit(make_yolox_train_step(
+            model, tx, cfg.data.img_hw, use_l1=True))
+
+    loader = train_loader(pipeline, cfg.data.batch_size,
+                          seed=cfg.train.seed,
+                          num_threads=cfg.data.num_workers)
+
+    start_epoch = int(state.step) // steps_per_epoch
+    global_step = int(state.step)
+    t_iter = time.time()
+    ot_rng = np.random.RandomState(cfg.train.seed + 1)
+
+    for epoch in range(start_epoch, cfg.train.epochs):
+        last_phase = epoch >= cfg.train.epochs - cfg.train.num_last_epochs
+        if last_phase:
+            pipeline.disable_aug()
+        fn = step_fn_l1 if last_phase else step_fn
+
+        # OT hook: beta switch at emd_start_epoch (mpdet only)
+        if (cfg.model.family == "mpdet"
+                and epoch == cfg.train.emd_start_epoch
+                and state.boiw is not None):
+            state = state.replace(boiw=enable_emd_training(state.boiw))
+            logger.info("epoch %d: enabled emd training (beta=1)", epoch)
+
+        for it in range(steps_per_epoch):
+            if max_steps is not None and global_step >= max_steps:
+                return state
+            batch = next(loader)
+            batch = {k: jnp.asarray(v) for k, v in batch.items()}
+            state, metrics = fn(state, batch)
+            global_step += 1
+
+            # OT hook: update_ot every ot_interval while epoch < stop
+            if (cfg.model.family == "mpdet"
+                    and epoch < cfg.train.ot_stop_epoch
+                    and global_step % cfg.train.ot_interval == 0):
+                key = jax.random.PRNGKey(int(ot_rng.randint(2 ** 31)))
+                state = state.replace(
+                    boiw=update_ot(state.boiw, key,
+                                   cfg.model.proxies_list))
+                logger.info("step %d: ran update_ot", global_step)
+
+            if global_step % cfg.train.log_interval == 0:
+                vals = {k: float(v) for k, v in metrics.items()}
+                # CheckInvalidLossHook analog
+                if not np.isfinite(vals["loss"]):
+                    raise FloatingPointError(
+                        f"non-finite loss at step {global_step}: {vals}")
+                dt = (time.time() - t_iter) / cfg.train.log_interval
+                t_iter = time.time()
+                entry = {"mode": "train", "epoch": epoch + 1,
+                         "iter": it + 1, "step": global_step,
+                         "time": round(dt, 4), **vals}
+                logger.info("%s", entry)
+                with open(log_path, "a") as f:
+                    f.write(json.dumps(entry) + "\n")
+
+        if (epoch + 1) % cfg.train.ckpt_interval == 0:
+            save_checkpoint(cfg.train.work_dir, state, epoch + 1)
+        if eval_fn is not None:
+            eval_fn(state, epoch + 1)
+
+    return state

@@ -1,0 +1,47 @@
+#!/usr/bin/env python
+"""Dataset converters CLI (VisDrone/UAVDT -> COCO).
+
+Behavioral reference: ``UFPMP-Det-Tools/build_dataset/VisDrone2COCO.py``
+and ``UAVDT2COCO.py`` (with the reference's parse/shape bugs fixed,
+SURVEY.md §0).
+
+    python tools/convert_datasets.py visdrone <root> <out.json>
+    python tools/convert_datasets.py uavdt <root> <out.json> --split test
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import argparse
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("dataset", choices=["visdrone", "uavdt"])
+    ap.add_argument("root")
+    ap.add_argument("out_json")
+    ap.add_argument("--split", default="train", choices=["train", "test"])
+    ap.add_argument("--image-dir", default="images")
+    ap.add_argument("--anno-dir", default="annotations")
+    args = ap.parse_args()
+
+    if args.dataset == "visdrone":
+        from glsdet_tpu.data.visdrone import visdrone_to_coco
+
+        coco = visdrone_to_coco(args.root, args.out_json,
+                                image_dir=args.image_dir,
+                                anno_dir=args.anno_dir)
+    else:
+        from glsdet_tpu.data.uavdt import uavdt_to_coco
+
+        coco = uavdt_to_coco(args.root, args.out_json, split=args.split)
+    print(f"{len(coco['images'])} images, "
+          f"{len(coco['annotations'])} annotations -> {args.out_json}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,63 @@
+#!/usr/bin/env python
+"""Single-model eval CLI (mmdet tools/test.py analog).
+
+    python tools/test.py coarse_det --ckpt work_dirs/coarse_det/epoch_12 \
+        --ann data/val.json --img-root data/images
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import argparse
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("config")
+    ap.add_argument("--ckpt", required=False, help="orbax checkpoint dir")
+    ap.add_argument("--ann", required=True)
+    ap.add_argument("--img-root", required=True)
+    ap.add_argument("--max-images", type=int)
+    ap.add_argument("--use-ema", action="store_true",
+                    help="evaluate EMA weights (reference eval default)")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from glsdet_tpu.config import get_config
+    from glsdet_tpu.data.coco import CocoDataset
+    from glsdet_tpu.eval.runner import run_eval
+    from glsdet_tpu.train.loop import build_model, build_optimizer, restore_checkpoint
+    from glsdet_tpu.train.state import TrainState
+
+    cfg = get_config(args.config)
+    dataset = CocoDataset(args.ann, args.img_root)
+    model = build_model(cfg)
+    rng = jax.random.PRNGKey(0)
+    sample = jnp.zeros((1, *cfg.data.img_hw, 3), jnp.float32)
+    variables = model.init(rng, sample, train=False)
+
+    if args.ckpt:
+        tx = build_optimizer(cfg, 1000)
+        state = TrainState.create(variables, tx, rng)
+        state = restore_checkpoint(args.ckpt, state)
+        params = state.ema_params if args.use_ema else state.params
+        variables = {"params": params, "batch_stats": state.batch_stats}
+
+    family = "yolox" if cfg.model.family == "yolox" else "gfl"
+    run_eval(
+        dataset,
+        lambda images: model.apply(variables, images, train=False),
+        family, cfg.data.img_hw, cfg.model.num_classes,
+        batch_size=cfg.data.batch_size,
+        score_thr=cfg.eval.score_thr, nms_iou=cfg.eval.nms_iou,
+        max_dets=cfg.eval.max_dets, max_images=args.max_images)
+
+
+if __name__ == "__main__":
+    main()

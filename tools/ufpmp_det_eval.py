@@ -1,0 +1,123 @@
+#!/usr/bin/env python
+"""Two-stage UFPMP eval CLI.
+
+Behavioral reference: ``yolox-ufp/ufpmp_det_eval.py:196-205`` — six
+positional arguments (coarse config, coarse ckpt, mp config, mp ckpt,
+dataset annotation json, image root); runs the end-to-end pipeline over
+the val set and prints COCO metrics with maxDets=[10,100,500].
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("first_cfg")
+    ap.add_argument("first_ckpt")
+    ap.add_argument("second_cfg")
+    ap.add_argument("second_ckpt")
+    ap.add_argument("dataset_anno")
+    ap.add_argument("img_root")
+    ap.add_argument("--max-images", type=int)
+    ap.add_argument("--out-json", help="write COCO-format detections")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from glsdet_tpu.config import get_config
+    from glsdet_tpu.data.coco import CocoDataset
+    from glsdet_tpu.eval.coco_eval import CocoEvaluator, summarize
+    from glsdet_tpu.eval.two_stage import TwoStagePipeline
+    from glsdet_tpu.train.loop import build_model, build_optimizer, restore_checkpoint
+    from glsdet_tpu.train.state import TrainState
+
+    rng = jax.random.PRNGKey(0)
+
+    def load(cfg_name, ckpt):
+        cfg = get_config(cfg_name)
+        model = build_model(cfg)
+        sample = jnp.zeros((1, *cfg.data.img_hw, 3), jnp.float32)
+        variables = model.init(rng, sample, train=False)
+        if ckpt and ckpt != "none":
+            tx = build_optimizer(cfg, 1000)
+            state = TrainState.create(variables, tx, rng)
+            state = restore_checkpoint(ckpt, state)
+            variables = {"params": state.ema_params,
+                         "batch_stats": state.batch_stats}
+        return cfg, model, variables
+
+    c_cfg, c_model, c_vars = load(args.first_cfg, args.first_ckpt)
+    m_cfg, m_model, m_vars = load(args.second_cfg, args.second_ckpt)
+
+    pipe = TwoStagePipeline(
+        lambda im: c_model.apply(c_vars, im, train=False),
+        lambda im: m_model.apply(m_vars, im, train=False),
+        c_cfg.data.img_hw,
+        num_classes=c_cfg.model.num_classes,
+        ufp_scale=c_cfg.eval.ufp_scale,
+        mosaic_buckets=c_cfg.eval.mosaic_buckets,
+        max_regions=c_cfg.eval.max_regions,
+        coarse_score_thr=c_cfg.eval.coarse_score_thr,
+        final_nms_thr=c_cfg.eval.chip_nms_iou)
+
+    dataset = CocoDataset(args.dataset_anno, args.img_root)
+    dets_by_img = {}
+    coco_dets = []
+    t0 = time.time()
+    n = 0
+    for rec in dataset.records:
+        if args.max_images and n >= args.max_images:
+            break
+        img = dataset.load_image(rec)
+        out = pipe(img)
+        b = out["boxes"]
+        xywh = np.concatenate([b[:, :2], b[:, 2:] - b[:, :2]], axis=1) \
+            if len(b) else np.zeros((0, 4))
+        dets_by_img[rec.img_id] = (xywh, out["scores"], out["labels"])
+        for box, s, l in zip(xywh, out["scores"], out["labels"]):
+            coco_dets.append({
+                "image_id": rec.img_id,
+                "category_id": dataset.cat_ids[int(l)],
+                "bbox": [float(v) for v in box],
+                "score": float(s),
+            })
+        n += 1
+    elapsed = time.time() - t0
+    print(f"{n} images in {elapsed:.1f}s "
+          f"({n / max(elapsed, 1e-9):.2f} img/s)")
+
+    gts = {}
+    for rec in dataset.records:
+        if rec.img_id not in dets_by_img:
+            continue
+        b = rec.boxes
+        gts[rec.img_id] = (
+            np.concatenate([b[:, :2], b[:, 2:] - b[:, :2]], axis=1),
+            rec.labels)
+    res = CocoEvaluator(dataset_num_classes(dataset)).evaluate(
+        gts, dets_by_img)
+    print(summarize(res, dataset.class_names))
+
+    if args.out_json:
+        with open(args.out_json, "w") as f:
+            json.dump(coco_dets, f)
+
+
+def dataset_num_classes(ds):
+    return len(ds.cat_ids)
+
+
+if __name__ == "__main__":
+    main()
