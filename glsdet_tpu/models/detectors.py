@@ -33,15 +33,32 @@ GFL_STRIDES = (8, 16, 32, 64, 128)
 
 
 class YOLOXDetector(nn.Module):
-    """YOLOX coarse detector. ``phi`` selects width/depth."""
+    """YOLOX coarse detector. ``phi`` selects width/depth.
+
+    ``variant`` enables the yolox-drone experimental attention modules
+    (SURVEY.md §2.3) as config-selectable plugins:
+      - "lsk":  LSK attention after each backbone stage (darknet_lsk.py)
+      - "se":   SEBlock on each neck output
+      - "mscam": MS-CAM gate on each neck output
+      - "nonlocal": patch non-local on each neck output
+      - "evc":  EVC (CFP) block on the deepest backbone feature
+      - "fg_fpn": FeatureGroupFPN re-mix after the neck
+    """
 
     num_classes: int = 10
     phi: str = "s"
+    variant: str = ""
     dtype: Any = jnp.float32
     axis_name: Optional[str] = None
 
     @nn.compact
     def __call__(self, images, *, train: bool = False):
+        from glsdet_tpu.models.variants.attention import (
+            MSCAM, PatchNonLocal, SEBlock)
+        from glsdet_tpu.models.variants.cfp import EVCBlock
+        from glsdet_tpu.models.variants.lsk import LSKAttention
+        from glsdet_tpu.models.variants.necks import FeatureGroupFPN
+
         depth_mult, width_mult, depthwise = PHI_TABLE[self.phi]
         chans = scaled_channels(width_mult)
         feats = CSPDarknet(
@@ -49,12 +66,38 @@ class YOLOXDetector(nn.Module):
             depthwise=depthwise, dtype=self.dtype,
             axis_name=self.axis_name, name="backbone",
         )(images, train=train)
+        if self.variant == "lsk":
+            feats = tuple(
+                LSKAttention(dtype=self.dtype, name=f"lsk{i}")(f)
+                for i, f in enumerate(feats))
+        elif self.variant == "evc":
+            feats = (*feats[:-1], EVCBlock(
+                dtype=self.dtype, axis_name=self.axis_name,
+                name="evc")(feats[-1], train=train))
         feats = YOLOXPAFPN(
             channels=chans[2:5],
             num_csp_blocks=scaled_depths(depth_mult)[0],
             depthwise=depthwise, dtype=self.dtype,
             axis_name=self.axis_name, name="neck",
         )(feats, train=train)
+        if self.variant == "se":
+            feats = tuple(
+                SEBlock(dtype=self.dtype, name=f"se{i}")(f)
+                for i, f in enumerate(feats))
+        elif self.variant == "mscam":
+            feats = tuple(
+                MSCAM(dtype=self.dtype, axis_name=self.axis_name,
+                      name=f"mscam{i}")(f, train=train)
+                for i, f in enumerate(feats))
+        elif self.variant == "nonlocal":
+            feats = tuple(
+                PatchNonLocal(patch=4, dtype=self.dtype,
+                              name=f"nl{i}")(f)
+                for i, f in enumerate(feats))
+        elif self.variant == "fg_fpn":
+            feats = FeatureGroupFPN(
+                dtype=self.dtype, axis_name=self.axis_name,
+                name="fg_fpn")(feats, train=train)
         return YOLOXHead(
             num_classes=self.num_classes,
             feat_channels=chans[2],
