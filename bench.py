@@ -50,11 +50,12 @@ def main():
     log("mp init done")
 
     pipe = TwoStagePipeline(
-        lambda images: coarse.apply(cvars, images, train=False),
-        lambda images: mp.apply(mvars, images, train=False),
+        lambda v, images: coarse.apply(v, images, train=False),
+        lambda v, images: mp.apply(v, images, train=False),
         coarse_hw,
         mosaic_buckets=(1280,),
         coarse_score_thr=0.05,
+        coarse_vars=cvars, mp_vars=mvars,
     )
 
     # synthetic drone frames with blocky "objects" so the coarse stage

@@ -34,22 +34,30 @@ def run_eval(
     max_dets: int = 100,
     max_images: Optional[int] = None,
     verbose: bool = True,
+    variables=None,
 ) -> Tuple[CocoEvalResult, dict]:
-    """apply_fn(images) -> head outputs for the given family."""
+    """apply_fn(variables, images) -> head outputs (pass ``variables``
+    so weights stay jit arguments, not baked HLO constants); legacy
+    apply_fn(images) accepted when ``variables`` is None."""
 
     if family == "yolox":
         @jax.jit
-        def forward(images):
-            cls, reg, obj = apply_fn(images)
+        def _fwd(v, images):
+            out = apply_fn(v, images) if v is not None else apply_fn(images)
+            cls, reg, obj = out
             return yolox_postprocess(cls, reg, obj, img_hw,
                                      score_thr=score_thr, iou_thr=nms_iou,
                                      max_dets=max_dets)
     else:
         @jax.jit
-        def forward(images):
-            cls, reg = apply_fn(images)
+        def _fwd(v, images):
+            out = apply_fn(v, images) if v is not None else apply_fn(images)
+            cls, reg = out
             return gfl_postprocess(cls, reg, img_hw, score_thr=score_thr,
                                    iou_thr=nms_iou, max_dets=max_dets)
+
+    def forward(images):
+        return _fwd(variables, images)
 
     pipeline = EvalPipeline(dataset, img_hw)
     dets_by_img: Dict[int, tuple] = {}

@@ -30,7 +30,7 @@ from glsdet_tpu.ops.nms import NEG_INF, batched_nms
 from glsdet_tpu.ufp.assembly import (
     assemble_mosaic,
     regions_to_array,
-    unmap_chip_detections,
+    unmap_chip_detections_argmax,
 )
 from glsdet_tpu.ufp.packing import unified_foreground_packing
 
@@ -59,12 +59,10 @@ def _assemble_normalize(image, regions, out_hw):
 def _unmap_and_nms(det_boxes, det_scores, det_labels, det_valid, regions,
                    iou_thr: float = 0.6, max_out: int = 500):
     """Chip unmap + IoF gate + class-wise NMS, fixed shape."""
-    boxes_nr, valid_nr = unmap_chip_detections(det_boxes, det_valid, regions)
-    n, r = valid_nr.shape
-    boxes = boxes_nr.reshape(n * r, 4)
-    valid = valid_nr.reshape(n * r)
-    scores = jnp.where(valid, jnp.repeat(det_scores, r), NEG_INF)
-    labels = jnp.repeat(det_labels, r)
+    boxes, valid = unmap_chip_detections_argmax(
+        det_boxes, det_valid, regions)
+    scores = jnp.where(valid, det_scores, NEG_INF)
+    labels = det_labels
     keep, _ = batched_nms(boxes, scores, labels, iou_thr)
     kept = jnp.where(keep, scores, NEG_INF)
     out_scores, idx = jax.lax.top_k(kept, max_out)
@@ -85,10 +83,17 @@ class TwoStagePipeline:
                  chip_score_thr: float = 0.01,
                  final_nms_thr: float = 0.6,
                  max_coarse_dets: int = 200,
-                 max_chip_dets: int = 500):
-        """coarse_apply(images) -> (cls, reg, obj) per-level YOLOX maps;
-        mp_apply(images) -> (cls_scores, bbox_preds) per-level GFL maps.
-        Both already bound to trained variables and jittable."""
+                 max_chip_dets: int = 500,
+                 coarse_vars=None, mp_vars=None):
+        """Two call conventions:
+
+        - coarse_apply(variables, images) with ``coarse_vars`` given
+          (preferred — weights stay jit *arguments*; closing over them
+          would bake ~30M params into the HLO as literal constants and
+          stall XLA constant folding), or
+        - coarse_apply(images) already bound, with ``coarse_vars=None``
+          (weights become constants — fine only for tiny test models).
+        """
         self.coarse_hw = coarse_hw
         self.num_classes = num_classes
         self.ufp_scale = ufp_scale
@@ -99,24 +104,30 @@ class TwoStagePipeline:
         self.final_nms_thr = final_nms_thr
         self.max_coarse = max_coarse_dets
         self.max_chip = max_chip_dets
+        self._cvars = coarse_vars
+        self._mvars = mp_vars
 
         @jax.jit
-        def _coarse(images):
-            cls, reg, obj = coarse_apply(images)
+        def _coarse(variables, images):
+            out = (coarse_apply(variables, images)
+                   if variables is not None else coarse_apply(images))
+            cls, reg, obj = out
             return yolox_postprocess(
                 cls, reg, obj, coarse_hw, score_thr=coarse_score_thr,
                 max_dets=max_coarse_dets)
 
-        self._coarse = _coarse
+        self._coarse = lambda images: _coarse(self._cvars, images)
 
         @functools.partial(jax.jit, static_argnames=("hw",))
-        def _mp(images, hw):
-            cls, reg = mp_apply(images)
+        def _mp_jit(variables, images, hw):
+            out = (mp_apply(variables, images)
+                   if variables is not None else mp_apply(images))
+            cls, reg = out
             return gfl_postprocess(
                 cls, reg, (hw, hw), score_thr=chip_score_thr,
                 max_dets=max_chip_dets)
 
-        self._mp = _mp
+        self._mp = lambda images, hw: _mp_jit(self._mvars, images, hw)
 
     def __call__(self, image: np.ndarray) -> dict:
         """image: (H, W, 3) uint8/float RGB in original resolution.

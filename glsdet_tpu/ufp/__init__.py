@@ -5,7 +5,8 @@ from glsdet_tpu.ufp.packing import (
     strip_pack,
     unified_foreground_packing,
 )
-from glsdet_tpu.ufp.assembly import assemble_mosaic, unmap_chip_detections
+from glsdet_tpu.ufp.assembly import (assemble_mosaic, unmap_chip_detections,
+                                      unmap_chip_detections_argmax)
 
 __all__ = [
     "Region",
@@ -15,4 +16,5 @@ __all__ = [
     "unified_foreground_packing",
     "assemble_mosaic",
     "unmap_chip_detections",
+    "unmap_chip_detections_argmax",
 ]

@@ -145,3 +145,36 @@ def unmap_chip_detections(det_boxes: jnp.ndarray, det_valid: jnp.ndarray,
     y2 = y1 + (det_boxes[:, None, 3] - det_boxes[:, None, 1]) / f
     boxes = jnp.stack([x1, y1, x2, y2], axis=-1)       # (N, R, 4)
     return boxes, take
+
+
+def unmap_chip_detections_argmax(det_boxes: jnp.ndarray,
+                                 det_valid: jnp.ndarray,
+                                 regions: jnp.ndarray,
+                                 iof_threshold: float = 0.9):
+    """Single-chip unmap: each detection transfers through its best-IoF
+    chip only.
+
+    Chips are disjoint rectangles in mosaic space, so IoF > 0.9 can hold
+    for at most one chip — the reference's duplicate-per-matching-chip
+    loop (ufpmp_det_eval.py:282-296) emits at most one copy in practice.
+    Collapsing the (N, R) expansion to an argmax keeps the downstream NMS
+    at N candidates instead of N*R (the N*R form made a 16k-candidate
+    NMS out of 500 detections — a 1GB IoU matrix).
+
+    Returns boxes (N, 4) in original coords and valid (N,) bool.
+    """
+    chips = chip_boxes_from_regions(regions)           # (R, 4)
+    live = regions[:, 6] > 0
+    iof = pairwise_iof(det_boxes, chips)               # (N, R)
+    iof = jnp.where(live[None, :], iof, -1.0)
+    best = jnp.argmax(iof, axis=1)                     # (N,)
+    best_iof = jnp.max(iof, axis=1)
+    valid = (best_iof > iof_threshold) & det_valid
+
+    r = regions[best]                                  # (N, 7)
+    f = jnp.maximum(r[:, 6], 1.0)
+    x1 = (det_boxes[:, 0] - r[:, 4]) / f + r[:, 0]
+    y1 = (det_boxes[:, 1] - r[:, 5]) / f + r[:, 1]
+    x2 = x1 + (det_boxes[:, 2] - det_boxes[:, 0]) / f
+    y2 = y1 + (det_boxes[:, 3] - det_boxes[:, 1]) / f
+    return jnp.stack([x1, y1, x2, y2], axis=-1), valid

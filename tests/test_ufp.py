@@ -158,3 +158,23 @@ def test_regions_roundtrip_and_chip_boxes():
     np.testing.assert_allclose(arr[0], [1, 2, 10, 5, 3, 4, 2])  # floored
     chips = np.asarray(chip_boxes_from_regions(jnp.asarray(arr)))
     np.testing.assert_allclose(chips[0], [3, 4, 3 + 20, 4 + 10])
+
+
+def test_unmap_argmax_matches_expanded():
+    from glsdet_tpu.ufp.assembly import unmap_chip_detections_argmax
+
+    regions = np.zeros((3, 7), np.float32)
+    regions[0] = [100, 200, 50, 40, 0, 0, 2]
+    regions[1] = [300, 300, 30, 30, 120, 0, 1]
+    det = jnp.asarray([[10.0, 10, 30, 30],
+                       [125.0, 5, 145, 25],
+                       [90.0, 70, 130, 85]])
+    valid = jnp.asarray([True, True, True])
+    boxes, keep = unmap_chip_detections_argmax(det, valid,
+                                               jnp.asarray(regions))
+    keep = np.asarray(keep)
+    assert keep.tolist() == [True, True, False]
+    np.testing.assert_allclose(np.asarray(boxes)[0],
+                               [105, 205, 115, 215], atol=1e-5)
+    np.testing.assert_allclose(np.asarray(boxes)[1],
+                               [305, 305, 325, 325], atol=1e-5)

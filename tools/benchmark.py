@@ -42,16 +42,19 @@ def main():
 
     if cfg.model.family == "yolox":
         @jax.jit
-        def forward(images):
-            cls, reg, obj = model.apply(variables, images, train=False)
+        def _fwd(v, images):
+            cls, reg, obj = model.apply(v, images, train=False)
             return yolox_postprocess(cls, reg, obj, cfg.data.img_hw,
                                      max_dets=cfg.eval.max_dets)
     else:
         @jax.jit
-        def forward(images):
-            cls, reg = model.apply(variables, images, train=False)
+        def _fwd(v, images):
+            cls, reg = model.apply(v, images, train=False)
             return gfl_postprocess(cls, reg, cfg.data.img_hw,
                                    max_dets=cfg.eval.max_dets)
+
+    def forward(images):
+        return _fwd(variables, images)
 
     for _ in range(args.warmup):
         jax.block_until_ready(forward(x))

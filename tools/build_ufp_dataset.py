@@ -59,11 +59,14 @@ def main():
                      "batch_stats": state.batch_stats}
 
     @jax.jit
-    def forward(images):
-        cls, reg, obj = model.apply(variables, images, train=False)
+    def _fwd(v, images):
+        cls, reg, obj = model.apply(v, images, train=False)
         return yolox_postprocess(cls, reg, obj, cfg.data.img_hw,
                                  score_thr=cfg.eval.coarse_score_thr,
                                  max_dets=200)
+
+    def forward(images):
+        return _fwd(variables, images)
 
     ds = CocoDataset(args.ann_file, args.img_root)
     img_dir = os.path.join(args.out_dir, "images")

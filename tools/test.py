@@ -52,11 +52,12 @@ def main():
     family = "yolox" if cfg.model.family == "yolox" else "gfl"
     run_eval(
         dataset,
-        lambda images: model.apply(variables, images, train=False),
+        lambda v, images: model.apply(v, images, train=False),
         family, cfg.data.img_hw, cfg.model.num_classes,
         batch_size=cfg.data.batch_size,
         score_thr=cfg.eval.score_thr, nms_iou=cfg.eval.nms_iou,
-        max_dets=cfg.eval.max_dets, max_images=args.max_images)
+        max_dets=cfg.eval.max_dets, max_images=args.max_images,
+        variables=variables)
 
 
 if __name__ == "__main__":

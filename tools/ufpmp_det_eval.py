@@ -62,9 +62,10 @@ def main():
     m_cfg, m_model, m_vars = load(args.second_cfg, args.second_ckpt)
 
     pipe = TwoStagePipeline(
-        lambda im: c_model.apply(c_vars, im, train=False),
-        lambda im: m_model.apply(m_vars, im, train=False),
+        lambda v, im: c_model.apply(v, im, train=False),
+        lambda v, im: m_model.apply(v, im, train=False),
         c_cfg.data.img_hw,
+        coarse_vars=c_vars, mp_vars=m_vars,
         num_classes=c_cfg.model.num_classes,
         ufp_scale=c_cfg.eval.ufp_scale,
         mosaic_buckets=c_cfg.eval.mosaic_buckets,
