@@ -42,11 +42,16 @@ def main():
     # init must be jitted: eager init dispatches hundreds of tiny ops,
     # each a round-trip on a remote-tunnel TPU.
     cvars = jax.jit(lambda r, x: coarse.init(r, x, train=False))(rng, cx)
+    jax.block_until_ready(cvars)
     log("coarse init done")
 
+    # init at a small spatial size: the model is fully convolutional so
+    # param shapes are resolution-independent, and a 1280^2 init program
+    # is minutes of dead time on a remote-tunnel TPU.
     mp = MPDet(num_classes=10, depth=50, dtype=dtype)
-    mx = jnp.zeros((1, 1280, 1280, 3), jnp.float32)
+    mx = jnp.zeros((1, 256, 256, 3), jnp.float32)
     mvars = jax.jit(lambda r, x: mp.init(r, x, train=False))(rng, mx)
+    jax.block_until_ready(mvars)
     log("mp init done")
 
     pipe = TwoStagePipeline(

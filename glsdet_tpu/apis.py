@@ -1,0 +1,155 @@
+"""High-level inference APIs — the mmdet ``apis`` + yolox-drone ``YOLO``
+facade analogs.
+
+Behavioral references:
+- ``mmdet/apis/inference.py:17,89`` (init_detector / inference_detector).
+- ``yolox-drone/yolo.py:19`` (YOLO predictor: detect_image, get_FPS,
+  get_map_txt writing ``detection-results/<id>.txt`` lines
+  ``<class_name> <conf> <x1> <y1> <x2> <y2>``).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Optional, Sequence, Tuple
+
+import numpy as np
+
+
+def init_detector(config_name: str, checkpoint: Optional[str] = None,
+                  use_ema: bool = True):
+    """Build a model from a named config + optional orbax checkpoint.
+
+    Returns (cfg, model, variables)."""
+    import jax
+    import jax.numpy as jnp
+
+    from glsdet_tpu.config import get_config
+    from glsdet_tpu.train.loop import (build_model, build_optimizer,
+                                       restore_checkpoint)
+    from glsdet_tpu.train.state import TrainState
+
+    cfg = get_config(config_name)
+    model = build_model(cfg)
+    rng = jax.random.PRNGKey(0)
+    x = jnp.zeros((1, *cfg.data.img_hw, 3), jnp.float32)
+    variables = jax.jit(lambda r, x: model.init(r, x, train=False))(rng, x)
+    if checkpoint:
+        tx = build_optimizer(cfg, 1000)
+        state = TrainState.create(variables, tx, rng)
+        state = restore_checkpoint(checkpoint, state)
+        params = state.ema_params if use_ema else state.params
+        variables = {"params": params, "batch_stats": state.batch_stats}
+    return cfg, model, variables
+
+
+class Detector:
+    """Single-model predictor facade (yolo.py:19 YOLO class analog)."""
+
+    def __init__(self, config_name: str, checkpoint: Optional[str] = None,
+                 class_names: Optional[Sequence[str]] = None,
+                 score_thr: Optional[float] = None,
+                 use_ema: bool = True):
+        import jax
+
+        from glsdet_tpu.data.visdrone import VISDRONE_CLASSES
+        from glsdet_tpu.eval.postprocess import (gfl_postprocess,
+                                                 yolox_postprocess)
+
+        cfg, model, variables = init_detector(config_name, checkpoint,
+                                              use_ema)
+        self.cfg = cfg
+        self.class_names = list(class_names or VISDRONE_CLASSES)
+        self.score_thr = (score_thr if score_thr is not None
+                          else cfg.eval.score_thr)
+        img_hw = cfg.data.img_hw
+        family = cfg.model.family
+
+        if family == "yolox":
+            def _fwd(v, images):
+                cls, reg, obj = model.apply(v, images, train=False)
+                return yolox_postprocess(
+                    cls, reg, obj, img_hw, score_thr=self.score_thr,
+                    iou_thr=cfg.eval.nms_iou, max_dets=cfg.eval.max_dets)
+        else:
+            def _fwd(v, images):
+                cls, reg = model.apply(v, images, train=False)
+                return gfl_postprocess(
+                    cls, reg, img_hw, score_thr=self.score_thr,
+                    iou_thr=cfg.eval.nms_iou, max_dets=cfg.eval.max_dets)
+
+        self._fwd = jax.jit(_fwd)
+        self._variables = variables
+
+    def detect(self, image: np.ndarray) -> dict:
+        """image: (H, W, 3) RGB uint8 -> detections in image coords."""
+        import cv2
+        import jax.numpy as jnp
+
+        from glsdet_tpu.data.coco import normalize
+
+        h0, w0 = image.shape[:2]
+        h, w = self.cfg.data.img_hw
+        resized = cv2.resize(image, (w, h))
+        out = self._fwd(self._variables,
+                        jnp.asarray(normalize(resized)[None]))
+        valid = np.asarray(out["valid"][0])
+        boxes = np.asarray(out["boxes"][0])[valid]
+        boxes *= np.array([w0 / w, h0 / h, w0 / w, h0 / h], np.float32)
+        return {
+            "boxes": boxes,
+            "scores": np.asarray(out["scores"][0])[valid],
+            "labels": np.asarray(out["labels"][0])[valid],
+        }
+
+    def detect_image(self, image: np.ndarray, score_thr: float = 0.3):
+        """Draw detections (yolo.py detect_image analog)."""
+        from glsdet_tpu.utils.visualize import draw_detections
+
+        d = self.detect(image)
+        return draw_detections(image, d["boxes"], d["scores"], d["labels"],
+                               self.class_names, score_thr)
+
+    def get_fps(self, image: np.ndarray, test_interval: int = 20) -> float:
+        """yolo.py:199 get_FPS analog."""
+        import jax
+
+        self.detect(image)  # warmup/compile
+        t0 = time.time()
+        for _ in range(test_interval):
+            out = self.detect(image)
+        return test_interval / (time.time() - t0)
+
+    def get_map_txt(self, image_id: str, image: np.ndarray,
+                    out_dir: str) -> str:
+        """Write ``detection-results/<id>.txt`` (yolo.py:251)."""
+        os.makedirs(out_dir, exist_ok=True)
+        d = self.detect(image)
+        path = os.path.join(out_dir, f"{image_id}.txt")
+        with open(path, "w") as f:
+            for box, score, label in zip(d["boxes"], d["scores"],
+                                         d["labels"]):
+                name = self.class_names[int(label)]
+                f.write(f"{name} {score:.6f} {int(box[0])} {int(box[1])} "
+                        f"{int(box[2])} {int(box[3])}\n")
+        return path
+
+
+def load_det_txt(path: str, class_names: Sequence[str]):
+    """Read a detection txt back into arrays (merge_results.py format)."""
+    name_to_id = {n: i for i, n in enumerate(class_names)}
+    boxes, scores, labels = [], [], []
+    with open(path) as f:
+        for line in f:
+            parts = line.split()
+            if len(parts) < 6:
+                continue
+            # class name may contain no spaces in our vocabularies
+            name, conf, x1, y1, x2, y2 = parts[:6]
+            boxes.append([float(x1), float(y1), float(x2), float(y2)])
+            scores.append(float(conf))
+            labels.append(name_to_id[name])
+    return (np.asarray(boxes, np.float32).reshape(-1, 4),
+            np.asarray(scores, np.float32),
+            np.asarray(labels, np.int64))

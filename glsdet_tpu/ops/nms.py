@@ -85,6 +85,12 @@ def batched_nms(boxes: jnp.ndarray, scores: jnp.ndarray,
     """
     offsets = class_ids.astype(boxes.dtype)[:, None] * coord_bound
     shifted = boxes + offsets
+    # On TPU the fused Pallas kernel does the O(K^2) suppression with the
+    # boxes VMEM-resident (no K x K IoU matrix in HBM).
+    from glsdet_tpu.ops.pallas_nms import nms_pallas, use_pallas_nms
+
+    if use_pallas_nms():
+        return nms_pallas(shifted, scores, iou_threshold, offset=offset)
     return nms(shifted, scores, iou_threshold, offset=offset)
 
 
