@@ -71,9 +71,25 @@ def main():
         img = rs.randint(0, 255, (765, 1360, 3), np.uint8)
         frames.append(img)
 
-    # warmup / compile all buckets
+    # warmup / compile all buckets (spelled out for per-step logging)
     t0 = time.time()
-    pipe.warmup((765, 1360))
+    import jax.numpy as jnp
+
+    from glsdet_tpu.eval.two_stage import _assemble_normalize
+    from glsdet_tpu.ufp.assembly import regions_to_array
+
+    wimg = np.zeros((765, 1360, 3), np.uint8)
+    pipe(wimg)
+    log("warmup: pipe(zeros) done")
+    for b in pipe.buckets:
+        reg = jnp.asarray(regions_to_array([], pipe.max_regions))
+        mosaic = _assemble_normalize(
+            jnp.asarray(wimg.astype(np.float32)), reg, b)
+        log(f"warmup: assemble {b} done")
+        pipe._mp(mosaic[None], b)
+        log(f"warmup: mp {b} done")
+    pipe(frames[0])
+    log("warmup: pipe(frame) done")
     compile_s = time.time() - t0
     log(f"warmup done in {compile_s:.0f}s")
 

@@ -129,5 +129,10 @@ def batched_nms_pallas(boxes: jnp.ndarray, scores: jnp.ndarray,
 
 
 def use_pallas_nms() -> bool:
-    """True when the default backend is a TPU."""
+    """True when the default backend is a TPU (and not disabled via the
+    GLSDET_NO_PALLAS env kill-switch)."""
+    import os
+
+    if os.environ.get("GLSDET_NO_PALLAS"):
+        return False
     return jax.default_backend() == "tpu"
