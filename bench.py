@@ -84,7 +84,7 @@ def main():
     for b in pipe.buckets:
         reg = jnp.asarray(regions_to_array([], pipe.max_regions))
         mosaic = _assemble_normalize(
-            jnp.asarray(wimg.astype(np.float32)), reg, b)
+            jnp.asarray(wimg.astype(np.uint8)), reg, b)
         log(f"warmup: assemble {b} done")
         pipe._mp(mosaic[None], b)
         log(f"warmup: mp {b} done")
@@ -93,13 +93,20 @@ def main():
     compile_s = time.time() - t0
     log(f"warmup done in {compile_s:.0f}s")
 
-    # timed loop
-    n_iters = 20
-    t0 = time.time()
-    for i in range(n_iters):
-        out = pipe(frames[i % len(frames)])
-    elapsed = time.time() - t0
-    ips = n_iters / elapsed
+    # timed: sequential per-image calls vs pipelined batches; report best
+    n_iters = 24
+    rates = {}
+    for mode in ("seq", "batch"):
+        t0 = time.time()
+        if mode == "seq":
+            for i in range(n_iters):
+                pipe(frames[i % len(frames)])
+        else:
+            for i in range(0, n_iters, len(frames)):
+                pipe.run_batch(frames)
+        rates[mode] = n_iters / (time.time() - t0)
+        log(f"{mode}: {rates[mode]:.2f} img/s")
+    ips = max(rates.values())
 
     print(json.dumps({
         "metric": "ufpmp_e2e_images_per_sec_per_chip",

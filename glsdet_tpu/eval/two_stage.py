@@ -24,7 +24,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from glsdet_tpu.data.coco import normalize
 from glsdet_tpu.eval.postprocess import gfl_postprocess, yolox_postprocess
 from glsdet_tpu.ops.nms import NEG_INF, batched_nms
 from glsdet_tpu.ufp.assembly import (
@@ -49,7 +48,11 @@ def pick_bucket(h: float, w: float, buckets: Sequence[int]) -> int:
 
 @functools.partial(jax.jit, static_argnames=("out_hw",))
 def _assemble_normalize(image, regions, out_hw):
-    canvas = assemble_mosaic(image, regions, out_hw, out_hw)
+    """image: (H, W, 3) uint8 (or float) — normalization happens on
+    device so the host->device transfer stays uint8 (4x less tunnel/PCIe
+    traffic than float32)."""
+    canvas = assemble_mosaic(image.astype(jnp.float32), regions,
+                             out_hw, out_hw)
     mean = jnp.asarray([123.675, 116.28, 103.53], jnp.float32)
     std = jnp.asarray([58.395, 57.12, 57.375], jnp.float32)
     return (canvas - mean) / std
@@ -109,6 +112,10 @@ class TwoStagePipeline:
 
         @jax.jit
         def _coarse(variables, images):
+            # uint8 in; normalize on device (transfer stays 1 byte/px)
+            mean = jnp.asarray([123.675, 116.28, 103.53], jnp.float32)
+            std = jnp.asarray([58.395, 57.12, 57.375], jnp.float32)
+            images = (images.astype(jnp.float32) - mean) / std
             out = (coarse_apply(variables, images)
                    if variables is not None else coarse_apply(images))
             cls, reg, obj = out
@@ -142,7 +149,7 @@ class TwoStagePipeline:
         # stage 1: plain resize (mmdet Resize keep_ratio=False for yolox
         # test pipeline uses (640,640) fixed)
         resized = cv2.resize(image, (cw, ch))
-        x = jnp.asarray(normalize(resized)[None])
+        x = jnp.asarray(resized.astype(np.uint8)[None])
         dets = self._coarse(x)
         boxes = np.asarray(dets["boxes"][0])
         valid = np.asarray(dets["valid"][0])
@@ -163,7 +170,7 @@ class TwoStagePipeline:
         bucket = pick_bucket(mh, mw, self.buckets)
         reg_arr = jnp.asarray(regions_to_array(regions, self.max_regions))
         mosaic = _assemble_normalize(
-            jnp.asarray(image.astype(np.float32)), reg_arr, bucket)
+            jnp.asarray(image.astype(np.uint8)), reg_arr, bucket)
         mp_dets = self._mp(mosaic[None], bucket)
 
         fb, fs, fl, fv = _unmap_and_nms(
@@ -177,6 +184,69 @@ class TwoStagePipeline:
             "labels": np.asarray(fl)[fv],
         }
 
+    def run_batch(self, images: Sequence[np.ndarray]) -> List[dict]:
+        """Pipelined batch inference.
+
+        JAX dispatch is asynchronous: phase 1 enqueues every coarse
+        forward before any result is read, so the host-side UFP packing
+        of image i overlaps the device's coarse pass of image i+1; phase
+        2 does the same for the mosaic stage.  This is the TPU analog of
+        the reference's CUDA-stream overlap (it has none — its packing
+        blocks the GPU, ufpmp_det_eval.py:263).
+        """
+        import cv2
+
+        ch, cw = self.coarse_hw
+        coarse_out = []
+        for img in images:
+            resized = cv2.resize(img, (cw, ch))
+            coarse_out.append(
+                self._coarse(jnp.asarray(resized.astype(np.uint8)[None])))
+
+        mid = []
+        for img, dets in zip(images, coarse_out):
+            h0, w0 = img.shape[:2]
+            boxes = np.asarray(dets["boxes"][0])
+            valid = np.asarray(dets["valid"][0])
+            sx, sy = w0 / cw, h0 / ch
+            coarse_boxes = (boxes * np.array([sx, sy, sx, sy],
+                                             np.float32))[valid]
+            regions, mw, mh = unified_foreground_packing(
+                coarse_boxes.astype(np.float32), self.ufp_scale, (w0, h0))
+            if len(regions) == 0:
+                mid.append(None)
+                continue
+            bucket = pick_bucket(mh, mw, self.buckets)
+            reg_arr = jnp.asarray(
+                regions_to_array(regions, self.max_regions))
+            mosaic = _assemble_normalize(
+                jnp.asarray(img.astype(np.uint8)), reg_arr, bucket)
+            mp_dets = self._mp(mosaic[None], bucket)
+            out = _unmap_and_nms(
+                mp_dets["boxes"][0], mp_dets["scores"][0],
+                mp_dets["labels"][0], mp_dets["valid"][0], reg_arr,
+                self.final_nms_thr, self.max_chip)
+            mid.append(out)
+
+        results = []
+        empty = {
+            "boxes": np.zeros((0, 4), np.float32),
+            "scores": np.zeros((0,), np.float32),
+            "labels": np.zeros((0,), np.int64),
+        }
+        for out in mid:
+            if out is None:
+                results.append(empty)
+                continue
+            fb, fs, fl, fv = out
+            fv = np.asarray(fv)
+            results.append({
+                "boxes": np.asarray(fb)[fv],
+                "scores": np.asarray(fs)[fv],
+                "labels": np.asarray(fl)[fv],
+            })
+        return results
+
     def warmup(self, image_hw: Tuple[int, int]):
         """Compile all buckets once (synthetic inputs)."""
         img = np.zeros((*image_hw, 3), np.uint8)
@@ -185,5 +255,5 @@ class TwoStagePipeline:
             reg = jnp.asarray(
                 regions_to_array([], self.max_regions))
             mosaic = _assemble_normalize(
-                jnp.asarray(img.astype(np.float32)), reg, b)
+                jnp.asarray(img.astype(np.uint8)), reg, b)
             self._mp(mosaic[None], b)
