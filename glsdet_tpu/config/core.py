@@ -220,3 +220,37 @@ def gfl_res50() -> Config:
                           num_last_epochs=0,
                           work_dir="work_dirs/gfl_res50"),
     )
+
+
+@register_config("coarse_det_uavdt")
+def coarse_det_uavdt() -> Config:
+    """UAVDT (3-class) coarse detector — uav_eval.py / UAVDT2COCO recipe."""
+    cfg = coarse_det()
+    cfg.model.num_classes = 3
+    cfg.data.dataset = "uavdt"
+    cfg.train.work_dir = "work_dirs/coarse_det_uavdt"
+    return cfg
+
+
+@register_config("mp_det_res50_uavdt")
+def mp_det_res50_uavdt() -> Config:
+    """UAVDT MP-Det: 3 classes; proxies re-split (paper uses per-dataset
+    proxy counts; UAVDT's 3 vehicle classes get [4, 4, 4])."""
+    cfg = mp_det_res50()
+    cfg.model.num_classes = 3
+    cfg.model.proxies_list = (4, 4, 4)
+    cfg.data.dataset = "uavdt_ufp"
+    cfg.train.work_dir = "work_dirs/mp_det_res50_uavdt"
+    return cfg
+
+
+@register_config("yolox_ffa")
+def yolox_ffa() -> Config:
+    """FFA 4-level model (yolox-drone train.py recipe: Adam + StepLR)."""
+    return Config(
+        model=ModelConfig(family="ffa", phi="s", num_classes=10),
+        data=DataConfig(img_hw=(640, 640), batch_size=8),
+        train=TrainConfig(epochs=100, optimizer="adam_step",
+                          base_lr=1e-3, weight_decay=5e-4,
+                          work_dir="work_dirs/yolox_ffa"),
+    )

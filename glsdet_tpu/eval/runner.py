@@ -35,17 +35,22 @@ def run_eval(
     max_images: Optional[int] = None,
     verbose: bool = True,
     variables=None,
+    strides=None,
 ) -> Tuple[CocoEvalResult, dict]:
     """apply_fn(variables, images) -> head outputs (pass ``variables``
     so weights stay jit arguments, not baked HLO constants); legacy
     apply_fn(images) accepted when ``variables`` is None."""
 
-    if family == "yolox":
+    if family in ("yolox", "ffa"):
+        yolox_strides = strides or ((4, 8, 16, 32) if family == "ffa"
+                                    else (8, 16, 32))
+
         @jax.jit
         def _fwd(v, images):
             out = apply_fn(v, images) if v is not None else apply_fn(images)
             cls, reg, obj = out
             return yolox_postprocess(cls, reg, obj, img_hw,
+                                     strides=yolox_strides,
                                      score_thr=score_thr, iou_thr=nms_iou,
                                      max_dets=max_dets)
     else:

@@ -68,7 +68,22 @@ def build_model(cfg: Config, axis_name: Optional[str] = None):
                       depth=cfg.model.depth,
                       feat_channels=cfg.model.feat_channels,
                       dtype=dtype, axis_name=axis_name)
+    if cfg.model.family == "ffa":
+        from glsdet_tpu.models.variants import FFAYoloBody
+
+        return FFAYoloBody(num_classes=cfg.model.num_classes,
+                           phi=cfg.model.phi, dtype=dtype,
+                           axis_name=axis_name)
     raise ValueError(cfg.model.family)
+
+
+def family_strides(family: str):
+    """Head strides per model family (ffa adds the P2 level)."""
+    if family == "ffa":
+        return (4, 8, 16, 32)
+    if family in ("mpdet", "gfl"):
+        return (8, 16, 32, 64, 128)
+    return (8, 16, 32)
 
 
 def build_optimizer(cfg: Config, steps_per_epoch: int):
@@ -159,10 +174,11 @@ def train(cfg: Config, dataset: Optional[CocoDataset] = None,
             reg_max=cfg.model.reg_max))
         step_fn_l1 = step_fn
     else:
+        strides = family_strides(cfg.model.family)
         step_fn = jax.jit(make_yolox_train_step(
-            model, tx, cfg.data.img_hw, use_l1=False))
+            model, tx, cfg.data.img_hw, use_l1=False, strides=strides))
         step_fn_l1 = jax.jit(make_yolox_train_step(
-            model, tx, cfg.data.img_hw, use_l1=True))
+            model, tx, cfg.data.img_hw, use_l1=True, strides=strides))
 
     loader = train_loader(pipeline, cfg.data.batch_size,
                           seed=cfg.train.seed,

@@ -39,9 +39,11 @@ GFL_STRIDES = (8, 16, 32, 64, 128)
 
 def make_yolox_train_step(model, tx: optax.GradientTransformation,
                           img_hw: Tuple[int, int],
-                          use_l1: bool = False) -> Callable:
+                          use_l1: bool = False,
+                          strides: Tuple[int, ...] = YOLOX_STRIDES
+                          ) -> Callable:
     """Returns step(state, batch) -> (state, metrics)."""
-    centers_np, strides_np, _ = grid_points(img_hw, YOLOX_STRIDES, offset=0.5)
+    centers_np, strides_np, _ = grid_points(img_hw, strides, offset=0.5)
     priors_cxy = jnp.asarray(centers_np)
     priors_stride = jnp.asarray(strides_np)
 

@@ -38,6 +38,8 @@ def main():
     ap.add_argument("--img-root", help="train image root")
     ap.add_argument("--work-dir")
     ap.add_argument("--resume", default="")
+    ap.add_argument("--val-ann", help="validation annotation json")
+    ap.add_argument("--val-img-root")
     ap.add_argument("--seed", type=int)
     ap.add_argument("--max-steps", type=int, help="truncate (smoke tests)")
     ap.add_argument("--cfg-options", nargs="*", metavar="KEY=VAL")
@@ -61,9 +63,34 @@ def main():
         cfg.train.seed = args.seed
     apply_overrides(cfg, parse_cfg_options(args.cfg_options))
 
-    from glsdet_tpu.train.loop import train
+    from glsdet_tpu.train.loop import build_model, family_strides, train
 
-    train(cfg, max_steps=args.max_steps)
+    eval_fn = None
+    if args.val_ann:
+        cfg.data.val_ann_file = args.val_ann
+        cfg.data.val_img_root = args.val_img_root or args.img_root
+
+        from glsdet_tpu.data.coco import CocoDataset
+        from glsdet_tpu.eval.runner import run_eval
+
+        val_ds = CocoDataset(cfg.data.val_ann_file, cfg.data.val_img_root)
+        model = build_model(cfg)
+        fam = "yolox" if cfg.model.family in ("yolox", "ffa") else "gfl"
+
+        def eval_fn(state, epoch):
+            variables = {"params": state.ema_params,
+                         "batch_stats": state.batch_stats}
+            res, stats = run_eval(
+                val_ds,
+                lambda v, images: model.apply(v, images, train=False),
+                cfg.model.family if fam == "yolox" else "gfl",
+                cfg.data.img_hw, cfg.model.num_classes,
+                batch_size=cfg.data.batch_size,
+                score_thr=cfg.eval.score_thr, nms_iou=cfg.eval.nms_iou,
+                max_dets=cfg.eval.max_dets, variables=variables)
+            print(f"epoch {epoch}: AP={res.ap:.4f} AP50={res.ap50:.4f}")
+
+    train(cfg, max_steps=args.max_steps, eval_fn=eval_fn)
 
 
 if __name__ == "__main__":
