@@ -125,6 +125,27 @@ class TwoStagePipeline:
 
         self._coarse = lambda images: _coarse(self._cvars, images)
 
+        @jax.jit
+        def _coarse_full(variables, full_img):
+            # single uint8 upload: device-side resize to the coarse input
+            # (jax.image.resize bilinear ~ cv2 INTER_LINEAR), normalize,
+            # forward, postprocess.  The same uploaded buffer feeds the
+            # mosaic assembly afterwards — one transfer per frame total.
+            img = full_img.astype(jnp.float32)
+            resized = jax.image.resize(
+                img, (coarse_hw[0], coarse_hw[1], 3), method="bilinear")
+            mean = jnp.asarray([123.675, 116.28, 103.53], jnp.float32)
+            std = jnp.asarray([58.395, 57.12, 57.375], jnp.float32)
+            images = ((resized - mean) / std)[None]
+            out = (coarse_apply(variables, images)
+                   if variables is not None else coarse_apply(images))
+            cls, reg, obj = out
+            return yolox_postprocess(
+                cls, reg, obj, coarse_hw, score_thr=coarse_score_thr,
+                max_dets=max_coarse_dets)
+
+        self._coarse_full = lambda img: _coarse_full(self._cvars, img)
+
         @functools.partial(jax.jit, static_argnames=("hw",))
         def _mp_jit(variables, images, hw):
             out = (mp_apply(variables, images)
@@ -139,50 +160,9 @@ class TwoStagePipeline:
     def __call__(self, image: np.ndarray) -> dict:
         """image: (H, W, 3) uint8/float RGB in original resolution.
 
-        Returns dict(boxes xyxy, scores, labels, valid) in original
-        coordinates (numpy).
-        """
-        import cv2
-
-        h0, w0 = image.shape[:2]
-        ch, cw = self.coarse_hw
-        # stage 1: plain resize (mmdet Resize keep_ratio=False for yolox
-        # test pipeline uses (640,640) fixed)
-        resized = cv2.resize(image, (cw, ch))
-        x = jnp.asarray(resized.astype(np.uint8)[None])
-        dets = self._coarse(x)
-        boxes = np.asarray(dets["boxes"][0])
-        valid = np.asarray(dets["valid"][0])
-        # rescale coarse boxes to original coords
-        sx, sy = w0 / cw, h0 / ch
-        boxes = boxes * np.array([sx, sy, sx, sy], np.float32)
-        coarse_boxes = boxes[valid]
-
-        # stage 2: UFP pack on host
-        regions, mw, mh = unified_foreground_packing(
-            coarse_boxes.astype(np.float32), self.ufp_scale, (w0, h0))
-        if len(regions) == 0:
-            return {
-                "boxes": np.zeros((0, 4), np.float32),
-                "scores": np.zeros((0,), np.float32),
-                "labels": np.zeros((0,), np.int64),
-            }
-        bucket = pick_bucket(mh, mw, self.buckets)
-        reg_arr = jnp.asarray(regions_to_array(regions, self.max_regions))
-        mosaic = _assemble_normalize(
-            jnp.asarray(image.astype(np.uint8)), reg_arr, bucket)
-        mp_dets = self._mp(mosaic[None], bucket)
-
-        fb, fs, fl, fv = _unmap_and_nms(
-            mp_dets["boxes"][0], mp_dets["scores"][0],
-            mp_dets["labels"][0], mp_dets["valid"][0], reg_arr,
-            self.final_nms_thr, self.max_chip)
-        fv = np.asarray(fv)
-        return {
-            "boxes": np.asarray(fb)[fv],
-            "scores": np.asarray(fs)[fv],
-            "labels": np.asarray(fl)[fv],
-        }
+        Returns dict(boxes xyxy, scores, labels) in original coordinates
+        (numpy).  Single-image convenience over ``run_batch``."""
+        return self.run_batch([image])[0]
 
     def run_batch(self, images: Sequence[np.ndarray]) -> List[dict]:
         """Pipelined batch inference.
@@ -194,17 +174,16 @@ class TwoStagePipeline:
         the reference's CUDA-stream overlap (it has none — its packing
         blocks the GPU, ufpmp_det_eval.py:263).
         """
-        import cv2
-
         ch, cw = self.coarse_hw
         coarse_out = []
+        dev_imgs = []
         for img in images:
-            resized = cv2.resize(img, (cw, ch))
-            coarse_out.append(
-                self._coarse(jnp.asarray(resized.astype(np.uint8)[None])))
+            dev_img = jnp.asarray(img.astype(np.uint8))  # one upload/frame
+            dev_imgs.append(dev_img)
+            coarse_out.append(self._coarse_full(dev_img))
 
         mid = []
-        for img, dets in zip(images, coarse_out):
+        for img, dev_img, dets in zip(images, dev_imgs, coarse_out):
             h0, w0 = img.shape[:2]
             boxes = np.asarray(dets["boxes"][0])
             valid = np.asarray(dets["valid"][0])
@@ -219,8 +198,7 @@ class TwoStagePipeline:
             bucket = pick_bucket(mh, mw, self.buckets)
             reg_arr = jnp.asarray(
                 regions_to_array(regions, self.max_regions))
-            mosaic = _assemble_normalize(
-                jnp.asarray(img.astype(np.uint8)), reg_arr, bucket)
+            mosaic = _assemble_normalize(dev_img, reg_arr, bucket)
             mp_dets = self._mp(mosaic[None], bucket)
             out = _unmap_and_nms(
                 mp_dets["boxes"][0], mp_dets["scores"][0],

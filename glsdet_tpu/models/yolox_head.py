@@ -29,6 +29,11 @@ class YOLOXHead(nn.Module):
     """Decoupled YOLOX head over N pyramid levels.
 
     Returns per-level NHWC maps: cls (num_classes), reg (4), obj (1).
+
+    ``cross_scale_cls`` enables the "yolox6" decoupled-head-attention
+    variant (yolox-drone/models/lsk/yolox6_lsk.py:43-53,90-96): the cls
+    branch concatenates [current, downsampled finer, upsampled coarser]
+    stem features before its convs; reg/obj stay single-scale.
     """
 
     num_classes: int
@@ -36,6 +41,7 @@ class YOLOXHead(nn.Module):
     stacked_convs: int = 2
     num_levels: int = 3
     depthwise: bool = False
+    cross_scale_cls: bool = False
     act: str = "silu"
     dtype: Any = jnp.float32
     axis_name: Optional[str] = None
@@ -46,11 +52,21 @@ class YOLOXHead(nn.Module):
         common = dict(act=self.act, dtype=self.dtype, axis_name=self.axis_name)
         conv_blk = DWConvBlock if self.depthwise else ConvNormAct
 
+        stems = [
+            ConvNormAct(self.feat_channels, 1, 1,
+                        name=f"stem{lvl}", **common)(x, train=train)
+            for lvl, x in enumerate(feats)
+        ]
         cls_out, reg_out, obj_out = [], [], []
-        for lvl, x in enumerate(feats):
-            x = ConvNormAct(self.feat_channels, 1, 1,
-                            name=f"stem{lvl}", **common)(x, train=train)
-            cls_feat, reg_feat = x, x
+        for lvl, x in enumerate(stems):
+            if self.cross_scale_cls:
+                from glsdet_tpu.models.variants.necks import (
+                    cross_scale_concat)
+
+                cls_feat = cross_scale_concat(stems, lvl)
+            else:
+                cls_feat = x
+            reg_feat = x
             for i in range(self.stacked_convs):
                 cls_feat = conv_blk(self.feat_channels, 3, 1,
                                     name=f"cls{lvl}_{i}", **common)(

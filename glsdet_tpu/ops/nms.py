@@ -162,3 +162,35 @@ def multiclass_nms(mlvl_boxes: jnp.ndarray, mlvl_scores: jnp.ndarray,
     valid = out_scores > NEG_INF / 2
     out_scores = jnp.where(valid, out_scores, 0.0)
     return out_boxes, out_scores, out_labels, valid
+
+
+def diou_nms(boxes: jnp.ndarray, scores: jnp.ndarray,
+             iou_threshold: float = 0.7) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """DIoU-NMS (yolox-drone/models/core/utils_bbox.py:309
+    ``diou_box_nms``): suppression criterion is IoU minus the normalized
+    center-distance penalty, keeping far-apart overlapping boxes."""
+    k = scores.shape[0]
+    order = jnp.argsort(-scores)
+    b = boxes[order]
+    valid = scores[order] > NEG_INF / 2
+    iou_mat = pairwise_iou(b, b)
+    cx = (b[:, 0] + b[:, 2]) / 2
+    cy = (b[:, 1] + b[:, 3]) / 2
+    d2 = (cx[:, None] - cx[None, :]) ** 2 + (cy[:, None] - cy[None, :]) ** 2
+    ex1 = jnp.minimum(b[:, None, 0], b[None, :, 0])
+    ey1 = jnp.minimum(b[:, None, 1], b[None, :, 1])
+    ex2 = jnp.maximum(b[:, None, 2], b[None, :, 2])
+    ey2 = jnp.maximum(b[:, None, 3], b[None, :, 3])
+    c2 = (ex2 - ex1) ** 2 + (ey2 - ey1) ** 2
+    diou = iou_mat - d2 / jnp.maximum(c2, 1e-9)
+
+    def body(i, keep):
+        alive_i = keep[i]
+        suppress = (diou[i] > iou_threshold) & alive_i
+        suppress = suppress.at[i].set(False)
+        later = jnp.arange(k) > i
+        return keep & ~(suppress & later)
+
+    keep_sorted = jax.lax.fori_loop(0, k, body, valid)
+    keep = jnp.zeros((k,), dtype=bool).at[order].set(keep_sorted)
+    return keep, order

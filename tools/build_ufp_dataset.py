@@ -33,6 +33,7 @@ def main():
     ap.add_argument("--scale", type=float, default=2.0)
     ap.add_argument("--iof-thr", type=float, default=0.9)
     ap.add_argument("--max-images", type=int)
+    ap.add_argument("--cfg-options", nargs="*", metavar="KEY=VAL")
     args = ap.parse_args()
 
     import cv2
@@ -46,8 +47,20 @@ def main():
     from glsdet_tpu.train.state import TrainState
     from glsdet_tpu.ufp.packing import unified_foreground_packing
 
+    import ast
+
     rng = jax.random.PRNGKey(0)
     cfg = get_config(args.coarse_cfg)
+    from glsdet_tpu.config import apply_overrides
+
+    opts = {}
+    for pair in args.cfg_options or []:
+        k, _, v = pair.partition("=")
+        try:
+            opts[k] = ast.literal_eval(v)
+        except (ValueError, SyntaxError):
+            opts[k] = v
+    apply_overrides(cfg, opts)
     model = build_model(cfg)
     sample = jnp.zeros((1, *cfg.data.img_hw, 3), jnp.float32)
     variables = model.init(rng, sample, train=False)

@@ -31,6 +31,8 @@ def main():
     ap.add_argument("img_root")
     ap.add_argument("--max-images", type=int)
     ap.add_argument("--out-json", help="write COCO-format detections")
+    ap.add_argument("--first-options", nargs="*", metavar="KEY=VAL")
+    ap.add_argument("--second-options", nargs="*", metavar="KEY=VAL")
     args = ap.parse_args()
 
     import jax
@@ -45,8 +47,24 @@ def main():
 
     rng = jax.random.PRNGKey(0)
 
-    def load(cfg_name, ckpt):
+    import ast
+
+    def parse_opts(pairs):
+        out = {}
+        for pair in pairs or []:
+            k, _, v = pair.partition("=")
+            try:
+                out[k] = ast.literal_eval(v)
+            except (ValueError, SyntaxError):
+                out[k] = v
+        return out
+
+    def load(cfg_name, ckpt, opts=None):
+        from glsdet_tpu.config import apply_overrides
+
         cfg = get_config(cfg_name)
+        if opts:
+            apply_overrides(cfg, opts)
         model = build_model(cfg)
         sample = jnp.zeros((1, *cfg.data.img_hw, 3), jnp.float32)
         variables = model.init(rng, sample, train=False)
@@ -58,8 +76,10 @@ def main():
                          "batch_stats": state.batch_stats}
         return cfg, model, variables
 
-    c_cfg, c_model, c_vars = load(args.first_cfg, args.first_ckpt)
-    m_cfg, m_model, m_vars = load(args.second_cfg, args.second_ckpt)
+    c_cfg, c_model, c_vars = load(args.first_cfg, args.first_ckpt,
+                                  parse_opts(args.first_options))
+    m_cfg, m_model, m_vars = load(args.second_cfg, args.second_ckpt,
+                                  parse_opts(args.second_options))
 
     pipe = TwoStagePipeline(
         lambda v, im: c_model.apply(v, im, train=False),
