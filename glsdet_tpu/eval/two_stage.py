@@ -157,6 +157,27 @@ class TwoStagePipeline:
 
         self._mp = lambda images, hw: _mp_jit(self._mvars, images, hw)
 
+        @functools.partial(jax.jit, static_argnames=("hw",))
+        def _mosaic_stage(variables, full_img, regions, hw):
+            # one program for the whole stage-2: assemble mosaic -> MP-Det
+            # forward -> decode+NMS -> unmap + final class-wise NMS.  One
+            # dispatch round trip per image instead of three.
+            mosaic = _assemble_normalize(full_img, regions, hw)
+            out = (mp_apply(variables, mosaic[None])
+                   if variables is not None else mp_apply(mosaic[None]))
+            cls, reg = out
+            mp_dets = gfl_postprocess(
+                cls, reg, (hw, hw), score_thr=chip_score_thr,
+                max_dets=max_chip_dets)
+            return _unmap_and_nms(
+                mp_dets["boxes"][0], mp_dets["scores"][0],
+                mp_dets["labels"][0], mp_dets["valid"][0], regions,
+                final_nms_thr, max_chip_dets)
+
+        self._mosaic_stage = (
+            lambda img, regions, hw: _mosaic_stage(
+                self._mvars, img, regions, hw))
+
     def __call__(self, image: np.ndarray) -> dict:
         """image: (H, W, 3) uint8/float RGB in original resolution.
 
@@ -198,13 +219,7 @@ class TwoStagePipeline:
             bucket = pick_bucket(mh, mw, self.buckets)
             reg_arr = jnp.asarray(
                 regions_to_array(regions, self.max_regions))
-            mosaic = _assemble_normalize(dev_img, reg_arr, bucket)
-            mp_dets = self._mp(mosaic[None], bucket)
-            out = _unmap_and_nms(
-                mp_dets["boxes"][0], mp_dets["scores"][0],
-                mp_dets["labels"][0], mp_dets["valid"][0], reg_arr,
-                self.final_nms_thr, self.max_chip)
-            mid.append(out)
+            mid.append(self._mosaic_stage(dev_img, reg_arr, bucket))
 
         results = []
         empty = {
@@ -226,12 +241,10 @@ class TwoStagePipeline:
         return results
 
     def warmup(self, image_hw: Tuple[int, int]):
-        """Compile all buckets once (synthetic inputs)."""
+        """Compile the coarse program and every mosaic bucket once."""
         img = np.zeros((*image_hw, 3), np.uint8)
-        self(img)
+        dev_img = jnp.asarray(img)
+        jax.block_until_ready(self._coarse_full(dev_img))
+        reg = jnp.asarray(regions_to_array([], self.max_regions))
         for b in self.buckets:
-            reg = jnp.asarray(
-                regions_to_array([], self.max_regions))
-            mosaic = _assemble_normalize(
-                jnp.asarray(img.astype(np.uint8)), reg, b)
-            self._mp(mosaic[None], b)
+            jax.block_until_ready(self._mosaic_stage(dev_img, reg, b))

@@ -31,3 +31,40 @@ def shard_batch(batch: dict, mesh: Mesh, axis_name: str = "data") -> dict:
     """Device-put every array in a batch dict with batch-axis sharding."""
     sh = batch_sharding(mesh, axis_name)
     return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
+
+
+def init_distributed(coordinator_address: Optional[str] = None,
+                     num_processes: Optional[int] = None,
+                     process_id: Optional[int] = None) -> None:
+    """Multi-host initialization over DCN.
+
+    The reference's ``init_dist`` / torch.distributed.launch analog
+    (mmdet/apis/train.py:113-121, tools/dist_train.sh): call once per
+    host before building the mesh; jax.distributed wires all hosts'
+    devices into one global device list.
+    """
+    import jax
+
+    kwargs = {}
+    if coordinator_address is not None:
+        kwargs = dict(coordinator_address=coordinator_address,
+                      num_processes=num_processes, process_id=process_id)
+    jax.distributed.initialize(**kwargs)
+
+
+def multiscale_size(step: int, sizes, interval: int = 10,
+                    seed: int = 42):
+    """Deterministic multi-scale schedule.
+
+    The reference broadcasts a random size from rank 0 every ``interval``
+    iters (SyncRandomSizeHook, core/hook/sync_random_size_hook.py:52 —
+    an NCCL broadcast).  A step-seeded hash gives every host the same
+    size with zero communication.
+    """
+    bucket = step // interval
+    # splitmix-style integer hash, stable across hosts
+    h = (bucket * 0x9E3779B97F4A7C15 + seed) & 0xFFFFFFFFFFFFFFFF
+    h ^= h >> 30
+    h = (h * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
+    h ^= h >> 27
+    return sizes[h % len(sizes)]
