@@ -36,19 +36,19 @@ python tools/convert_datasets.py visdrone "$WD" "$WD/train.json"
 echo "=== stage 1: train coarse detector ==="
 python tools/train.py coarse_det \
   --ann "$WD/train.json" --img-root "$WD/images" \
-  --work-dir "$WD/coarse" --val-ann "$WD/train.json" \
+  --work-dir "$WD/coarse" \
   --cfg-options model.phi=nano model.dtype=float32 model.num_classes=10 \
     data.batch_size=4 data.img_hw="(256,256)" data.max_gt=20 \
     data.mosaic=False data.mixup=False data.hsv=False data.flip_prob=0.0 \
-    data.num_workers=2 train.epochs=8 train.base_lr=0.002 \
-    train.warmup_epochs=1 train.num_last_epochs=2 train.ckpt_interval=8 \
-    train.log_interval=24 eval.coarse_score_thr=0.3
+    data.num_workers=2 train.epochs=60 train.base_lr=0.004 \
+    train.warmup_epochs=2 train.num_last_epochs=5 train.ckpt_interval=60 \
+    train.log_interval=24 eval.coarse_score_thr=0.05
 
 echo "=== stage 2: build UFP dataset ==="
-python tools/build_ufp_dataset.py coarse_det "$WD/coarse/epoch_8" \
+python tools/build_ufp_dataset.py coarse_det "$WD/coarse/epoch_60" \
   "$WD/train.json" "$WD/images" "$WD/ufp" \
   --cfg-options model.phi=nano model.dtype=float32 \
-    data.img_hw="(256,256)" eval.coarse_score_thr=0.3
+    data.img_hw="(256,256)" eval.coarse_score_thr=0.05
 
 echo "=== stage 3: train MP-Det on UFP mosaics ==="
 python tools/train.py mp_det_res50 \
@@ -61,10 +61,10 @@ python tools/train.py mp_det_res50 \
 
 echo "=== stage 4: two-stage eval ==="
 python tools/ufpmp_det_eval.py \
-  coarse_det "$WD/coarse/epoch_8" mp_det_res50 "$WD/mpdet/epoch_6" \
+  coarse_det "$WD/coarse/epoch_60" mp_det_res50 "$WD/mpdet/epoch_6" \
   "$WD/train.json" "$WD/images" --out-json "$WD/two_stage_dets.json" \
   --first-options model.phi=nano model.dtype=float32 \
-    data.img_hw="(256,256)" eval.coarse_score_thr=0.3 \
+    data.img_hw="(256,256)" eval.coarse_score_thr=0.05 \
     eval.mosaic_buckets="(512,1024)" \
   --second-options model.depth=18 model.dtype=float32 \
   2>&1 | tail -20

@@ -1,0 +1,63 @@
+"""Two-stage pipeline integration tests (tiny models, CPU).
+
+The analog of the reference's full-model forward tests
+(tests/test_models/test_forward.py): build small real models, run the
+complete UFPMP path end-to-end, assert structural invariants.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from glsdet_tpu.eval.two_stage import TwoStagePipeline, pick_bucket
+from glsdet_tpu.models import MPDet, YOLOXDetector
+
+
+@pytest.fixture(scope="module")
+def pipeline():
+    rng = jax.random.PRNGKey(0)
+    coarse = YOLOXDetector(num_classes=10, phi="nano")
+    cvars = coarse.init(rng, jnp.zeros((1, 128, 128, 3)), train=False)
+    mp = MPDet(num_classes=10, depth=18)
+    mvars = mp.init(rng, jnp.zeros((1, 128, 128, 3)), train=False)
+    return TwoStagePipeline(
+        lambda v, im: coarse.apply(v, im, train=False),
+        lambda v, im: mp.apply(v, im, train=False),
+        (128, 128), mosaic_buckets=(256, 512),
+        coarse_score_thr=1e-4, max_regions=16,
+        coarse_vars=cvars, mp_vars=mvars)
+
+
+class TestPickBucket:
+    def test_smallest_cover(self):
+        assert pick_bucket(300, 500, (256, 512, 1024)) == 512
+        assert pick_bucket(100, 100, (256, 512)) == 256
+        assert pick_bucket(3000, 100, (256, 512)) == 512  # clipped
+
+
+class TestTwoStage:
+    def test_single_image(self, pipeline):
+        img = np.random.RandomState(0).randint(
+            0, 255, (200, 320, 3), np.uint8)
+        out = pipeline(img)
+        assert set(out) == {"boxes", "scores", "labels"}
+        assert out["boxes"].shape[1:] == (4,)
+        # detections land inside the original image bounds (+1px slack)
+        if len(out["boxes"]):
+            assert out["boxes"][:, 0].min() >= -1
+            assert out["boxes"][:, 2].max() <= 321
+
+    def test_batch_matches_single(self, pipeline):
+        rs = np.random.RandomState(1)
+        imgs = [rs.randint(0, 255, (200, 320, 3), np.uint8)
+                for _ in range(2)]
+        batch = pipeline.run_batch(imgs)
+        singles = [pipeline(im) for im in imgs]
+        for b, s in zip(batch, singles):
+            np.testing.assert_allclose(b["boxes"], s["boxes"], atol=1e-4)
+            np.testing.assert_allclose(b["scores"], s["scores"], atol=1e-6)
+
+    def test_blank_image_no_crash(self, pipeline):
+        out = pipeline(np.zeros((200, 320, 3), np.uint8))
+        assert isinstance(out["boxes"], np.ndarray)
