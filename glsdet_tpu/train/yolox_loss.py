@@ -68,6 +68,11 @@ def yolox_loss(
 
     fg, matched_gt, matched_iou = jax.vmap(assign_one)(
         decoded, cls_logits, obj_logits, gt_boxes, gt_labels, gt_valid)
+    # Targets are constants (reference computes them under no_grad,
+    # yolox_head.py get_targets): without this, the cls-BCE gradient
+    # w.r.t. its iou-valued TARGET flows back through the decoded boxes
+    # and actively shrinks them (loss_bbox saturates at 5.0).
+    matched_iou = jax.lax.stop_gradient(matched_iou)
 
     num_fg = jnp.sum(fg.astype(jnp.float32))
     if axis_name is not None:
