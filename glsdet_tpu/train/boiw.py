@@ -59,27 +59,24 @@ def update_dictionary(state: BoIWState, key: jax.Array,
     n = features.shape[0]
     max_step = min(max_step, n)
 
-    def per_class(class_idx, carry):
-        emb, ptr, key = carry
-        key, sub = jax.random.split(key)
-        mask = labels == class_idx
-        cnt = jnp.sum(mask.astype(jnp.int32))
-        step = jnp.minimum(max_step, cnt)
-        # random positive subset: top-`max_step` of (uniform + big * mask)
-        scores = jax.random.uniform(sub, (n,)) + mask.astype(jnp.float32) * 10.0
-        _, idx = jax.lax.top_k(scores, max_step)
-        ranks = jnp.arange(max_step)
-        slots = (ptr[class_idx] + ranks) % num_words
-        # ranks beyond `step` write out-of-bounds -> dropped by scatter
-        slots = jnp.where(ranks < step, slots, num_words)
-        emb = emb.at[class_idx, slots].set(
-            features[idx].astype(emb.dtype), mode="drop")
-        ptr = ptr.at[class_idx].set((ptr[class_idx] + step) % num_words)
-        return emb, ptr, key
-
-    emb, ptr, _ = jax.lax.fori_loop(
-        0, num_slots, per_class, (state.embedding, state.ptr, key))
-    return state._replace(embedding=emb, ptr=ptr)
+    # batched over classes: one (C, N) top-k + one scatter (the per-class
+    # python/fori loop is a chain of sequential top-k dispatches).
+    class_ids = jnp.arange(num_slots)[:, None]
+    masks = labels[None, :] == class_ids                      # (C, N)
+    cnt = jnp.sum(masks.astype(jnp.int32), axis=1)            # (C,)
+    step = jnp.minimum(max_step, cnt)
+    noise = jax.random.uniform(key, (num_slots, n))
+    scores = noise + masks.astype(jnp.float32) * 10.0
+    _, idx = jax.lax.top_k(scores, max_step)                  # (C, S)
+    ranks = jnp.arange(max_step)[None, :]                     # (1, S)
+    slots = (state.ptr[:, None] + ranks) % num_words          # (C, S)
+    # ranks beyond each class's `step` write out-of-bounds -> dropped
+    slots = jnp.where(ranks < step[:, None], slots, num_words)
+    rows = jnp.repeat(jnp.arange(num_slots)[:, None], max_step, axis=1)
+    emb = state.embedding.at[rows, slots].set(
+        features[idx].astype(state.embedding.dtype), mode="drop")
+    ptr = (state.ptr + step) % num_words
+    return state._replace(embedding=emb, ptr=ptr.astype(jnp.int32))
 
 
 def update_ot(state: BoIWState, key: jax.Array,

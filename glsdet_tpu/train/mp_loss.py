@@ -24,6 +24,7 @@ from typing import NamedTuple, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from glsdet_tpu.models.mp_head import proxy_scores
 from glsdet_tpu.ops.sinkhorn import sinkhorn
@@ -60,8 +61,15 @@ def ot_proxy_loss(features: jnp.ndarray, labels: jnp.ndarray,
                   proxies_list: Sequence[int],
                   max_pos_per_class: int = 256,
                   reg: float = 0.1, num_iters: int = 100) -> jnp.ndarray:
-    """Sinkhorn OT loss (mp_head.py:254-270), fixed-shape per class."""
+    """Sinkhorn OT loss (mp_head.py:254-270), fixed-shape.
+
+    All classes run as ONE vmapped Sinkhorn over a (C, K, maxP) padded
+    cost tensor — 100 batched iterations instead of the reference's
+    C x 100 sequential tiny-matmul steps (the per-class python loop is
+    latency-bound on an accelerator).
+    """
     num_classes = len(proxies_list)
+    max_p = max(proxies_list)
     f = features * jax.lax.rsqrt(
         jnp.sum(features * features, -1, keepdims=True) + 1e-12)
     p = proxies * jax.lax.rsqrt(
@@ -69,30 +77,41 @@ def ot_proxy_loss(features: jnp.ndarray, labels: jnp.ndarray,
     sim = f @ p.T  # (N, P)
     dis = 1.0 - (sim + 1.0) / 2.0  # normalized cosine distance
 
-    loss = jnp.zeros((), f.dtype)
-    start = 0
     n = features.shape[0]
     k = min(max_pos_per_class, n)
-    for cls_id, nprox in enumerate(proxies_list):
-        mask = labels == cls_id
-        # deterministic top-k positive selection (first k positives)
-        scores = mask.astype(jnp.float32)
-        _, idx = jax.lax.top_k(scores, k)
-        valid = mask[idx]
-        cost = dis[idx, start:start + nprox]  # (k, nprox)
-        ut = proxies_prob[start:start + nprox]
-        # The plan is treated as a constant under differentiation (envelope
-        # theorem: at the entropic-OT optimum, d<P,C>/dC = P up to terms
-        # that vanish with the converged scalings). JAX cannot reverse-
-        # differentiate a while_loop anyway; the reference backprops through
-        # the unrolled torch loop, which converges to the same gradient.
+    # per-class top-k positive selection, batched: (C, N) -> (C, K)
+    class_ids = jnp.arange(num_classes)[:, None]
+    masks = labels[None, :] == class_ids                    # (C, N)
+    _, idx = jax.lax.top_k(masks.astype(jnp.float32), k)    # (C, K)
+    valid = jnp.take_along_axis(masks, idx, axis=1)         # (C, K)
+
+    # padded per-class cost blocks (C, K, maxP); pad columns get zero
+    # marginal so they are inert in the transport plan
+    starts = np.cumsum([0] + list(proxies_list))[:-1]
+    cost = jnp.zeros((num_classes, k, max_p), f.dtype)
+    ut = jnp.zeros((num_classes, max_p), f.dtype)
+    col_ok = jnp.zeros((num_classes, max_p), bool)
+    for c, (s0, nprox) in enumerate(zip(starts, proxies_list)):
+        rows = dis[idx[c]]  # (K, P)
+        cost = cost.at[c, :, :nprox].set(
+            jax.lax.dynamic_slice_in_dim(rows, int(s0), nprox, axis=1))
+        ut = ut.at[c, :nprox].set(
+            jax.lax.dynamic_slice_in_dim(proxies_prob, int(s0), nprox))
+        col_ok = col_ok.at[c, :nprox].set(True)
+
+    def one(cost_c, ut_c, valid_c):
+        # The plan is a constant under differentiation (envelope theorem
+        # at the entropic-OT optimum; JAX cannot reverse-differentiate
+        # the while_loop anyway — the reference backprops the unrolled
+        # torch loop, which converges to the same gradient).
         plan = jax.lax.stop_gradient(
-            sinkhorn(cost, target_marginal=ut, reg=reg,
-                     num_iters=num_iters, row_mask=valid))
-        has_pos = jnp.any(valid)
-        loss = loss + jnp.where(has_pos, jnp.sum(plan * cost), 0.0)
-        start += nprox
-    return loss / num_classes
+            sinkhorn(cost_c, target_marginal=ut_c, reg=reg,
+                     num_iters=num_iters, row_mask=valid_c))
+        has_pos = jnp.any(valid_c)
+        return jnp.where(has_pos, jnp.sum(plan * cost_c), 0.0)
+
+    losses = jax.vmap(one)(cost, ut, valid)
+    return losses.sum() / num_classes
 
 
 class MPLossOut(NamedTuple):

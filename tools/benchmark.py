@@ -83,11 +83,12 @@ def main():
                 strides=family_strides(cfg.model.family)))
         for _ in range(args.warmup):
             state, m = step(state, batch)
-        jax.block_until_ready(m)
+        float(m["loss"])  # real host fetch: the tunnel's
+        # block_until_ready can return before remote execution finishes
         t0 = time.time()
         for _ in range(args.iters):
             state, m = step(state, batch)
-        jax.block_until_ready(m)
+        float(m["loss"])
         dt = time.time() - t0
         n = args.iters * args.batch_size
         print(f"{cfg.name} TRAIN: {n / dt:.2f} images/sec "
@@ -112,14 +113,15 @@ def main():
         return _fwd(variables, images)
 
     for _ in range(args.warmup):
-        jax.block_until_ready(forward(x))
+        out = forward(x)
+    float(out["scores"][0, 0])  # real host fetch (tunnel-safe sync)
 
     if args.trace_dir:
         jax.profiler.start_trace(args.trace_dir)
     t0 = time.time()
     for _ in range(args.iters):
         out = forward(x)
-    jax.block_until_ready(out)
+    float(out["scores"][0, 0])
     elapsed = time.time() - t0
     if args.trace_dir:
         jax.profiler.stop_trace()
