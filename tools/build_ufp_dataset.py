@@ -109,16 +109,20 @@ def main():
             boxes.astype(np.float32), args.scale, (w0, h0))
         if not regions:
             continue
-        mosaic = np.zeros((int(mh), int(mw), 3), np.uint8)
+        mh_i, mw_i = int(mh), int(mw)
+        mosaic = np.zeros((mh_i, mw_i, 3), np.uint8)
         for r in regions:
             x1, y1, w, h = int(r.x1), int(r.y1), int(r.w), int(r.h)
-            nx, ny, f = int(r.new_x), int(r.new_y), int(r.factor)
-            crop = masked[y1:y1 + h, x1:x1 + w]
+            nx, ny, f = int(r.new_x), int(r.new_y), int(r.scale_factor)
+            crop = masked[max(y1, 0):y1 + h, max(x1, 0):x1 + w]
+            if crop.size == 0 or w * f <= 0 or h * f <= 0:
+                continue
             crop = cv2.resize(crop, (w * f, h * f))
-            mosaic[ny:ny + h * f, nx:nx + w * f] = \
-                crop[:max(int(mh) - ny, 0), :max(int(mw) - nx, 0)][
-                    :mosaic[ny:ny + h * f, nx:nx + w * f].shape[0],
-                    :mosaic[ny:ny + h * f, nx:nx + w * f].shape[1]]
+            ph = min(h * f, mh_i - ny)
+            pw = min(w * f, mw_i - nx)
+            if ph <= 0 or pw <= 0:
+                continue
+            mosaic[ny:ny + ph, nx:nx + pw] = crop[:ph, :pw]
 
         fname = f"ufp_{rec.img_id:07d}.jpg"
         cv2.imwrite(os.path.join(img_dir, fname),
@@ -139,7 +143,7 @@ def main():
                 inter = max(ix2 - ix1, 0) * max(iy2 - iy1, 0)
                 if inter / g_area <= args.iof_thr:
                     continue
-                s = r.factor
+                s = r.scale_factor
                 nb = [r.new_x + (gx1 - r.x1) * s, r.new_y + (gy1 - r.y1) * s,
                       (gx2 - gx1) * s, (gy2 - gy1) * s]
                 annos_out.append({
