@@ -36,8 +36,10 @@ def init_detector(config_name: str, checkpoint: Optional[str] = None,
     x = jnp.zeros((1, *cfg.data.img_hw, 3), jnp.float32)
     variables = jax.jit(lambda r, x: model.init(r, x, train=False))(rng, x)
     if checkpoint:
+        from glsdet_tpu.train.loop import make_state_template
+
         tx = build_optimizer(cfg, 1000)
-        state = TrainState.create(variables, tx, rng)
+        state = make_state_template(cfg, variables, tx, rng)
         state = restore_checkpoint(checkpoint, state)
         params = state.ema_params if use_ema else state.params
         variables = {"params": params, "batch_stats": state.batch_stats}

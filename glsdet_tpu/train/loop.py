@@ -86,6 +86,16 @@ def family_strides(family: str):
     return (8, 16, 32)
 
 
+def make_state_template(cfg: Config, variables, tx, rng):
+    """TrainState template matching what training checkpoints contain
+    (mpdet configs carry BoIW buffers)."""
+    boiw = None
+    if cfg.model.family == "mpdet":
+        boiw = init_boiw(rng, cfg.model.num_classes, cfg.model.num_words,
+                         cfg.model.feat_channels, cfg.model.proxies_list)
+    return TrainState.create(variables, tx, rng, boiw=boiw)
+
+
 def build_optimizer(cfg: Config, steps_per_epoch: int):
     t = cfg.train
     total = t.epochs * steps_per_epoch

@@ -65,8 +65,10 @@ def main():
     sample = jnp.zeros((1, *cfg.data.img_hw, 3), jnp.float32)
     variables = model.init(rng, sample, train=False)
     if args.coarse_ckpt and args.coarse_ckpt != "none":
+        from glsdet_tpu.train.loop import make_state_template
+
         tx = build_optimizer(cfg, 1000)
-        state = TrainState.create(variables, tx, rng)
+        state = make_state_template(cfg, variables, tx, rng)
         state = restore_checkpoint(args.coarse_ckpt, state)
         variables = {"params": state.ema_params,
                      "batch_stats": state.batch_stats}

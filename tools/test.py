@@ -43,8 +43,10 @@ def main():
     variables = model.init(rng, sample, train=False)
 
     if args.ckpt:
+        from glsdet_tpu.train.loop import make_state_template
+
         tx = build_optimizer(cfg, 1000)
-        state = TrainState.create(variables, tx, rng)
+        state = make_state_template(cfg, variables, tx, rng)
         state = restore_checkpoint(args.ckpt, state)
         params = state.ema_params if args.use_ema else state.params
         variables = {"params": params, "batch_stats": state.batch_stats}
