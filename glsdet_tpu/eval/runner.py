@@ -36,10 +36,17 @@ def run_eval(
     verbose: bool = True,
     variables=None,
     strides=None,
+    mesh=None,
 ) -> Tuple[CocoEvalResult, dict]:
     """apply_fn(variables, images) -> head outputs (pass ``variables``
     so weights stay jit arguments, not baked HLO constants); legacy
-    apply_fn(images) accepted when ``variables`` is None."""
+    apply_fn(images) accepted when ``variables`` is None.
+
+    ``mesh``: optional jax Mesh — images are batch-sharded over its
+    first axis and the jitted program runs data-parallel across chips,
+    the XLA-collective replacement for the reference's multi_gpu_test +
+    collect_results (mmdet/apis/test.py:70,118).
+    """
 
     if family in ("yolox", "ffa"):
         yolox_strides = strides or ((4, 8, 16, 32) if family == "ffa"
@@ -64,13 +71,21 @@ def run_eval(
     def forward(images):
         return _fwd(variables, images)
 
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        batch_sh = NamedSharding(mesh, P(mesh.axis_names[0]))
+
     pipeline = EvalPipeline(dataset, img_hw)
     dets_by_img: Dict[int, tuple] = {}
     seen = set()
     n_done = 0
     t0 = time.time()
     for batch in eval_loader(pipeline, batch_size):
-        out = forward(jnp.asarray(batch["images"]))
+        images = jnp.asarray(batch["images"])
+        if mesh is not None:
+            images = jax.device_put(images, batch_sh)
+        out = forward(images)
         boxes = np.asarray(out["boxes"])
         scores = np.asarray(out["scores"])
         labels = np.asarray(out["labels"])

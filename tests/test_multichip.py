@@ -67,3 +67,39 @@ def test_batch_sharded_loss_matches_single_device():
     np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
                                rtol=2e-4)
     assert float(m1["num_fg"]) == float(m2["num_fg"])
+
+
+def test_sharded_eval_runs():
+    """run_eval over the 8-device mesh: batch-sharded forward + NMS."""
+    import os
+    import tempfile
+
+    import cv2
+
+    from glsdet_tpu.data.coco import CocoDataset
+    from glsdet_tpu.data.visdrone import visdrone_to_coco
+    from glsdet_tpu.eval.runner import run_eval
+    from glsdet_tpu.models import YOLOXDetector
+    from glsdet_tpu.parallel import data_mesh
+
+    root = tempfile.mkdtemp()
+    os.makedirs(f"{root}/images")
+    os.makedirs(f"{root}/annotations")
+    rs = np.random.RandomState(0)
+    for i in range(8):
+        cv2.imwrite(f"{root}/images/{i:04d}.jpg",
+                    rs.randint(0, 255, (96, 128, 3), np.uint8))
+        open(f"{root}/annotations/{i:04d}.txt", "w").write(
+            "10,10,30,20,1,4,0,0\n")
+    visdrone_to_coco(root, f"{root}/t.json")
+    ds = CocoDataset(f"{root}/t.json", f"{root}/images")
+
+    model = YOLOXDetector(num_classes=10, phi="nano")
+    rng = jax.random.PRNGKey(0)
+    variables = model.init(rng, jnp.zeros((1, 96, 96, 3)), train=False)
+    mesh = data_mesh(8)
+    res, stats = run_eval(
+        ds, lambda v, im: model.apply(v, im, train=False), "yolox",
+        (96, 96), 10, batch_size=8, variables=variables, mesh=mesh,
+        verbose=False)
+    assert stats["images"] == 8
