@@ -190,3 +190,55 @@ def mixup(img_a, boxes_a, labels_a, img_b, boxes_b, labels_b,
     labels = (np.concatenate([labels_a, labels_b])
               if len(labels_b) else labels_a)
     return out, boxes, labels
+
+
+def random_crop(img: np.ndarray, boxes: np.ndarray, labels: np.ndarray,
+                rng: np.random.RandomState,
+                crop_hw: Tuple[int, int]):
+    """RandomCrop (transforms.py:712): crop a window, shift boxes, drop
+    boxes whose center leaves the window."""
+    h0, w0 = img.shape[:2]
+    ch, cw = min(crop_hw[0], h0), min(crop_hw[1], w0)
+    y0 = rng.randint(0, h0 - ch + 1)
+    x0 = rng.randint(0, w0 - cw + 1)
+    out = img[y0:y0 + ch, x0:x0 + cw]
+    if len(boxes):
+        b = boxes.copy()
+        b[:, [0, 2]] -= x0
+        b[:, [1, 3]] -= y0
+        cx = (b[:, 0] + b[:, 2]) / 2
+        cy = (b[:, 1] + b[:, 3]) / 2
+        keep = (cx >= 0) & (cx < cw) & (cy >= 0) & (cy < ch)
+        b[:, [0, 2]] = b[:, [0, 2]].clip(0, cw)
+        b[:, [1, 3]] = b[:, [1, 3]].clip(0, ch)
+        boxes, labels = b[keep], labels[keep]
+    return out, boxes, labels
+
+
+def photometric_distortion(img: np.ndarray, rng: np.random.RandomState,
+                           brightness_delta: int = 32,
+                           contrast_range=(0.5, 1.5),
+                           saturation_range=(0.5, 1.5),
+                           hue_delta: int = 18) -> np.ndarray:
+    """PhotoMetricDistortion (transforms.py:940): random brightness /
+    contrast / saturation / hue, each applied with p=0.5, contrast order
+    randomized."""
+    import cv2
+
+    out = img.astype(np.float32)
+    if rng.randint(2):
+        out += rng.uniform(-brightness_delta, brightness_delta)
+    contrast_first = rng.randint(2)
+    if contrast_first and rng.randint(2):
+        out *= rng.uniform(*contrast_range)
+    hsv = cv2.cvtColor(out.clip(0, 255).astype(np.uint8),
+                       cv2.COLOR_RGB2HSV).astype(np.float32)
+    if rng.randint(2):
+        hsv[..., 1] *= rng.uniform(*saturation_range)
+    if rng.randint(2):
+        hsv[..., 0] = (hsv[..., 0] + rng.uniform(-hue_delta, hue_delta)) % 180
+    out = cv2.cvtColor(hsv.clip(0, 255).astype(np.uint8),
+                       cv2.COLOR_HSV2RGB).astype(np.float32)
+    if not contrast_first and rng.randint(2):
+        out *= rng.uniform(*contrast_range)
+    return out.clip(0, 255).astype(np.uint8)

@@ -254,3 +254,37 @@ def summarize(res: CocoEvalResult, class_names=None) -> str:
         for n, v in zip(class_names, res.per_class_ap):
             lines.append(f"{n:>24s} = {v:.3f}")
     return "\n".join(lines)
+
+
+def eval_recalls(gts: dict, proposals: dict,
+                 proposal_nums=(100, 300, 1000),
+                 iou_thrs=(0.5,)) -> np.ndarray:
+    """Proposal recall matrix (mmdet/core/evaluation/recall.py analog).
+
+    gts: {img: boxes_xyxy}; proposals: {img: (boxes_xyxy, scores)}.
+    Returns (len(proposal_nums), len(iou_thrs)) recall fractions.
+    """
+    out = np.zeros((len(proposal_nums), len(iou_thrs)))
+    total_gt = sum(len(v) for v in gts.values())
+    if total_gt == 0:
+        return out
+    for pi, pn in enumerate(proposal_nums):
+        for ti, thr in enumerate(iou_thrs):
+            hit = 0
+            for img_id, gb in gts.items():
+                if len(gb) == 0:
+                    continue
+                pb, ps = proposals.get(img_id, (np.zeros((0, 4)),
+                                                np.zeros((0,))))
+                order = np.argsort(-ps)[:pn]
+                pb = pb[order]
+                if len(pb) == 0:
+                    continue
+                gw = np.concatenate(
+                    [gb[:, :2], gb[:, 2:] - gb[:, :2]], axis=1)
+                pw = np.concatenate(
+                    [pb[:, :2], pb[:, 2:] - pb[:, :2]], axis=1)
+                ious = _iou_xywh(pw, gw)  # (P, G)
+                hit += int((ious.max(axis=0) >= thr).sum())
+            out[pi, ti] = hit / total_gt
+    return out
