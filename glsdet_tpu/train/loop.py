@@ -198,6 +198,9 @@ def train(cfg: Config, dataset: Optional[CocoDataset] = None,
     global_step = int(state.step)
     t_iter = time.time()
     ot_rng = np.random.RandomState(cfg.train.seed + 1)
+    # jitted OT update: eager cosine-kmeans is hundreds of tiny dispatches
+    jit_update_ot = jax.jit(
+        lambda b, k: update_ot(b, k, cfg.model.proxies_list))
 
     for epoch in range(start_epoch, cfg.train.epochs):
         last_phase = epoch >= cfg.train.epochs - cfg.train.num_last_epochs
@@ -226,8 +229,7 @@ def train(cfg: Config, dataset: Optional[CocoDataset] = None,
                     and global_step % cfg.train.ot_interval == 0):
                 key = jax.random.PRNGKey(int(ot_rng.randint(2 ** 31)))
                 state = state.replace(
-                    boiw=update_ot(state.boiw, key,
-                                   cfg.model.proxies_list))
+                    boiw=jit_update_ot(state.boiw, key))
                 logger.info("step %d: ran update_ot", global_step)
 
             if global_step % cfg.train.log_interval == 0:
