@@ -100,23 +100,28 @@ def main():
     coco_dets = []
     t0 = time.time()
     n = 0
-    for rec in dataset.records:
-        if args.max_images and n >= args.max_images:
-            break
-        img = dataset.load_image(rec)
-        out = pipe(img)
-        b = out["boxes"]
-        xywh = np.concatenate([b[:, :2], b[:, 2:] - b[:, :2]], axis=1) \
-            if len(b) else np.zeros((0, 4))
-        dets_by_img[rec.img_id] = (xywh, out["scores"], out["labels"])
-        for box, s, l in zip(xywh, out["scores"], out["labels"]):
-            coco_dets.append({
-                "image_id": rec.img_id,
-                "category_id": dataset.cat_ids[int(l)],
-                "bbox": [float(v) for v in box],
-                "score": float(s),
-            })
-        n += 1
+    records = dataset.records
+    if args.max_images:
+        records = records[:args.max_images]
+    CHUNK = 8  # pipelined batches overlap host packing with device work
+    for start in range(0, len(records), CHUNK):
+        chunk = records[start:start + CHUNK]
+        imgs = [dataset.load_image(r) for r in chunk]
+        outs = pipe.run_batch(imgs)
+        for rec, out in zip(chunk, outs):
+            b = out["boxes"]
+            xywh = np.concatenate(
+                [b[:, :2], b[:, 2:] - b[:, :2]], axis=1) \
+                if len(b) else np.zeros((0, 4))
+            dets_by_img[rec.img_id] = (xywh, out["scores"], out["labels"])
+            for box, s, l in zip(xywh, out["scores"], out["labels"]):
+                coco_dets.append({
+                    "image_id": rec.img_id,
+                    "category_id": dataset.cat_ids[int(l)],
+                    "bbox": [float(v) for v in box],
+                    "score": float(s),
+                })
+            n += 1
     elapsed = time.time() - t0
     print(f"{n} images in {elapsed:.1f}s "
           f"({n / max(elapsed, 1e-9):.2f} img/s)")
