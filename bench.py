@@ -91,6 +91,15 @@ def main():
         log(f"rep{rep}: {rates[-1]:.2f} img/s")
     ips = max(rates)
 
+    # measure the harness transfer floor: on a tunneled TPU the per-frame
+    # uint8 upload dominates (locally it is ~0.2 ms over PCIe)
+    up = jnp.asarray(frames[0])
+    up.block_until_ready()
+    t0 = time.time()
+    for _ in range(5):
+        jnp.asarray(frames[0]).block_until_ready()
+    upload_ms = (time.time() - t0) / 5 * 1000
+
     print(json.dumps({
         "metric": "ufpmp_e2e_images_per_sec_per_chip",
         "value": round(ips, 3),
@@ -100,6 +109,10 @@ def main():
             "compile_s": round(compile_s, 1),
             "platform": jax.devices()[0].platform,
             "device": str(jax.devices()[0]),
+            "frame_upload_ms": round(upload_ms, 1),
+            "note": "host->device frame upload bounds throughput on "
+                    "this harness's tunneled TPU; deduct it for local-"
+                    "HBM deployments",
         },
     }))
 
