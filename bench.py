@@ -21,9 +21,19 @@ import numpy as np
 
 
 def main():
+    import os
     import sys
 
     import jax
+
+    # persistent compile cache: the tunnel's compile latency is highly
+    # variable (60-370s for this program set); cache hits skip it.
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".jax_cache")
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     import jax.numpy as jnp
 
     from glsdet_tpu.eval.two_stage import TwoStagePipeline

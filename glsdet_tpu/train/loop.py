@@ -172,23 +172,27 @@ def train(cfg: Config, dataset: Optional[CocoDataset] = None,
         logger.info("resumed from %s at step %d", cfg.train.resume,
                     int(state.step))
 
+    # donate the state buffers: params/opt-state/EMA update in place
+    # instead of allocating a second copy every step
     if cfg.model.family == "mpdet":
         step_fn = jax.jit(make_mpdet_train_step(
             model, tx, cfg.data.img_hw, cfg.model.num_classes,
             cfg.model.proxies_list, reg_max=cfg.model.reg_max,
-            gamma=cfg.model.gamma))
+            gamma=cfg.model.gamma), donate_argnums=(0,))
         step_fn_l1 = step_fn
     elif cfg.model.family == "gfl":
         step_fn = jax.jit(make_gfl_train_step(
             model, tx, cfg.data.img_hw, cfg.model.num_classes,
-            reg_max=cfg.model.reg_max))
+            reg_max=cfg.model.reg_max), donate_argnums=(0,))
         step_fn_l1 = step_fn
     else:
         strides = family_strides(cfg.model.family)
         step_fn = jax.jit(make_yolox_train_step(
-            model, tx, cfg.data.img_hw, use_l1=False, strides=strides))
+            model, tx, cfg.data.img_hw, use_l1=False, strides=strides),
+            donate_argnums=(0,))
         step_fn_l1 = jax.jit(make_yolox_train_step(
-            model, tx, cfg.data.img_hw, use_l1=True, strides=strides))
+            model, tx, cfg.data.img_hw, use_l1=True, strides=strides),
+            donate_argnums=(0,))
 
     loader = train_loader(pipeline, cfg.data.batch_size,
                           seed=cfg.train.seed,
