@@ -159,8 +159,13 @@ def train(cfg: Config, dataset: Optional[CocoDataset] = None,
     model = build_model(cfg)
     tx = build_optimizer(cfg, steps_per_epoch)
 
-    sample = jnp.zeros((1, *cfg.data.img_hw, 3), jnp.float32)
-    variables = model.init(rng, sample, train=False)
+    # jitted init at a small spatial size: eager init is thousands of
+    # tiny dispatches (minutes on a remote-tunnel TPU); shapes are
+    # resolution-independent for these fully-convolutional models
+    init_hw = (min(cfg.data.img_hw[0], 256), min(cfg.data.img_hw[1], 256))
+    sample = jnp.zeros((1, *init_hw, 3), jnp.float32)
+    variables = jax.jit(
+        lambda r, x: model.init(r, x, train=False))(rng, sample)
     boiw = None
     if cfg.model.family == "mpdet":
         boiw = init_boiw(rng, cfg.model.num_classes, cfg.model.num_words,

@@ -40,7 +40,9 @@ class TrainState:
             params=params,
             batch_stats=variables.get("batch_stats", {}),
             opt_state=tx.init(params),
-            ema_params=jax.tree.map(lambda x: x, params),
+            # real copy: identity-aliased EMA buffers break jit donation
+            # ("attempt to donate the same buffer twice")
+            ema_params=jax.tree.map(jnp.array, params),
             rng=rng,
             boiw=boiw,
         )

@@ -39,8 +39,10 @@ def main():
     dataset = CocoDataset(args.ann, args.img_root)
     model = build_model(cfg)
     rng = jax.random.PRNGKey(0)
-    sample = jnp.zeros((1, *cfg.data.img_hw, 3), jnp.float32)
-    variables = model.init(rng, sample, train=False)
+    init_hw = (min(cfg.data.img_hw[0], 256), min(cfg.data.img_hw[1], 256))
+    sample = jnp.zeros((1, *init_hw, 3), jnp.float32)
+    variables = jax.jit(
+        lambda r, x: model.init(r, x, train=False))(rng, sample)
 
     if args.ckpt:
         from glsdet_tpu.train.loop import make_state_template
