@@ -35,7 +35,7 @@ class TrainPipeline:
     def __init__(self, dataset: CocoDataset, img_hw: Tuple[int, int],
                  max_gt: int = 300, mosaic: bool = True,
                  enable_mixup: bool = True, hsv: bool = True,
-                 flip_prob: float = 0.5):
+                 flip_prob: float = 0.5, raw_uint8: bool = False):
         self.ds = dataset
         self.img_hw = img_hw
         self.max_gt = max_gt
@@ -43,6 +43,9 @@ class TrainPipeline:
         self.mixup = enable_mixup
         self.hsv = hsv
         self.flip_prob = flip_prob
+        # raw_uint8: skip host-side normalize; the train step normalizes
+        # on device (4x smaller host->device transfer)
+        self.raw_uint8 = raw_uint8
 
     def disable_aug(self):
         """YOLOXModeSwitchHook analog: last-15-epochs plain pipeline."""
@@ -76,7 +79,8 @@ class TrainPipeline:
         img, boxes = random_flip(img, boxes, rng, self.flip_prob)
         gt_boxes, gt_labels, gt_valid = pad_gts(boxes, labels, self.max_gt)
         return {
-            "images": normalize(img),
+            "images": (np.ascontiguousarray(img, np.uint8)
+                       if self.raw_uint8 else normalize(img)),
             "gt_boxes": gt_boxes,
             "gt_labels": gt_labels,
             "gt_valid": gt_valid,

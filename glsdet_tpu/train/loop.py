@@ -153,7 +153,8 @@ def train(cfg: Config, dataset: Optional[CocoDataset] = None,
     pipeline = TrainPipeline(
         dataset, cfg.data.img_hw, cfg.data.max_gt,
         mosaic=cfg.data.mosaic, enable_mixup=cfg.data.mixup,
-        hsv=cfg.data.hsv, flip_prob=cfg.data.flip_prob)
+        hsv=cfg.data.hsv, flip_prob=cfg.data.flip_prob,
+        raw_uint8=True)
     steps_per_epoch = max(len(dataset) // cfg.data.batch_size, 1)
 
     model = build_model(cfg)
@@ -183,21 +184,22 @@ def train(cfg: Config, dataset: Optional[CocoDataset] = None,
         step_fn = jax.jit(make_mpdet_train_step(
             model, tx, cfg.data.img_hw, cfg.model.num_classes,
             cfg.model.proxies_list, reg_max=cfg.model.reg_max,
-            gamma=cfg.model.gamma), donate_argnums=(0,))
+            gamma=cfg.model.gamma, normalize=True), donate_argnums=(0,))
         step_fn_l1 = step_fn
     elif cfg.model.family == "gfl":
         step_fn = jax.jit(make_gfl_train_step(
             model, tx, cfg.data.img_hw, cfg.model.num_classes,
-            reg_max=cfg.model.reg_max), donate_argnums=(0,))
+            reg_max=cfg.model.reg_max, normalize=True),
+            donate_argnums=(0,))
         step_fn_l1 = step_fn
     else:
         strides = family_strides(cfg.model.family)
         step_fn = jax.jit(make_yolox_train_step(
-            model, tx, cfg.data.img_hw, use_l1=False, strides=strides),
-            donate_argnums=(0,))
+            model, tx, cfg.data.img_hw, use_l1=False, strides=strides,
+            normalize=True), donate_argnums=(0,))
         step_fn_l1 = jax.jit(make_yolox_train_step(
-            model, tx, cfg.data.img_hw, use_l1=True, strides=strides),
-            donate_argnums=(0,))
+            model, tx, cfg.data.img_hw, use_l1=True, strides=strides,
+            normalize=True), donate_argnums=(0,))
 
     loader = train_loader(pipeline, cfg.data.batch_size,
                           seed=cfg.train.seed,
