@@ -234,6 +234,13 @@ def train(cfg: Config, dataset: Optional[CocoDataset] = None,
             state, metrics = fn(state, batch)
             global_step += 1
 
+            # bound in-flight async work: without a periodic real sync the
+            # dispatch queue retains every step's host batch buffers (OOM
+            # at ~200 in-flight 47MB batches on remote backends whose
+            # block_until_ready is advisory)
+            if global_step % 10 == 0:
+                float(metrics["loss"])
+
             # OT hook: update_ot every ot_interval while epoch < stop
             if (cfg.model.family == "mpdet"
                     and epoch < cfg.train.ot_stop_epoch
