@@ -93,7 +93,7 @@ def main():
     # pipeline, not the tunnel's bad moments)
     n_iters = 24
     rates = []
-    for rep in range(3):
+    for rep in range(5):
         t0 = time.time()
         for i in range(0, n_iters, len(frames)):
             pipe.run_batch(frames)
