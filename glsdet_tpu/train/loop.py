@@ -54,7 +54,8 @@ def build_model(cfg: Config, axis_name: Optional[str] = None):
         cfg.model.dtype]
     if cfg.model.family == "yolox":
         return YOLOXDetector(num_classes=cfg.model.num_classes,
-                             phi=cfg.model.phi, dtype=dtype,
+                             phi=cfg.model.phi,
+                             variant=cfg.model.variant, dtype=dtype,
                              axis_name=axis_name)
     if cfg.model.family == "mpdet":
         return MPDet(num_classes=cfg.model.num_classes,
