@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import os
 import time
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Sequence
 
 import numpy as np
 
@@ -28,7 +28,6 @@ def init_detector(config_name: str, checkpoint: Optional[str] = None,
     from glsdet_tpu.config import get_config
     from glsdet_tpu.train.loop import (build_model, build_optimizer,
                                        restore_checkpoint)
-    from glsdet_tpu.train.state import TrainState
 
     cfg = get_config(config_name)
     model = build_model(cfg)

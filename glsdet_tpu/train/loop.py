@@ -25,7 +25,7 @@ import json
 import logging
 import os
 import time
-from typing import Callable, Iterator, Optional
+from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp

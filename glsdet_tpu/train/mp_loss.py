@@ -29,7 +29,7 @@ import numpy as np
 from glsdet_tpu.models.mp_head import proxy_scores
 from glsdet_tpu.ops.sinkhorn import sinkhorn
 from glsdet_tpu.train.boiw import BoIWState, update_dictionary
-from glsdet_tpu.train.gfl_loss import GFLLossOut, GFLTargets, gfl_loss
+from glsdet_tpu.train.gfl_loss import GFLTargets, gfl_loss
 
 
 def contrastive_loss(features: jnp.ndarray, labels: jnp.ndarray,
