@@ -46,8 +46,7 @@ def pick_bucket(h: float, w: float, buckets: Sequence[int]) -> int:
     return buckets[-1]
 
 
-@functools.partial(jax.jit, static_argnames=("out_hw",))
-def _assemble_normalize(image, regions, out_hw):
+def _assemble_normalize_impl(image, regions, out_hw):
     """image: (H, W, 3) uint8 (or float) — normalization happens on
     device so the host->device transfer stays uint8 (4x less tunnel/PCIe
     traffic than float32)."""
@@ -56,6 +55,19 @@ def _assemble_normalize(image, regions, out_hw):
     mean = jnp.asarray([123.675, 116.28, 103.53], jnp.float32)
     std = jnp.asarray([58.395, 57.12, 57.375], jnp.float32)
     return (canvas - mean) / std
+
+
+_assemble_normalize = jax.jit(_assemble_normalize_impl,
+                              static_argnames=("out_hw",))
+
+
+def _pow2_pad(n: int) -> int:
+    """Smallest power of two >= n (bounds the set of compiled batch
+    shapes to log2(max_batch)+1 programs per image shape)."""
+    b = 1
+    while b < n:
+        b *= 2
+    return b
 
 
 @functools.partial(jax.jit, static_argnames=("iou_thr", "max_out"))
@@ -87,7 +99,8 @@ class TwoStagePipeline:
                  final_nms_thr: float = 0.6,
                  max_coarse_dets: int = 200,
                  max_chip_dets: int = 500,
-                 coarse_vars=None, mp_vars=None):
+                 coarse_vars=None, mp_vars=None,
+                 max_batch: int = 4):
         """Two call conventions:
 
         - coarse_apply(variables, images) with ``coarse_vars`` given
@@ -109,6 +122,7 @@ class TwoStagePipeline:
         self.max_chip = max_chip_dets
         self._cvars = coarse_vars
         self._mvars = mp_vars
+        self.max_batch = max(1, int(max_batch))
 
         @jax.jit
         def _coarse(variables, images):
@@ -178,6 +192,55 @@ class TwoStagePipeline:
             lambda img, regions, hw: _mosaic_stage(
                 self._mvars, img, regions, hw))
 
+        @jax.jit
+        def _coarse_full_batch(variables, imgs):
+            # imgs: (B, H, W, 3) uint8 — ONE stacked upload + ONE dispatch
+            # for the whole chunk (a tunneled TPU pays per-RPC overhead,
+            # so B frames per round trip is ~B-fold fewer stalls).
+            b = imgs.shape[0]
+            img = imgs.astype(jnp.float32)
+            resized = jax.image.resize(
+                img, (b, coarse_hw[0], coarse_hw[1], 3), method="bilinear")
+            mean = jnp.asarray([123.675, 116.28, 103.53], jnp.float32)
+            std = jnp.asarray([58.395, 57.12, 57.375], jnp.float32)
+            images = (resized - mean) / std
+            out = (coarse_apply(variables, images)
+                   if variables is not None else coarse_apply(images))
+            cls, reg, obj = out
+            return yolox_postprocess(
+                cls, reg, obj, coarse_hw, score_thr=coarse_score_thr,
+                max_dets=max_coarse_dets)
+
+        self._coarse_full_batch = (
+            lambda imgs: _coarse_full_batch(self._cvars, imgs))
+
+        _unmap_nms_v = jax.vmap(functools.partial(
+            _unmap_and_nms, iou_thr=final_nms_thr, max_out=max_chip_dets))
+
+        @functools.partial(jax.jit, static_argnames=("hw",))
+        def _mosaic_stage_batch(variables, imgs, idx, regions, hw):
+            # imgs: (B, H, W, 3) uint8 stacked chunk already on device;
+            # idx: (b,) int32 rows of the chunk to assemble; regions:
+            # (b, R, 7).  One dispatch covers assembly, MP-Det forward,
+            # decode+NMS and unmapping for the whole group.
+            sel = imgs[idx]
+            mosaics = jax.vmap(
+                lambda im, rg: _assemble_normalize_impl(im, rg, hw)
+            )(sel, regions)
+            out = (mp_apply(variables, mosaics)
+                   if variables is not None else mp_apply(mosaics))
+            cls, reg = out
+            mp_dets = gfl_postprocess(
+                cls, reg, (hw, hw), score_thr=chip_score_thr,
+                max_dets=max_chip_dets)
+            return _unmap_nms_v(
+                mp_dets["boxes"], mp_dets["scores"], mp_dets["labels"],
+                mp_dets["valid"], regions)
+
+        self._mosaic_stage_batch = (
+            lambda imgs, idx, regions, hw: _mosaic_stage_batch(
+                self._mvars, imgs, idx, regions, hw))
+
     def __call__(self, image: np.ndarray) -> dict:
         """image: (H, W, 3) uint8/float RGB in original resolution.
 
@@ -186,65 +249,105 @@ class TwoStagePipeline:
         return self.run_batch([image])[0]
 
     def run_batch(self, images: Sequence[np.ndarray]) -> List[dict]:
-        """Pipelined batch inference.
+        """Pipelined, chunk-batched inference.
 
-        JAX dispatch is asynchronous: phase 1 enqueues every coarse
-        forward before any result is read, so the host-side UFP packing
-        of image i overlaps the device's coarse pass of image i+1; phase
-        2 does the same for the mosaic stage.  This is the TPU analog of
-        the reference's CUDA-stream overlap (it has none — its packing
-        blocks the GPU, ufpmp_det_eval.py:263).
+        Frames are grouped by shape into chunks of up to ``max_batch``;
+        each chunk is ONE stacked uint8 upload + ONE coarse dispatch, and
+        its mosaic jobs (grouped by canvas bucket) are ONE mosaic-stage
+        dispatch each — on a tunneled TPU this divides the per-RPC
+        round-trip overhead by the chunk size.  Chunks are padded up to a
+        power of two by repeating the last frame so at most
+        log2(max_batch)+1 program shapes ever compile per image shape.
+
+        JAX dispatch stays asynchronous: every coarse chunk is enqueued
+        before any result is read, so host-side UFP packing overlaps
+        device compute (the reference's packing blocks its GPU,
+        ufpmp_det_eval.py:263).
         """
         ch, cw = self.coarse_hw
-        coarse_out = []
-        dev_imgs = []
-        for img in images:
-            dev_img = jnp.asarray(img.astype(np.uint8))  # one upload/frame
-            dev_imgs.append(dev_img)
-            coarse_out.append(self._coarse_full(dev_img))
+        n = len(images)
 
-        mid = []
-        for img, dev_img, dets in zip(images, dev_imgs, coarse_out):
-            h0, w0 = img.shape[:2]
-            boxes = np.asarray(dets["boxes"][0])
-            valid = np.asarray(dets["valid"][0])
-            sx, sy = w0 / cw, h0 / ch
-            coarse_boxes = (boxes * np.array([sx, sy, sx, sy],
-                                             np.float32))[valid]
-            regions, mw, mh = unified_foreground_packing(
-                coarse_boxes.astype(np.float32), self.ufp_scale, (w0, h0))
-            if len(regions) == 0:
-                mid.append(None)
-                continue
-            bucket = pick_bucket(mh, mw, self.buckets)
-            reg_arr = jnp.asarray(
-                regions_to_array(regions, self.max_regions))
-            mid.append(self._mosaic_stage(dev_img, reg_arr, bucket))
+        # phase 1: shape-grouped chunks -> stacked upload + coarse batch
+        by_shape: Dict[tuple, List[int]] = {}
+        for i, img in enumerate(images):
+            by_shape.setdefault(img.shape, []).append(i)
 
-        results = []
+        chunks = []  # (orig_indices, dev_stack, coarse_future)
+        for idxs in by_shape.values():
+            for s in range(0, len(idxs), self.max_batch):
+                part = idxs[s:s + self.max_batch]
+                b = _pow2_pad(len(part))
+                padded = part + [part[-1]] * (b - len(part))
+                stack = np.stack([np.asarray(images[i], np.uint8)
+                                  for i in padded])
+                dev = jnp.asarray(stack)            # one upload per chunk
+                chunks.append((part, dev, self._coarse_full_batch(dev)))
+
+        # phase 2: read coarse dets, pack on host, group mosaic jobs by
+        # bucket within each chunk (jobs reuse the chunk's device stack)
+        mid: List[Optional[tuple]] = [None] * n
         empty = {
             "boxes": np.zeros((0, 4), np.float32),
             "scores": np.zeros((0,), np.float32),
             "labels": np.zeros((0,), np.int64),
         }
-        for out in mid:
-            if out is None:
-                results.append(empty)
-                continue
-            fb, fs, fl, fv = out
-            fv = np.asarray(fv)
-            results.append({
-                "boxes": np.asarray(fb)[fv],
-                "scores": np.asarray(fs)[fv],
-                "labels": np.asarray(fl)[fv],
-            })
+        pending = []  # (orig_index, future, row)
+        for part, dev, dets in chunks:
+            all_boxes = np.asarray(dets["boxes"])
+            all_valid = np.asarray(dets["valid"])
+            jobs: Dict[int, List[tuple]] = {}
+            for row, i in enumerate(part):
+                h0, w0 = images[i].shape[:2]
+                sx, sy = w0 / cw, h0 / ch
+                coarse_boxes = (all_boxes[row]
+                                * np.array([sx, sy, sx, sy],
+                                           np.float32))[all_valid[row]]
+                regions, mw, mh = unified_foreground_packing(
+                    coarse_boxes.astype(np.float32), self.ufp_scale,
+                    (w0, h0))
+                if len(regions) == 0:
+                    continue
+                bucket = pick_bucket(mh, mw, self.buckets)
+                jobs.setdefault(bucket, []).append(
+                    (i, row,
+                     regions_to_array(regions, self.max_regions)))
+            for bucket, job_list in jobs.items():
+                b = _pow2_pad(len(job_list))
+                job_list = job_list + [job_list[-1]] * (b - len(job_list))
+                rows = jnp.asarray(
+                    np.array([j[1] for j in job_list], np.int32))
+                regs = jnp.asarray(
+                    np.stack([j[2] for j in job_list]))
+                fut = self._mosaic_stage_batch(dev, rows, regs, bucket)
+                for slot, job in enumerate(job_list):
+                    i = job[0]
+                    if mid[i] is None:   # skip pow2-padding repeats
+                        pending.append((i, fut, slot))
+                        mid[i] = ()
+
+        # phase 3: read mosaic-stage results
+        results: List[dict] = [empty] * n
+        for i, fut, slot in pending:
+            fb, fs, fl, fv = fut
+            fv_i = np.asarray(fv[slot])
+            results[i] = {
+                "boxes": np.asarray(fb[slot])[fv_i],
+                "scores": np.asarray(fs[slot])[fv_i],
+                "labels": np.asarray(fl[slot])[fv_i],
+            }
         return results
 
     def warmup(self, image_hw: Tuple[int, int]):
-        """Compile the coarse program and every mosaic bucket once."""
+        """Compile the coarse + mosaic programs for every bucket at the
+        batch sizes the chunked ``run_batch`` will hit (1 and the pow2 of
+        ``max_batch``)."""
         img = np.zeros((*image_hw, 3), np.uint8)
-        dev_img = jnp.asarray(img)
-        jax.block_until_ready(self._coarse_full(dev_img))
-        reg = jnp.asarray(regions_to_array([], self.max_regions))
-        for b in self.buckets:
-            jax.block_until_ready(self._mosaic_stage(dev_img, reg, b))
+        reg1 = regions_to_array([], self.max_regions)
+        for b in sorted({1, _pow2_pad(self.max_batch)}):
+            dev = jnp.asarray(np.stack([img] * b))
+            jax.block_until_ready(self._coarse_full_batch(dev))
+            rows = jnp.asarray(np.zeros((b,), np.int32))
+            regs = jnp.asarray(np.stack([reg1] * b))
+            for bk in self.buckets:
+                jax.block_until_ready(
+                    self._mosaic_stage_batch(dev, rows, regs, bk))
