@@ -242,3 +242,173 @@ def photometric_distortion(img: np.ndarray, rng: np.random.RandomState,
     if not contrast_first and rng.randint(2):
         out *= rng.uniform(*contrast_range)
     return out.clip(0, 255).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# AutoAugment (box-aware policy augmentation)
+# ---------------------------------------------------------------------------
+# Behavioral reference: mmdet/datasets/pipelines/auto_augment.py —
+# ``AutoAugment`` picks ONE policy (a list of op dicts, each with its own
+# ``prob``) uniformly per sample; geometric ops (Shear/Rotate/Translate)
+# warp boxes with the image and drop boxes that leave the canvas;
+# photometric ops (Color/Brightness/Contrast/Equalize) touch pixels only.
+# ``level`` in [0, 10] scales each op's magnitude exactly as the
+# reference's ``level_to_value`` / ``level_to_mag`` helpers do.
+
+_MAX_LEVEL = 10
+
+
+def _warp_with_boxes(img, boxes, labels, mat, pad_val=128.0,
+                     min_size=2.0):
+    """Apply a 2x3 affine to image + boxes on the same canvas; boxes are
+    re-fit to warped corners, clipped, and dropped below ``min_size``."""
+    import cv2
+
+    h, w = img.shape[:2]
+    out = cv2.warpAffine(img, mat, (w, h),
+                         borderValue=(pad_val,) * 3)
+    if len(boxes):
+        n = len(boxes)
+        corners = np.ones((n * 4, 3), np.float64)
+        corners[:, :2] = boxes[:, [0, 1, 2, 1, 0, 3, 2, 3]].reshape(-1, 2)
+        warped = (np.vstack([mat, [0, 0, 1]]) @ corners.T).T[:, :2]
+        warped = warped.reshape(n, 8)
+        xs, ys = warped[:, 0::2], warped[:, 1::2]
+        new = np.stack([xs.min(1), ys.min(1), xs.max(1), ys.max(1)], 1)
+        new[:, [0, 2]] = new[:, [0, 2]].clip(0, w)
+        new[:, [1, 3]] = new[:, [1, 3]].clip(0, h)
+        wh = new[:, 2:4] - new[:, :2]
+        keep = (wh > min_size).all(axis=1)
+        boxes, labels = new[keep].astype(np.float32), labels[keep]
+    return out, boxes, labels
+
+
+def shear_aug(img, boxes, labels, rng, level, direction="horizontal",
+              max_shear_magnitude=0.3, prob=0.5, random_negative=True):
+    """Shear (auto_augment.py Shear): magnitude = level/10 * 0.3."""
+    if rng.rand() > prob:
+        return img, boxes, labels
+    mag = level / _MAX_LEVEL * max_shear_magnitude
+    if random_negative and rng.rand() < 0.5:
+        mag = -mag
+    if direction == "horizontal":
+        mat = np.array([[1, mag, 0], [0, 1, 0]], np.float64)
+    else:
+        mat = np.array([[1, 0, 0], [mag, 1, 0]], np.float64)
+    return _warp_with_boxes(img, boxes, labels, mat)
+
+
+def rotate_aug(img, boxes, labels, rng, level, max_rotate_angle=30.0,
+               prob=0.5, random_negative=True):
+    """Rotate (auto_augment.py Rotate): angle = level/10 * 30deg about
+    the image center."""
+    import cv2
+
+    if rng.rand() > prob:
+        return img, boxes, labels
+    ang = level / _MAX_LEVEL * max_rotate_angle
+    if random_negative and rng.rand() < 0.5:
+        ang = -ang
+    h, w = img.shape[:2]
+    mat = cv2.getRotationMatrix2D((w / 2, h / 2), ang, 1.0)
+    return _warp_with_boxes(img, boxes, labels, mat)
+
+
+def translate_aug(img, boxes, labels, rng, level,
+                  direction="horizontal", max_translate_offset=250.0,
+                  prob=0.5, random_negative=True):
+    """Translate (auto_augment.py Translate): offset = level/10 * 250px."""
+    if rng.rand() > prob:
+        return img, boxes, labels
+    off = int(level / _MAX_LEVEL * max_translate_offset)
+    if random_negative and rng.rand() < 0.5:
+        off = -off
+    if direction == "horizontal":
+        mat = np.array([[1, 0, off], [0, 1, 0]], np.float64)
+    else:
+        mat = np.array([[1, 0, 0], [0, 1, off]], np.float64)
+    return _warp_with_boxes(img, boxes, labels, mat)
+
+
+def color_aug(img, rng, level, prob=0.5):
+    """ColorTransform: blend with grayscale, factor = level/10."""
+    import cv2
+
+    if rng.rand() > prob:
+        return img
+    factor = level / _MAX_LEVEL
+    gray = cv2.cvtColor(img, cv2.COLOR_RGB2GRAY)[..., None]
+    out = (img.astype(np.float32) * factor
+           + gray.astype(np.float32) * (1 - factor))
+    return out.clip(0, 255).astype(np.uint8)
+
+
+def brightness_aug(img, rng, level, prob=0.5):
+    """BrightnessTransform: scale toward black, factor = level/10."""
+    if rng.rand() > prob:
+        return img
+    factor = level / _MAX_LEVEL
+    return (img.astype(np.float32) * factor).clip(0, 255).astype(np.uint8)
+
+
+def contrast_aug(img, rng, level, prob=0.5):
+    """ContrastTransform: blend with the mean-gray image."""
+    import cv2
+
+    if rng.rand() > prob:
+        return img
+    factor = level / _MAX_LEVEL
+    mean = cv2.cvtColor(img, cv2.COLOR_RGB2GRAY).mean()
+    out = img.astype(np.float32) * factor + mean * (1 - factor)
+    return out.clip(0, 255).astype(np.uint8)
+
+
+def equalize_aug(img, rng, prob=0.5):
+    """EqualizeTransform: per-channel histogram equalization."""
+    import cv2
+
+    if rng.rand() > prob:
+        return img
+    return np.stack([cv2.equalizeHist(img[..., c]) for c in range(3)], -1)
+
+
+# The reference's detection policy set (auto_augment.py policies used by
+# mmdet detection configs): per sample pick one sub-policy at random.
+AUTOAUG_POLICIES_V0 = (
+    (("translate", dict(level=8, direction="horizontal", prob=0.6)),
+     ("rotate", dict(level=8, prob=0.6))),
+    (("shear", dict(level=6, direction="vertical", prob=0.6)),
+     ("brightness", dict(level=6, prob=0.6))),
+    (("rotate", dict(level=10, prob=0.6)),
+     ("color", dict(level=6, prob=0.6))),
+    (("translate", dict(level=8, direction="vertical", prob=0.6)),
+     ("equalize", dict(prob=0.8)),),
+    (("shear", dict(level=8, direction="horizontal", prob=0.6)),
+     ("contrast", dict(level=6, prob=0.6))),
+)
+
+
+def auto_augment(img, boxes, labels, rng: np.random.RandomState,
+                 policies=AUTOAUG_POLICIES_V0):
+    """Apply one randomly chosen sub-policy (mmdet AutoAugment.__call__:
+    ``np.random.choice(policies)`` then sequential ops)."""
+    policy = policies[rng.randint(len(policies))]
+    for name, kw in policy:
+        if name == "shear":
+            img, boxes, labels = shear_aug(img, boxes, labels, rng, **kw)
+        elif name == "rotate":
+            img, boxes, labels = rotate_aug(img, boxes, labels, rng, **kw)
+        elif name == "translate":
+            img, boxes, labels = translate_aug(
+                img, boxes, labels, rng, **kw)
+        elif name == "color":
+            img = color_aug(img, rng, **kw)
+        elif name == "brightness":
+            img = brightness_aug(img, rng, **kw)
+        elif name == "contrast":
+            img = contrast_aug(img, rng, **kw)
+        elif name == "equalize":
+            img = equalize_aug(img, rng, **kw)
+        else:
+            raise ValueError(f"unknown autoaugment op {name!r}")
+    return img, boxes, labels

@@ -108,10 +108,95 @@ class EvalPipeline:
         }
 
 
+def aspect_ratio_flags(dataset: CocoDataset) -> np.ndarray:
+    """Per-image group flag: 1 for landscape (w/h > 1) else 0 — the
+    grouping key of mmdet's GroupSampler (samplers/group_sampler.py:23
+    ``self.flag`` set by CustomDataset._set_group_flag)."""
+    return np.array(
+        [1 if rec.width / max(rec.height, 1) > 1 else 0
+         for rec in dataset.records], np.int64)
+
+
+class GroupSampler:
+    """Aspect-ratio grouped batch sampler (group_sampler.py:10 analog).
+
+    Every emitted batch is drawn from a single aspect group so a
+    per-batch letterbox orientation never mixes portrait and landscape
+    padding.  Each group is shuffled per epoch and padded up to a
+    multiple of ``batch_size`` by repeating random members, then the
+    batch order is shuffled across groups — exactly the reference's
+    epoch schedule, made deterministic by (seed, epoch).
+
+    Under this stack's fixed-shape letterbox the grouping is an
+    optimization, not a correctness requirement; it exists for parity
+    and for pipelines that pick the canvas orientation per batch.
+    """
+
+    def __init__(self, dataset_or_flags, batch_size: int, seed: int = 0):
+        flags = (dataset_or_flags
+                 if isinstance(dataset_or_flags, np.ndarray)
+                 else aspect_ratio_flags(dataset_or_flags))
+        self.flags = flags
+        self.batch_size = batch_size
+        self.seed = seed
+        self.groups = [np.flatnonzero(flags == g)
+                       for g in np.unique(flags)]
+
+    def epoch_batches(self, epoch: int = 0) -> list:
+        """List of index arrays, each of length ``batch_size`` and
+        single-group; covers every index at least once."""
+        rng = np.random.RandomState((self.seed * 1_000_003 + epoch)
+                                    % (2 ** 31))
+        batches = []
+        for idxs in self.groups:
+            if len(idxs) == 0:
+                continue
+            order = rng.permutation(idxs)
+            pad = (-len(order)) % self.batch_size
+            if pad:
+                extra = rng.choice(idxs, size=pad, replace=True)
+                order = np.concatenate([order, extra])
+            batches.extend(order.reshape(-1, self.batch_size))
+        perm = rng.permutation(len(batches))
+        return [batches[i] for i in perm]
+
+    def __iter__(self):
+        for b in self.epoch_batches(0):
+            yield b
+
+
+class DistributedGroupSampler(GroupSampler):
+    """Sharded variant (group_sampler.py:51): the global grouped batch
+    schedule is padded to a multiple of ``num_replicas`` and dealt
+    round-robin, so every replica sees the same number of single-group
+    batches per epoch with no coordination (the reference needs the
+    torch.distributed rank handshake; here the schedule is a pure
+    function of (seed, epoch, rank))."""
+
+    def __init__(self, dataset_or_flags, batch_size: int,
+                 num_replicas: int, rank: int, seed: int = 0):
+        super().__init__(dataset_or_flags, batch_size, seed)
+        if not 0 <= rank < num_replicas:
+            raise ValueError(f"rank {rank} not in [0, {num_replicas})")
+        self.num_replicas = num_replicas
+        self.rank = rank
+
+    def epoch_batches(self, epoch: int = 0) -> list:
+        global_batches = super().epoch_batches(epoch)
+        pad = (-len(global_batches)) % self.num_replicas
+        global_batches = global_batches + global_batches[:pad]
+        return global_batches[self.rank::self.num_replicas]
+
+
 def train_loader(pipeline: TrainPipeline, batch_size: int, seed: int = 0,
                  num_threads: int = 4,
-                 prefetch: int = 4) -> Iterator[dict]:
-    """Infinite shuffled batch stream with thread-pool prefetch."""
+                 prefetch: int = 4,
+                 sampler: Optional[GroupSampler] = None) -> Iterator[dict]:
+    """Infinite shuffled batch stream with thread-pool prefetch.
+
+    ``sampler``: optional GroupSampler/DistributedGroupSampler supplying
+    the per-epoch batch schedule (aspect-ratio grouping); default is a
+    plain seeded permutation."""
     n = len(pipeline.ds)
     q: "queue.Queue" = queue.Queue(maxsize=prefetch)
     stop = threading.Event()
@@ -120,9 +205,14 @@ def train_loader(pipeline: TrainPipeline, batch_size: int, seed: int = 0,
         epoch = 0
         master = np.random.RandomState(seed)
         while not stop.is_set():
-            order = master.permutation(n)
-            for start in range(0, n - batch_size + 1, batch_size):
-                idxs = order[start:start + batch_size]
+            if sampler is not None:
+                schedule = sampler.epoch_batches(epoch)
+            else:
+                order = master.permutation(n)
+                schedule = [order[s:s + batch_size]
+                            for s in range(0, n - batch_size + 1,
+                                           batch_size)]
+            for idxs in schedule:
                 seeds = master.randint(0, 2 ** 31, size=batch_size)
                 samples = [None] * batch_size
 

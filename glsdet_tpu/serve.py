@@ -1,0 +1,272 @@
+"""Model serving: archive format + HTTP inference server + async facade.
+
+TPU-native analog of the reference's TorchServe deployment path
+(``yolox-ufp/tools/deployment/mmdet2torchserve.py`` packages
+config+checkpoint into a ``.mar``; ``mmdet_handler.py`` decodes request
+images, runs ``inference_detector`` and returns per-class detections)
+and of mmdet's async inference API (``mmdet/apis/inference.py``
+``async_inference_detector``, exercised by ``tests/test_async.py``).
+
+Design notes (TPU-first):
+- the server owns ONE jitted program and ONE device; requests are
+  funneled through a single dispatch queue (two concurrent TPU clients
+  would serialize anyway — batching at the facade is the throughput
+  lever, matching ``TwoStagePipeline.run_batch``).
+- ``AsyncDetector`` exploits JAX's asynchronous dispatch: ``submit``
+  enqueues the device program and returns a future immediately; device
+  compute overlaps host work with no extra threads on the hot path.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import os
+import queue
+import threading
+import zipfile
+from concurrent.futures import Future
+from typing import Optional, Sequence
+
+import numpy as np
+
+ARCHIVE_MANIFEST = "MANIFEST.json"
+ARCHIVE_SUFFIX = ".gtar"
+
+
+# ---------------------------------------------------------------------------
+# model archive (mmdet2torchserve .mar analog)
+# ---------------------------------------------------------------------------
+
+def archive_model(config_name: str, checkpoint_dir: Optional[str],
+                  output_path: str, model_name: Optional[str] = None,
+                  class_names: Optional[Sequence[str]] = None,
+                  score_thr: float = 0.3,
+                  force: bool = False) -> str:
+    """Package a named config + orbax checkpoint directory into a single
+    self-describing zip archive (the ``.mar`` analog).
+
+    The checkpoint directory is embedded file-by-file under ``ckpt/`` so
+    the archive is one portable artifact.
+    """
+    if not output_path.endswith(ARCHIVE_SUFFIX):
+        output_path += ARCHIVE_SUFFIX
+    if os.path.exists(output_path) and not force:
+        raise FileExistsError(f"{output_path} exists (use force=True)")
+    manifest = {
+        "model_name": model_name or config_name,
+        "config_name": config_name,
+        "class_names": list(class_names) if class_names else None,
+        "score_thr": score_thr,
+        "has_checkpoint": checkpoint_dir is not None,
+        "format_version": 1,
+    }
+    os.makedirs(os.path.dirname(os.path.abspath(output_path)), exist_ok=True)
+    with zipfile.ZipFile(output_path, "w", zipfile.ZIP_DEFLATED) as zf:
+        zf.writestr(ARCHIVE_MANIFEST, json.dumps(manifest, indent=2))
+        if checkpoint_dir:
+            root = os.path.abspath(checkpoint_dir)
+            for base, _, files in os.walk(root):
+                for fn in files:
+                    full = os.path.join(base, fn)
+                    rel = os.path.relpath(full, root)
+                    zf.write(full, os.path.join("ckpt", rel))
+    return output_path
+
+
+def load_archive(path: str, workdir: Optional[str] = None):
+    """Unpack an archive; returns (manifest dict, checkpoint_dir|None)."""
+    import tempfile
+
+    workdir = workdir or tempfile.mkdtemp(prefix="glsdet_serve_")
+    with zipfile.ZipFile(path) as zf:
+        manifest = json.loads(zf.read(ARCHIVE_MANIFEST))
+        names = [n for n in zf.namelist() if n.startswith("ckpt/")]
+        ckpt_dir = None
+        if manifest.get("has_checkpoint") and names:
+            for n in names:
+                zf.extract(n, workdir)
+            ckpt_dir = os.path.join(workdir, "ckpt")
+    return manifest, ckpt_dir
+
+
+# ---------------------------------------------------------------------------
+# async inference facade
+# ---------------------------------------------------------------------------
+
+class AsyncDetector:
+    """Asynchronous single-model predictor.
+
+    ``submit(image)`` returns a ``concurrent.futures.Future`` resolving to
+    the same dict ``Detector.detect`` returns.  Dispatch happens on a
+    single worker thread that enqueues the jitted forward (JAX dispatch
+    is async, so the worker is free again long before the TPU finishes);
+    result readback happens lazily in a second thread.  Also usable from
+    asyncio via ``detect_async`` (mmdet ``async_inference_detector``
+    analog).
+    """
+
+    def __init__(self, detector, max_queue: int = 64):
+        self._det = detector
+        self._q: "queue.Queue" = queue.Queue(max_queue)
+        self._stop = object()
+        self._worker = threading.Thread(target=self._run, daemon=True)
+        self._worker.start()
+
+    def _run(self):
+        while True:
+            item = self._q.get()
+            if item is self._stop:
+                return
+            fut, image = item
+            if not fut.set_running_or_notify_cancel():
+                continue
+            try:
+                fut.set_result(self._det.detect(image))
+            except BaseException as e:  # surface in the future
+                fut.set_exception(e)
+
+    def submit(self, image: np.ndarray) -> Future:
+        fut: Future = Future()
+        self._q.put((fut, image))
+        return fut
+
+    async def detect_async(self, image: np.ndarray) -> dict:
+        """Awaitable detection (asyncio bridge over ``submit``)."""
+        import asyncio
+
+        return await asyncio.wrap_future(self.submit(image))
+
+    def map(self, images: Sequence[np.ndarray]):
+        """Submit all, then gather — overlaps host decode with device
+        compute across the sequence."""
+        futs = [self.submit(im) for im in images]
+        return [f.result() for f in futs]
+
+    def close(self):
+        self._q.put(self._stop)
+        self._worker.join(timeout=5)
+
+
+async def async_inference_detector(detector, image: np.ndarray) -> dict:
+    """One-shot awaitable inference (mmdet apis analog).
+
+    Runs the jitted forward in a thread so the event loop is never
+    blocked on device readback.
+    """
+    import asyncio
+
+    return await asyncio.get_event_loop().run_in_executor(
+        None, detector.detect, image)
+
+
+# ---------------------------------------------------------------------------
+# HTTP server (torchserve inference-API analog)
+# ---------------------------------------------------------------------------
+
+def _decode_image(body: bytes) -> np.ndarray:
+    """Decode request bytes: raw JPEG/PNG, or JSON {"image": base64,
+    "shape" [h, w, 3] + "dtype" for raw arrays}."""
+    import base64
+
+    if body[:1] in (b"{", b"["):
+        payload = json.loads(body)
+        data = base64.b64decode(payload["image"])
+        if "shape" in payload:
+            arr = np.frombuffer(data, dtype=payload.get("dtype", "uint8"))
+            return arr.reshape(payload["shape"]).copy()
+        body = data
+    import cv2
+
+    arr = cv2.imdecode(np.frombuffer(body, np.uint8), cv2.IMREAD_COLOR)
+    if arr is None:
+        raise ValueError("request body is not a decodable image")
+    return cv2.cvtColor(arr, cv2.COLOR_BGR2RGB)
+
+
+class DetectionService:
+    """Request handler state: one detector per registered model name."""
+
+    def __init__(self):
+        self.models = {}  # name -> (detector or AsyncDetector, manifest)
+
+    def register(self, name: str, detector, manifest: Optional[dict] = None):
+        self.models[name] = (detector, manifest or {})
+
+    def register_archive(self, path: str, detector_cls=None):
+        from glsdet_tpu.apis import Detector
+
+        detector_cls = detector_cls or Detector
+        manifest, ckpt_dir = load_archive(path)
+        det = detector_cls(manifest["config_name"], ckpt_dir,
+                           class_names=manifest.get("class_names"),
+                           score_thr=manifest.get("score_thr"))
+        self.register(manifest["model_name"], det, manifest)
+        return manifest["model_name"]
+
+    def predict(self, name: str, body: bytes) -> list:
+        det, manifest = self.models[name]
+        image = _decode_image(body)
+        out = det.detect(image)
+        names = getattr(det, "class_names", None)
+        results = []
+        for box, score, label in zip(out["boxes"], out["scores"],
+                                     out["labels"]):
+            cls = (names[int(label)] if names and int(label) < len(names)
+                   else int(label))
+            results.append({
+                "class_name": cls,
+                "class_label": int(label),
+                "score": round(float(score), 6),
+                "bbox": [round(float(v), 2) for v in box],
+            })
+        return results
+
+
+def make_server(service: DetectionService, host: str = "127.0.0.1",
+                port: int = 8080):
+    """Build (not start) a ThreadingHTTPServer speaking the torchserve
+    inference-API surface:
+
+    - ``GET /ping`` -> {"status": "Healthy"}
+    - ``GET /models`` -> registered model list
+    - ``POST /predictions/<model>`` with image bytes -> detection JSON
+    """
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    class Handler(BaseHTTPRequestHandler):
+        def _send(self, code: int, obj):
+            data = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
+
+        def log_message(self, *a):  # quiet by default
+            pass
+
+        def do_GET(self):
+            if self.path == "/ping":
+                self._send(200, {"status": "Healthy"})
+            elif self.path == "/models":
+                self._send(200, {"models": sorted(service.models)})
+            else:
+                self._send(404, {"error": f"unknown path {self.path}"})
+
+        def do_POST(self):
+            if not self.path.startswith("/predictions/"):
+                self._send(404, {"error": f"unknown path {self.path}"})
+                return
+            name = self.path[len("/predictions/"):]
+            if name not in service.models:
+                self._send(404, {"error": f"model {name!r} not registered"})
+                return
+            length = int(self.headers.get("Content-Length", 0))
+            body = self.rfile.read(length)
+            try:
+                self._send(200, service.predict(name, body))
+            except Exception as e:
+                self._send(500, {"error": str(e)})
+
+    return ThreadingHTTPServer((host, port), Handler)

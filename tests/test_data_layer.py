@@ -173,3 +173,115 @@ class TestWrappers:
                          f"{visdrone_dir}/images")
         cb = ClassBalancedDataset(ds, oversample_thr=0.5)
         assert len(cb) >= len(ds)
+
+
+class TestGroupSampler:
+    def _flags(self):
+        # 7 landscape, 5 portrait
+        return np.array([1] * 7 + [0] * 5, np.int64)
+
+    def test_batches_single_group_full_coverage(self):
+        from glsdet_tpu.data.loader import GroupSampler
+
+        s = GroupSampler(self._flags(), batch_size=4, seed=3)
+        batches = s.epoch_batches(0)
+        flags = self._flags()
+        seen = set()
+        for b in batches:
+            assert len(b) == 4
+            assert len(set(flags[b])) == 1  # homogeneous batch
+            seen.update(int(i) for i in b)
+        assert seen == set(range(12))  # every index sampled >= once
+
+    def test_deterministic_and_epoch_varying(self):
+        from glsdet_tpu.data.loader import GroupSampler
+
+        s = GroupSampler(self._flags(), batch_size=4, seed=3)
+        a = [list(b) for b in s.epoch_batches(1)]
+        b = [list(b) for b in s.epoch_batches(1)]
+        c = [list(b) for b in s.epoch_batches(2)]
+        assert a == b
+        assert a != c
+
+    def test_distributed_partition(self):
+        from glsdet_tpu.data.loader import (DistributedGroupSampler,
+                                            GroupSampler)
+
+        flags = self._flags()
+        world = 2
+        per_rank = [DistributedGroupSampler(flags, 4, world, r, seed=0)
+                    .epoch_batches(0) for r in range(world)]
+        assert len(per_rank[0]) == len(per_rank[1])  # equal schedule
+        global_b = GroupSampler(flags, 4, seed=0).epoch_batches(0)
+        dealt = [tuple(b) for rb in per_rank for b in rb]
+        assert set(dealt) >= {tuple(b) for b in global_b}
+
+    def test_aspect_flags_from_dataset(self, visdrone_dir):
+        from glsdet_tpu.data.loader import aspect_ratio_flags
+
+        ds = CocoDataset(f"{visdrone_dir}/train.json",
+                         f"{visdrone_dir}/images")
+        flags = aspect_ratio_flags(ds)
+        assert flags.shape == (len(ds),)
+        assert set(np.unique(flags)) <= {0, 1}
+
+
+class TestAutoAugment:
+    def _sample(self):
+        rs = np.random.RandomState(0)
+        img = rs.randint(0, 255, (64, 96, 3), np.uint8)
+        boxes = np.array([[10, 10, 40, 40], [50, 20, 90, 60]], np.float32)
+        labels = np.array([1, 2], np.int64)
+        return img, boxes, labels
+
+    def test_policy_application_preserves_invariants(self):
+        from glsdet_tpu.data.augment import auto_augment
+
+        img, boxes, labels = self._sample()
+        for seed in range(8):
+            out, b, l = auto_augment(img, boxes, labels,
+                                     np.random.RandomState(seed))
+            assert out.shape == img.shape and out.dtype == np.uint8
+            assert len(b) == len(l)
+            if len(b):
+                assert (b[:, 0] <= b[:, 2]).all()
+                assert b[:, [0, 2]].min() >= 0
+                assert b[:, [0, 2]].max() <= 96
+                assert b[:, [1, 3]].max() <= 64
+
+    def test_translate_moves_boxes(self):
+        from glsdet_tpu.data.augment import translate_aug
+
+        img, boxes, labels = self._sample()
+        out, b, l = translate_aug(img, boxes, labels,
+                                  np.random.RandomState(1), level=2,
+                                  prob=1.0, random_negative=False,
+                                  max_translate_offset=100.0)
+        # level 2 -> 20px right shift
+        np.testing.assert_allclose(b[0], [30, 10, 60, 40], atol=1e-4)
+
+    def test_rotate_90_symmetry(self):
+        from glsdet_tpu.data.augment import rotate_aug
+
+        img = np.zeros((64, 64, 3), np.uint8)
+        boxes = np.array([[24, 24, 40, 40]], np.float32)  # centered box
+        out, b, _ = rotate_aug(img, boxes, np.array([0]),
+                               np.random.RandomState(0), level=10,
+                               max_rotate_angle=90.0, prob=1.0,
+                               random_negative=False)
+        # a centered square rotated about the center stays centered
+        np.testing.assert_allclose((b[0, 0] + b[0, 2]) / 2, 32, atol=0.6)
+        np.testing.assert_allclose((b[0, 1] + b[0, 3]) / 2, 32, atol=0.6)
+
+    def test_photometric_ops_shape_only(self):
+        from glsdet_tpu.data.augment import (brightness_aug, color_aug,
+                                             contrast_aug, equalize_aug)
+
+        img, _, _ = self._sample()
+        rng = np.random.RandomState(0)
+        for fn in (lambda: color_aug(img, rng, 6, prob=1.0),
+                   lambda: brightness_aug(img, rng, 6, prob=1.0),
+                   lambda: contrast_aug(img, rng, 6, prob=1.0),
+                   lambda: equalize_aug(img, rng, prob=1.0)):
+            out = fn()
+            assert out.shape == img.shape and out.dtype == np.uint8

@@ -1,0 +1,149 @@
+"""Serving stack tests: archive round-trip, async facade, HTTP server.
+
+Analog of the reference's deployment/async surface
+(``tools/deployment/mmdet2torchserve.py``, ``tests/test_async.py``).
+Uses a stub detector so the server logic is tested without model
+compiles; the real ``Detector`` facade is covered by test_apis.py.
+"""
+
+import asyncio
+import json
+import threading
+import urllib.request
+
+import numpy as np
+import pytest
+
+from glsdet_tpu.serve import (AsyncDetector, DetectionService,
+                              archive_model, async_inference_detector,
+                              load_archive, make_server)
+
+
+class StubDetector:
+    class_names = ["car", "person"]
+
+    def detect(self, image):
+        h, w = image.shape[:2]
+        return {
+            "boxes": np.array([[1.0, 2.0, w - 1.0, h - 1.0]], np.float32),
+            "scores": np.array([0.9], np.float32),
+            "labels": np.array([1], np.int64),
+        }
+
+
+class TestArchive:
+    def test_round_trip(self, tmp_path):
+        ckpt = tmp_path / "ckpt"
+        (ckpt / "sub").mkdir(parents=True)
+        (ckpt / "a.bin").write_bytes(b"weights")
+        (ckpt / "sub" / "b.json").write_text("{}")
+        out = archive_model("yolox_s_visdrone", str(ckpt),
+                            str(tmp_path / "m"), model_name="coarse",
+                            class_names=["car"], score_thr=0.25)
+        assert out.endswith(".gtar")
+        manifest, ckpt_dir = load_archive(out, str(tmp_path / "un"))
+        assert manifest["model_name"] == "coarse"
+        assert manifest["config_name"] == "yolox_s_visdrone"
+        assert manifest["score_thr"] == 0.25
+        with open(f"{ckpt_dir}/a.bin", "rb") as f:
+            assert f.read() == b"weights"
+        with open(f"{ckpt_dir}/sub/b.json") as f:
+            assert f.read() == "{}"
+
+    def test_no_overwrite(self, tmp_path):
+        out = archive_model("c", None, str(tmp_path / "m"))
+        with pytest.raises(FileExistsError):
+            archive_model("c", None, str(tmp_path / "m"))
+        archive_model("c", None, out, force=True)  # explicit force ok
+
+    def test_no_checkpoint(self, tmp_path):
+        out = archive_model("cfg", None, str(tmp_path / "m"))
+        manifest, ckpt_dir = load_archive(out, str(tmp_path / "un"))
+        assert ckpt_dir is None and manifest["has_checkpoint"] is False
+
+
+class TestAsync:
+    def test_submit_and_map(self):
+        det = AsyncDetector(StubDetector())
+        imgs = [np.zeros((8 + i, 16, 3), np.uint8) for i in range(5)]
+        outs = det.map(imgs)
+        assert [o["boxes"][0, 3] for o in outs] == [7, 8, 9, 10, 11]
+        det.close()
+
+    def test_exception_propagates(self):
+        class Bad:
+            def detect(self, image):
+                raise ValueError("boom")
+
+        det = AsyncDetector(Bad())
+        with pytest.raises(ValueError, match="boom"):
+            det.submit(np.zeros((4, 4, 3), np.uint8)).result(timeout=5)
+        det.close()
+
+    def test_asyncio_bridge(self):
+        det = AsyncDetector(StubDetector())
+
+        async def go():
+            a = det.detect_async(np.zeros((10, 10, 3), np.uint8))
+            b = async_inference_detector(
+                StubDetector(), np.zeros((12, 10, 3), np.uint8))
+            ra, rb = await asyncio.gather(a, b)
+            return ra, rb
+
+        ra, rb = asyncio.run(go())
+        assert ra["boxes"][0, 3] == 9 and rb["boxes"][0, 3] == 11
+        det.close()
+
+
+class TestServer:
+    @pytest.fixture()
+    def server(self):
+        service = DetectionService()
+        service.register("stub", StubDetector())
+        srv = make_server(service, port=0)  # ephemeral port
+        t = threading.Thread(target=srv.serve_forever, daemon=True)
+        t.start()
+        yield f"http://127.0.0.1:{srv.server_address[1]}"
+        srv.shutdown()
+
+    def _get(self, url):
+        with urllib.request.urlopen(url, timeout=10) as r:
+            return r.status, json.loads(r.read())
+
+    def test_ping_and_models(self, server):
+        assert self._get(f"{server}/ping")[1] == {"status": "Healthy"}
+        assert self._get(f"{server}/models")[1] == {"models": ["stub"]}
+
+    def test_predict_json_array(self, server):
+        import base64
+
+        img = np.full((20, 30, 3), 128, np.uint8)
+        body = json.dumps({
+            "image": base64.b64encode(img.tobytes()).decode(),
+            "shape": [20, 30, 3], "dtype": "uint8",
+        }).encode()
+        req = urllib.request.Request(f"{server}/predictions/stub",
+                                     data=body, method="POST")
+        with urllib.request.urlopen(req, timeout=10) as r:
+            out = json.loads(r.read())
+        assert out == [{"class_name": "person", "class_label": 1,
+                        "score": 0.9, "bbox": [1.0, 2.0, 29.0, 19.0]}]
+
+    def test_predict_encoded_image(self, server):
+        import cv2
+
+        img = np.full((24, 32, 3), 99, np.uint8)
+        ok, buf = cv2.imencode(".png", img)
+        assert ok
+        req = urllib.request.Request(f"{server}/predictions/stub",
+                                     data=buf.tobytes(), method="POST")
+        with urllib.request.urlopen(req, timeout=10) as r:
+            out = json.loads(r.read())
+        assert out[0]["bbox"] == [1.0, 2.0, 31.0, 23.0]
+
+    def test_unknown_model_404(self, server):
+        req = urllib.request.Request(f"{server}/predictions/nope",
+                                     data=b"x", method="POST")
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(req, timeout=10)
+        assert ei.value.code == 404

@@ -1,0 +1,65 @@
+"""Serve detection models over HTTP (torchserve-deployment analog).
+
+Reference behavior: ``yolox-ufp/tools/deployment/mmdet2torchserve.py``
+packages a model for torchserve; here a single CLI both packages
+(``archive`` subcommand) and serves (``serve`` subcommand) archives.
+
+Examples:
+    python tools/serve.py archive --config yolox_s_visdrone \
+        --checkpoint work_dirs/coarse/ckpt --output store/coarse
+    python tools/serve.py serve --model-store store --port 8080
+    curl -X POST http://127.0.0.1:8080/predictions/yolox_s_visdrone \
+        --data-binary @frame.jpg
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import os
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    a = sub.add_parser("archive", help="package config+ckpt into .gtar")
+    a.add_argument("--config", required=True, help="named config")
+    a.add_argument("--checkpoint", default=None, help="orbax ckpt dir")
+    a.add_argument("--output", required=True, help="output path (.gtar)")
+    a.add_argument("--model-name", default=None)
+    a.add_argument("--score-thr", type=float, default=0.3)
+    a.add_argument("--force", action="store_true")
+
+    s = sub.add_parser("serve", help="serve archives over HTTP")
+    s.add_argument("--model-store", required=True,
+                   help="directory of .gtar archives")
+    s.add_argument("--host", default="127.0.0.1")
+    s.add_argument("--port", type=int, default=8080)
+
+    args = ap.parse_args()
+
+    from glsdet_tpu.serve import (DetectionService, archive_model,
+                                  make_server)
+
+    if args.cmd == "archive":
+        path = archive_model(args.config, args.checkpoint, args.output,
+                             model_name=args.model_name,
+                             score_thr=args.score_thr, force=args.force)
+        print(f"wrote {path}")
+        return
+
+    service = DetectionService()
+    for path in sorted(glob.glob(os.path.join(args.model_store, "*.gtar"))):
+        name = service.register_archive(path)
+        print(f"registered {name} from {path}")
+    if not service.models:
+        raise SystemExit(f"no .gtar archives in {args.model_store}")
+    server = make_server(service, args.host, args.port)
+    print(f"serving {sorted(service.models)} on "
+          f"http://{args.host}:{args.port}")
+    server.serve_forever()
+
+
+if __name__ == "__main__":
+    main()
