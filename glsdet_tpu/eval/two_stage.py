@@ -337,6 +337,63 @@ class TwoStagePipeline:
             }
         return results
 
+    def run_device_batch(self, dev_stack) -> List[dict]:
+        """Inference on a device-resident uint8 stack (B, H, W, 3).
+
+        The staged twin of ``run_batch`` for ingest paths that already
+        land frames in HBM (camera DMA, a decode stage, a sharded
+        loader): no host->device transfer happens here — phase 1 is one
+        coarse dispatch on the stack, phase 2 packs on host from the
+        (small) detection readback, phase 3 is one mosaic dispatch per
+        bucket.  Frames must share one shape by construction.
+        """
+        ch, cw = self.coarse_hw
+        b_total, h0, w0 = (int(dev_stack.shape[0]), int(dev_stack.shape[1]),
+                           int(dev_stack.shape[2]))
+        dets = self._coarse_full_batch(dev_stack)
+        all_boxes = np.asarray(dets["boxes"])
+        all_valid = np.asarray(dets["valid"])
+
+        jobs: Dict[int, List[tuple]] = {}
+        for row in range(b_total):
+            sx, sy = w0 / cw, h0 / ch
+            coarse_boxes = (all_boxes[row]
+                            * np.array([sx, sy, sx, sy],
+                                       np.float32))[all_valid[row]]
+            regions, mw, mh = unified_foreground_packing(
+                coarse_boxes.astype(np.float32), self.ufp_scale, (w0, h0))
+            if len(regions) == 0:
+                continue
+            bucket = pick_bucket(mh, mw, self.buckets)
+            jobs.setdefault(bucket, []).append(
+                (row, regions_to_array(regions, self.max_regions)))
+
+        empty = {
+            "boxes": np.zeros((0, 4), np.float32),
+            "scores": np.zeros((0,), np.float32),
+            "labels": np.zeros((0,), np.int64),
+        }
+        results: List[dict] = [empty] * b_total
+        pending = []
+        for bucket, job_list in jobs.items():
+            real = len(job_list)
+            b = _pow2_pad(real)
+            job_list = job_list + [job_list[-1]] * (b - real)
+            rows = jnp.asarray(np.array([j[0] for j in job_list], np.int32))
+            regs = jnp.asarray(np.stack([j[1] for j in job_list]))
+            fut = self._mosaic_stage_batch(dev_stack, rows, regs, bucket)
+            pending.append((job_list[:real], fut))
+        for job_list, fut in pending:
+            fb, fs, fl, fv = fut
+            for slot, (row, _) in enumerate(job_list):
+                fv_i = np.asarray(fv[slot])
+                results[row] = {
+                    "boxes": np.asarray(fb[slot])[fv_i],
+                    "scores": np.asarray(fs[slot])[fv_i],
+                    "labels": np.asarray(fl[slot])[fv_i],
+                }
+        return results
+
     def warmup(self, image_hw: Tuple[int, int]):
         """Compile the coarse + mosaic programs for every bucket at the
         batch sizes the chunked ``run_batch`` will hit (1 and the pow2 of

@@ -62,6 +62,19 @@ class TestTwoStage:
         out = pipeline(np.zeros((200, 320, 3), np.uint8))
         assert isinstance(out["boxes"], np.ndarray)
 
+    def test_device_batch_matches_host_batch(self, pipeline):
+        import jax.numpy as jnp
+
+        rs = np.random.RandomState(3)
+        imgs = [rs.randint(0, 255, (200, 320, 3), np.uint8)
+                for _ in range(3)]
+        staged = pipeline.run_device_batch(jnp.asarray(np.stack(imgs)))
+        host = pipeline.run_batch(imgs)
+        assert len(staged) == 3
+        for a, b in zip(staged, host):
+            assert a["boxes"].shape == b["boxes"].shape
+            np.testing.assert_allclose(a["boxes"], b["boxes"], atol=1e-4)
+
     def test_chunked_mixed_shapes_preserve_order(self, pipeline):
         # 5 frames of one shape + 1 of another: exercises shape grouping,
         # pow2 chunk padding (5 -> chunks of 4+1) and order restoration.
