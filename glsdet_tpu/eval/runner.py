@@ -37,7 +37,9 @@ def run_eval(
     variables=None,
     strides=None,
     mesh=None,
-) -> Tuple[CocoEvalResult, dict]:
+    out_json: Optional[str] = None,
+    format_only: bool = False,
+) -> Tuple[Optional[CocoEvalResult], dict]:
     """apply_fn(variables, images) -> head outputs (pass ``variables``
     so weights stay jit arguments, not baked HLO constants); legacy
     apply_fn(images) accepted when ``variables`` is None.
@@ -110,6 +112,29 @@ def run_eval(
         if max_images is not None and n_done >= max_images:
             break
     elapsed = time.time() - t0
+
+    if out_json:
+        # COCO detection-results dump (tools/test.py --format-only /
+        # --out analog): submission format without running the evaluator
+        import json
+
+        dump = []
+        for img_id, (xywh, ss, ll) in dets_by_img.items():
+            for box, sc, lb in zip(xywh, ss, ll):
+                dump.append({
+                    "image_id": int(img_id),
+                    "category_id": int(lb) + 1,
+                    "bbox": [round(float(v), 2) for v in box],
+                    "score": round(float(sc), 5),
+                })
+        with open(out_json, "w") as f:
+            json.dump(dump, f)
+        if verbose:
+            print(f"wrote {len(dump)} detections -> {out_json}")
+    if format_only:
+        stats = {"images": n_done, "elapsed_s": round(elapsed, 2),
+                 "images_per_sec": round(n_done / max(elapsed, 1e-9), 2)}
+        return None, stats
 
     gts = {}
     for rec in dataset.records:

@@ -41,3 +41,25 @@ class BatchFormer(nn.Module):
         y = nn.Dense(self.dim, name="fc2")(y)
         x = nn.LayerNorm(name="ln2")(x + y)[0]
         return jnp.concatenate([feature, x], axis=0)
+
+
+class BatchFormerV2(nn.Module):
+    """Spatial-feature variant (batchformerv2.py:4 TransformerDecorator):
+    global-average-pool a (B, H, W, C) map, project, run the same
+    batch-axis encoder, and concatenate the pre/post streams so a shared
+    head sees both.  Inference returns the pooled projection unchanged.
+    """
+
+    dim: int
+    num_heads: int = 4
+    dropout: float = 0.5
+
+    @nn.compact
+    def __call__(self, feature, *, train: bool = False):
+        pooled = feature.mean(axis=(1, 2))          # (B, C) GAP
+        pooled = nn.Dense(self.dim, name="pool_proj")(pooled)
+        if not train:
+            return pooled
+        out = BatchFormer(self.dim, self.num_heads, self.dropout,
+                          name="bf")(pooled, train=True)
+        return out                                   # (2B, dim)

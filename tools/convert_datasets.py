@@ -21,15 +21,29 @@ import argparse
 
 def main():
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("dataset", choices=["visdrone", "uavdt"])
+    ap.add_argument("dataset", choices=["visdrone", "uavdt", "voc"])
     ap.add_argument("root")
     ap.add_argument("out_json")
-    ap.add_argument("--split", default="train", choices=["train", "test"])
+    ap.add_argument("--split", default="train",
+                    choices=["train", "val", "test", "trainval"])
     ap.add_argument("--image-dir", default="images")
     ap.add_argument("--anno-dir", default="annotations")
+    ap.add_argument("--classes", default="visdrone",
+                    help="voc only: 'visdrone', 'uavdt', or a "
+                         "comma-separated class list")
     args = ap.parse_args()
 
-    if args.dataset == "visdrone":
+    if args.dataset == "voc":
+        from glsdet_tpu.data.uavdt import UAVDT_CLASSES
+        from glsdet_tpu.data.visdrone import VISDRONE_CLASSES
+        from glsdet_tpu.data.voc import voc_to_coco
+
+        names = {"visdrone": VISDRONE_CLASSES,
+                 "uavdt": UAVDT_CLASSES}.get(
+                     args.classes, tuple(args.classes.split(",")))
+        coco = voc_to_coco(args.root, args.out_json, names,
+                           split=args.split)
+    elif args.dataset == "visdrone":
         from glsdet_tpu.data.visdrone import visdrone_to_coco
 
         coco = visdrone_to_coco(args.root, args.out_json,

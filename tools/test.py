@@ -24,7 +24,16 @@ def main():
     ap.add_argument("--max-images", type=int)
     ap.add_argument("--use-ema", action="store_true",
                     help="evaluate EMA weights (reference eval default)")
+    ap.add_argument("--fuse-conv-bn", action="store_true",
+                    help="fold BN into conv weights before inference "
+                         "(reference tools/test.py flag)")
+    ap.add_argument("--out", default=None,
+                    help="dump COCO-format detection json")
+    ap.add_argument("--format-only", action="store_true",
+                    help="write --out without evaluating")
     args = ap.parse_args()
+    if args.format_only and not args.out:
+        ap.error("--format-only requires --out")
 
     import jax
     import jax.numpy as jnp
@@ -53,6 +62,12 @@ def main():
         params = state.ema_params if args.use_ema else state.params
         variables = {"params": params, "batch_stats": state.batch_stats}
 
+    if args.fuse_conv_bn:
+        from glsdet_tpu.models.fuse import fuse_conv_bn
+
+        variables, n_fused = fuse_conv_bn(variables)
+        print(f"fused {n_fused} conv+bn pairs")
+
     family = "yolox" if cfg.model.family == "yolox" else "gfl"
     run_eval(
         dataset,
@@ -61,7 +76,8 @@ def main():
         batch_size=cfg.data.batch_size,
         score_thr=cfg.eval.score_thr, nms_iou=cfg.eval.nms_iou,
         max_dets=cfg.eval.max_dets, max_images=args.max_images,
-        variables=variables)
+        variables=variables, out_json=args.out,
+        format_only=args.format_only)
 
 
 if __name__ == "__main__":
