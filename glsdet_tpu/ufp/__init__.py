@@ -5,7 +5,8 @@ from glsdet_tpu.ufp.packing import (
     strip_pack,
     unified_foreground_packing,
 )
-from glsdet_tpu.ufp.assembly import (assemble_mosaic, unmap_chip_detections,
+from glsdet_tpu.ufp.assembly import (assemble_mosaic, assemble_mosaic_fast,
+                                     unmap_chip_detections,
                                       unmap_chip_detections_argmax)
 
 __all__ = [
@@ -15,6 +16,7 @@ __all__ = [
     "strip_pack",
     "unified_foreground_packing",
     "assemble_mosaic",
+    "assemble_mosaic_fast",
     "unmap_chip_detections",
     "unmap_chip_detections_argmax",
 ]

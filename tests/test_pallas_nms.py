@@ -55,3 +55,22 @@ class TestPallasNMS:
         scores = jnp.full((16,), NEG_INF)
         keep, _ = nms_pallas(boxes, scores, 0.5, interpret=True)
         assert not bool(np.asarray(keep).any())
+
+    def test_vmap_parity(self):
+        """The batched mosaic stage vmaps batched_nms over the chunk
+        axis; verify the kernel's vmap batching matches per-slice."""
+        import jax
+
+        cases = [_random_case(s, classes=5) for s in (10, 11, 12, 13)]
+        boxes = jnp.stack([c[0] for c in cases])
+        scores = jnp.stack([c[1] for c in cases])
+        labels = jnp.stack([c[2] for c in cases])
+
+        def one(b, s, l):
+            keep, _ = batched_nms_pallas(b, s, l, 0.5, interpret=True)
+            return keep
+
+        batched = jax.vmap(one)(boxes, scores, labels)
+        for i in range(4):
+            np.testing.assert_array_equal(
+                np.asarray(batched[i]), np.asarray(one(*cases[i])))

@@ -178,3 +178,66 @@ def test_unmap_argmax_matches_expanded():
                                [105, 205, 115, 215], atol=1e-5)
     np.testing.assert_allclose(np.asarray(boxes)[1],
                                [305, 305, 325, 325], atol=1e-5)
+
+
+class TestAssembleFast:
+    """assemble_mosaic_fast (slice+static-upscale) vs the inverse-map
+    oracle: identical except the outermost 1px ring of each region
+    (crop-edge clamp vs source bleed, documented in assembly.py)."""
+
+    def _interior_mask(self, regions, out):
+        m = np.zeros((out, out), bool)
+        for r in regions:
+            x1, y1, w, h, nx, ny, f = r
+            if f <= 0:
+                continue
+            ax, ay = int(nx), int(ny)
+            bx = min(int(nx + w * f), out)
+            by = min(int(ny + h * f), out)
+            fi = int(f)
+            m[ay + fi:by - fi, ax + fi:bx - fi] = True
+        return m
+
+    def test_matches_oracle_random_regions(self):
+        from glsdet_tpu.ufp.assembly import assemble_mosaic_fast
+
+        rng = np.random.RandomState(0)
+        img = rng.uniform(0, 255, (60, 80, 3)).astype(np.float32)
+        out = 64
+        regions = np.zeros((8, 7), np.float32)
+        # non-overlapping paste sites, mixed factors, odd offsets
+        regions[0] = [3, 5, 14, 10, 1, 3, 1]
+        regions[1] = [20, 8, 9, 7, 17, 2, 2]
+        regions[2] = [40, 30, 5, 6, 37, 21, 4]
+        regions[3] = [10, 40, 12, 11, 1, 47, 1]
+        ref = np.asarray(assemble_mosaic(
+            jnp.asarray(img), jnp.asarray(regions), out, out))
+        fast = np.asarray(assemble_mosaic_fast(
+            jnp.asarray(img), jnp.asarray(regions), out, out))
+        inner = self._interior_mask(regions, out)
+        np.testing.assert_allclose(fast[inner], ref[inner], atol=1e-3)
+        # outside every region both are exactly zero
+        outside = ~self._interior_mask(
+            regions + np.array([0, 0, 2, 2, -1, -1, 0], np.float32), out)
+        outside &= (ref == 0).all(-1)
+        assert (fast[outside] == 0).all()
+
+    def test_uint8_input_and_identity(self):
+        from glsdet_tpu.ufp.assembly import assemble_mosaic_fast
+
+        img = np.arange(40 * 40 * 3, dtype=np.uint8).reshape(40, 40, 3)
+        regions = np.zeros((4, 7), np.float32)
+        regions[0] = [5, 7, 16, 12, 0, 0, 1]
+        fast = np.asarray(assemble_mosaic_fast(
+            jnp.asarray(img), jnp.asarray(regions), 32, 32))
+        np.testing.assert_allclose(fast[:12, :16],
+                                   img[7:19, 5:21].astype(np.float32))
+        assert np.all(fast[12:, :] == 0) and np.all(fast[:, 16:] == 0)
+
+    def test_empty_regions_zero_canvas(self):
+        from glsdet_tpu.ufp.assembly import assemble_mosaic_fast
+
+        img = np.ones((20, 20, 3), np.float32)
+        fast = np.asarray(assemble_mosaic_fast(
+            jnp.asarray(img), jnp.zeros((4, 7), jnp.float32), 16, 16))
+        assert (fast == 0).all()
