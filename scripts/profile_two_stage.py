@@ -1,0 +1,164 @@
+"""Split timing of the two-stage pipeline on the real device.
+
+Times each jitted program with honest synchronization (scalar readback —
+``block_until_ready`` on the tunnel can return early, CLAUDE.md), and the
+host packing step, to show where the per-image time goes.
+
+Usage: python scripts/profile_two_stage.py [--batch 4] [--iters 12]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=4)
+    ap.add_argument("--iters", type=int, default=12)
+    args = ap.parse_args()
+
+    import jax
+    cache_dir = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), ".jax_cache")
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    import jax.numpy as jnp
+    from glsdet_tpu.eval.two_stage import TwoStagePipeline
+    from glsdet_tpu.models import MPDet, YOLOXDetector
+    from glsdet_tpu.ufp.assembly import regions_to_array
+    from glsdet_tpu.ufp.packing import unified_foreground_packing
+
+    def log(msg):
+        print(f"# {time.strftime('%H:%M:%S')} {msg}", file=sys.stderr,
+              flush=True)
+
+    rng = jax.random.PRNGKey(0)
+    dtype = jnp.bfloat16
+    coarse_hw = (640, 640)
+    coarse = YOLOXDetector(num_classes=10, phi="s", dtype=dtype)
+    cvars = jax.jit(lambda r, x: coarse.init(r, x, train=False))(
+        rng, jnp.zeros((1, *coarse_hw, 3), jnp.float32))
+    jax.block_until_ready(cvars)
+    mp = MPDet(num_classes=10, depth=50, dtype=dtype)
+    mvars = jax.jit(lambda r, x: mp.init(r, x, train=False))(
+        rng, jnp.zeros((1, 256, 256, 3), jnp.float32))
+    jax.block_until_ready(mvars)
+    log("inits done")
+
+    pipe = TwoStagePipeline(
+        lambda v, images: coarse.apply(v, images, train=False),
+        lambda v, images: mp.apply(v, images, train=False),
+        coarse_hw, mosaic_buckets=(1280,), coarse_score_thr=1e-4,
+        coarse_vars=cvars, mp_vars=mvars, max_batch=args.batch)
+
+    rs = np.random.RandomState(0)
+    frames = [rs.randint(0, 255, (765, 1360, 3), np.uint8)
+              for _ in range(args.batch)]
+    dev_stack = jnp.asarray(np.stack(frames))
+    jax.block_until_ready(dev_stack)
+
+    # warm all programs on the real path
+    pipe.run_device_batch(dev_stack)
+    log("warm")
+
+    def sync(tree):
+        # force completion via host readback of one scalar per leaf set
+        leaves = jax.tree_util.tree_leaves(tree)
+        for l in leaves:
+            np.asarray(l)
+
+    B = args.batch
+
+    # stage 1: coarse program (resize+normalize+forward+decode+NMS)
+    ts = []
+    for _ in range(args.iters):
+        t0 = time.time()
+        sync(pipe._coarse_full_batch(dev_stack))
+        ts.append(time.time() - t0)
+    t_coarse = min(ts)
+    log(f"coarse program:       {t_coarse*1e3:8.1f} ms / {B} imgs "
+        f"({t_coarse/B*1e3:.1f} ms/img)")
+
+    # host packing from real coarse detections
+    dets = pipe._coarse_full_batch(dev_stack)
+    all_boxes = np.asarray(dets["boxes"])
+    all_valid = np.asarray(dets["valid"])
+    h0, w0 = 765, 1360
+    sx, sy = w0 / coarse_hw[1], h0 / coarse_hw[0]
+    t0 = time.time()
+    reps = 50
+    for _ in range(reps):
+        packs = []
+        for row in range(B):
+            cb = (all_boxes[row] * np.array([sx, sy, sx, sy], np.float32)
+                  )[all_valid[row]]
+            packs.append(unified_foreground_packing(
+                cb.astype(np.float32), 1.5, (w0, h0)))
+    t_pack = (time.time() - t0) / reps
+    n_regions = sum(len(p[0]) for p in packs)
+    log(f"host UFP packing:     {t_pack*1e3:8.2f} ms / {B} imgs "
+        f"({n_regions} regions total)")
+
+    # stage 2: mosaic program (assemble+MP-Det+decode+NMS+unmap+NMS)
+    rows = jnp.arange(B, dtype=jnp.int32)
+    regs = jnp.asarray(np.stack(
+        [regions_to_array(p[0], pipe.max_regions) for p in packs]))
+    sync(pipe._mosaic_stage_batch(dev_stack, rows, regs, 1280))
+    ts = []
+    for _ in range(args.iters):
+        t0 = time.time()
+        sync(pipe._mosaic_stage_batch(dev_stack, rows, regs, 1280))
+        ts.append(time.time() - t0)
+    t_mosaic = min(ts)
+    log(f"mosaic program @1280: {t_mosaic*1e3:8.1f} ms / {B} imgs "
+        f"({t_mosaic/B*1e3:.1f} ms/img)")
+
+    # MP-Det forward alone at 1280 (no assembly/postprocess)
+    @jax.jit
+    def _mp_fwd_sum(v, x):
+        cls, reg = mp.apply(v, x, train=False)
+        return sum(c.astype(jnp.float32).sum() for c in cls)
+
+    x1280 = jnp.zeros((B, 1280, 1280, 3), jnp.float32)
+    float(_mp_fwd_sum(mvars, x1280))
+    ts = []
+    for _ in range(args.iters):
+        t0 = time.time()
+        float(_mp_fwd_sum(mvars, x1280))
+        ts.append(time.time() - t0)
+    t_mp = min(ts)
+    log(f"MP-Det fwd @1280:     {t_mp*1e3:8.1f} ms / {B} imgs "
+        f"({t_mp/B*1e3:.1f} ms/img)")
+
+    # coarse YOLOX-s forward alone at 640
+    @jax.jit
+    def _coarse_fwd_sum(v, x):
+        cls, reg, obj = coarse.apply(v, x, train=False)
+        return sum(c.astype(jnp.float32).sum() for c in cls)
+
+    x640 = jnp.zeros((B, 640, 640, 3), jnp.float32)
+    float(_coarse_fwd_sum(cvars, x640))
+    ts = []
+    for _ in range(args.iters):
+        t0 = time.time()
+        float(_coarse_fwd_sum(cvars, x640))
+        ts.append(time.time() - t0)
+    t_cf = min(ts)
+    log(f"YOLOX-s fwd @640:     {t_cf*1e3:8.1f} ms / {B} imgs "
+        f"({t_cf/B*1e3:.1f} ms/img)")
+
+    total = (t_coarse + t_mosaic) / B * 1e3
+    log(f"sum of programs: {total:.1f} ms/img "
+        f"(pipeline steady state overlaps packing)")
+
+
+if __name__ == "__main__":
+    main()
