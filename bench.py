@@ -36,7 +36,7 @@ def main():
 
     import jax.numpy as jnp
 
-    from glsdet_tpu.eval.two_stage import TwoStagePipeline
+    from glsdet_tpu.eval.two_stage import TwoStagePipeline, unpack_detections
     from glsdet_tpu.models import MPDet, YOLOXDetector
 
     def log(msg):
@@ -75,11 +75,12 @@ def main():
         mosaic_buckets=(1280,),
         coarse_score_thr=1e-4,
         coarse_vars=cvars, mp_vars=mvars,
+        max_batch=8,
     )
 
     rs = np.random.RandomState(0)
     frames = []
-    for _ in range(4):
+    for _ in range(8):
         img = rs.randint(0, 255, (765, 1360, 3), np.uint8)
         frames.append(img)
 
@@ -102,8 +103,8 @@ def main():
     # compile any cold (B, b) combos AND assert stage 2 actually runs:
     # a benchmark where packing yields no regions would silently measure
     # only the coarse stage
-    dets = pipe._coarse_full_batch(dev_stack)
-    n_coarse = int(np.asarray(dets["valid"]).sum())
+    dets = unpack_detections(pipe._coarse_full_batch(dev_stack))
+    n_coarse = int(dets["valid"].sum())
     log(f"coarse detections on noise frames: {n_coarse}")
     assert n_coarse >= 4, "stage 2 would be idle — raise max_dets or " \
                           "lower coarse_score_thr"

@@ -27,11 +27,14 @@ import numpy as np
 from glsdet_tpu.eval.postprocess import gfl_postprocess, yolox_postprocess
 from glsdet_tpu.ops.nms import NEG_INF, batched_nms
 from glsdet_tpu.ufp.assembly import (
-    assemble_mosaic_fast,
+    assemble_mosaic_tiled,
+    assemble_mosaic_tiled_batch,
     regions_to_array,
+    split_rows_for_tile,
     unmap_chip_detections_argmax,
 )
-from glsdet_tpu.ufp.packing import unified_foreground_packing
+from glsdet_tpu.native import unified_foreground_packing_native as \
+    unified_foreground_packing
 
 DEFAULT_BUCKETS = (768, 1280, 1792, 2688)
 
@@ -46,12 +49,22 @@ def pick_bucket(h: float, w: float, buckets: Sequence[int]) -> int:
     return buckets[-1]
 
 
-def _assemble_normalize_impl(image, regions, out_hw):
+def paint_tile(out_hw: int) -> int:
+    """Painter window size for a canvas bucket (multiple of 4, <= canvas).
+
+    256 balances per-row HBM traffic (~tile^2) against the extra rows
+    that splitting large chips produces (split_rows_for_tile)."""
+    return min(256, out_hw) // 4 * 4
+
+
+def _assemble_normalize_impl(image, paint_regions, out_hw):
     """image: (H, W, 3) uint8 (or float) — normalization happens on
     device so the host->device transfer stays uint8 (4x less tunnel/PCIe
-    traffic than float32).  Uses the gather-free slice+upscale assembly
-    (~10x faster than the inverse-map gather at 1280^2 on TPU)."""
-    canvas = assemble_mosaic_fast(image, regions, out_hw, out_hw)
+    traffic than float32).  Uses the tiled slice+upscale assembly
+    (per-region work sized to a 512-window, not the canvas; regions
+    pre-split on host by ``split_rows_for_tile``)."""
+    canvas = assemble_mosaic_tiled(image, paint_regions, out_hw, out_hw,
+                                   tile=paint_tile(out_hw))
     mean = jnp.asarray([123.675, 116.28, 103.53], jnp.float32)
     std = jnp.asarray([58.395, 57.12, 57.375], jnp.float32)
     return (canvas - mean) / std
@@ -59,6 +72,32 @@ def _assemble_normalize_impl(image, regions, out_hw):
 
 _assemble_normalize = jax.jit(_assemble_normalize_impl,
                               static_argnames=("out_hw",))
+
+
+def pack_detections(boxes, scores, labels, valid) -> jnp.ndarray:
+    """Pack a detection set into ONE (..., K, 7) array
+    ``[x1, y1, x2, y2, score, label, valid]``.
+
+    The readback of a detection set is 4 host transfers as separate
+    arrays; on a remote-tunnel TPU every transfer pays the ~30ms RPC
+    floor, so the pipeline programs return this packed form and the host
+    unpacks with ``unpack_detections`` after a single transfer."""
+    return jnp.concatenate([
+        boxes.astype(jnp.float32),
+        scores.astype(jnp.float32)[..., None],
+        labels.astype(jnp.float32)[..., None],
+        valid.astype(jnp.float32)[..., None]], axis=-1)
+
+
+def unpack_detections(packed: np.ndarray) -> dict:
+    """numpy twin of ``pack_detections`` -> dict of views."""
+    packed = np.asarray(packed)
+    return {
+        "boxes": packed[..., :4],
+        "scores": packed[..., 4],
+        "labels": packed[..., 5].astype(np.int64),
+        "valid": packed[..., 6] > 0.5,
+    }
 
 
 def _pow2_pad(n: int) -> int:
@@ -100,7 +139,8 @@ class TwoStagePipeline:
                  max_coarse_dets: int = 200,
                  max_chip_dets: int = 500,
                  coarse_vars=None, mp_vars=None,
-                 max_batch: int = 4):
+                 max_batch: int = 4,
+                 max_paint_regions: Optional[int] = None):
         """Two call conventions:
 
         - coarse_apply(variables, images) with ``coarse_vars`` given
@@ -123,6 +163,10 @@ class TwoStagePipeline:
         self._cvars = coarse_vars
         self._mvars = mp_vars
         self.max_batch = max(1, int(max_batch))
+        # painter rows: tile-splitting can produce more rows than regions
+        # (padding rows cost ~nothing — cond-skipped in the flat scan)
+        self.max_paint = (max_paint_regions if max_paint_regions
+                          else 2 * max_regions)
 
         @jax.jit
         def _coarse(variables, images):
@@ -172,11 +216,13 @@ class TwoStagePipeline:
         self._mp = lambda images, hw: _mp_jit(self._mvars, images, hw)
 
         @functools.partial(jax.jit, static_argnames=("hw",))
-        def _mosaic_stage(variables, full_img, regions, hw):
+        def _mosaic_stage(variables, full_img, paint_regions, regions, hw):
             # one program for the whole stage-2: assemble mosaic -> MP-Det
             # forward -> decode+NMS -> unmap + final class-wise NMS.  One
             # dispatch round trip per image instead of three.
-            mosaic = _assemble_normalize(full_img, regions, hw)
+            # ``paint_regions``: tile-split rows for the painter;
+            # ``regions``: original rows for IoF gating/unmapping.
+            mosaic = _assemble_normalize(full_img, paint_regions, hw)
             out = (mp_apply(variables, mosaic[None])
                    if variables is not None else mp_apply(mosaic[None]))
             cls, reg = out
@@ -189,14 +235,15 @@ class TwoStagePipeline:
                 final_nms_thr, max_chip_dets)
 
         self._mosaic_stage = (
-            lambda img, regions, hw: _mosaic_stage(
-                self._mvars, img, regions, hw))
+            lambda img, paint, regions, hw: _mosaic_stage(
+                self._mvars, img, paint, regions, hw))
 
         @jax.jit
         def _coarse_full_batch(variables, imgs):
             # imgs: (B, H, W, 3) uint8 — ONE stacked upload + ONE dispatch
             # for the whole chunk (a tunneled TPU pays per-RPC overhead,
-            # so B frames per round trip is ~B-fold fewer stalls).
+            # so B frames per round trip is ~B-fold fewer stalls), and
+            # ONE packed output array (one readback transfer).
             b = imgs.shape[0]
             img = imgs.astype(jnp.float32)
             resized = jax.image.resize(
@@ -207,9 +254,11 @@ class TwoStagePipeline:
             out = (coarse_apply(variables, images)
                    if variables is not None else coarse_apply(images))
             cls, reg, obj = out
-            return yolox_postprocess(
+            d = yolox_postprocess(
                 cls, reg, obj, coarse_hw, score_thr=coarse_score_thr,
                 max_dets=max_coarse_dets)
+            return pack_detections(d["boxes"], d["scores"], d["labels"],
+                                   d["valid"])
 
         self._coarse_full_batch = (
             lambda imgs: _coarse_full_batch(self._cvars, imgs))
@@ -218,28 +267,33 @@ class TwoStagePipeline:
             _unmap_and_nms, iou_thr=final_nms_thr, max_out=max_chip_dets))
 
         @functools.partial(jax.jit, static_argnames=("hw",))
-        def _mosaic_stage_batch(variables, imgs, idx, regions, hw):
+        def _mosaic_stage_batch(variables, imgs, idx, paint, regions, hw):
             # imgs: (B, H, W, 3) uint8 stacked chunk already on device;
-            # idx: (b,) int32 rows of the chunk to assemble; regions:
-            # (b, R, 7).  One dispatch covers assembly, MP-Det forward,
-            # decode+NMS and unmapping for the whole group.
+            # idx: (b,) int32 rows of the chunk to assemble; paint:
+            # (b*P, 8) flat tile-split painter rows (8th col = slot in
+            # ``idx``); regions: (b, R, 7) original rows for unmapping.
+            # One dispatch covers assembly, MP-Det forward, decode+NMS
+            # and unmapping for the group; ONE packed output array.
             sel = imgs[idx]
-            mosaics = jax.vmap(
-                lambda im, rg: _assemble_normalize_impl(im, rg, hw)
-            )(sel, regions)
+            canv = assemble_mosaic_tiled_batch(
+                sel, paint, hw, hw, tile=paint_tile(hw))
+            mean = jnp.asarray([123.675, 116.28, 103.53], jnp.float32)
+            std = jnp.asarray([58.395, 57.12, 57.375], jnp.float32)
+            mosaics = (canv - mean) / std
             out = (mp_apply(variables, mosaics)
                    if variables is not None else mp_apply(mosaics))
             cls, reg = out
             mp_dets = gfl_postprocess(
                 cls, reg, (hw, hw), score_thr=chip_score_thr,
                 max_dets=max_chip_dets)
-            return _unmap_nms_v(
+            ob, osc, ol, ov = _unmap_nms_v(
                 mp_dets["boxes"], mp_dets["scores"], mp_dets["labels"],
                 mp_dets["valid"], regions)
+            return pack_detections(ob, osc, ol, ov)
 
         self._mosaic_stage_batch = (
-            lambda imgs, idx, regions, hw: _mosaic_stage_batch(
-                self._mvars, imgs, idx, regions, hw))
+            lambda imgs, idx, paint, regions, hw: _mosaic_stage_batch(
+                self._mvars, imgs, idx, paint, regions, hw))
 
     def __call__(self, image: np.ndarray) -> dict:
         """image: (H, W, 3) uint8/float RGB in original resolution.
@@ -247,6 +301,16 @@ class TwoStagePipeline:
         Returns dict(boxes xyxy, scores, labels) in original coordinates
         (numpy).  Single-image convenience over ``run_batch``."""
         return self.run_batch([image])[0]
+
+    @staticmethod
+    def _flat_paint(job_paints: Sequence[np.ndarray]) -> np.ndarray:
+        """Stack per-slot (max_paint, 7) painter rows into the flat
+        (b*max_paint, 8) form with the slot index as the 8th column."""
+        rows = []
+        for s, p in enumerate(job_paints):
+            rows.append(np.concatenate(
+                [p, np.full((p.shape[0], 1), s, np.float32)], axis=1))
+        return np.concatenate(rows, axis=0)
 
     def run_batch(self, images: Sequence[np.ndarray]) -> List[dict]:
         """Pipelined, chunk-batched inference.
@@ -292,9 +356,10 @@ class TwoStagePipeline:
             "labels": np.zeros((0,), np.int64),
         }
         pending = []  # (orig_index, future, row)
-        for part, dev, dets in chunks:
-            all_boxes = np.asarray(dets["boxes"])
-            all_valid = np.asarray(dets["valid"])
+        for part, dev, packed in chunks:
+            dets = unpack_detections(packed)   # ONE readback transfer
+            all_boxes = dets["boxes"]
+            all_valid = dets["valid"]
             jobs: Dict[int, List[tuple]] = {}
             for row, i in enumerate(part):
                 h0, w0 = images[i].shape[:2]
@@ -308,32 +373,40 @@ class TwoStagePipeline:
                 if len(regions) == 0:
                     continue
                 bucket = pick_bucket(mh, mw, self.buckets)
+                unmap_rows = regions_to_array(regions, self.max_regions)
+                paint_rows = split_rows_for_tile(
+                    unmap_rows, paint_tile(bucket), self.max_paint)
                 jobs.setdefault(bucket, []).append(
-                    (i, row,
-                     regions_to_array(regions, self.max_regions)))
+                    (i, row, paint_rows, unmap_rows))
             for bucket, job_list in jobs.items():
                 b = _pow2_pad(len(job_list))
                 job_list = job_list + [job_list[-1]] * (b - len(job_list))
                 rows = jnp.asarray(
                     np.array([j[1] for j in job_list], np.int32))
+                paints = jnp.asarray(
+                    self._flat_paint([j[2] for j in job_list]))
                 regs = jnp.asarray(
-                    np.stack([j[2] for j in job_list]))
-                fut = self._mosaic_stage_batch(dev, rows, regs, bucket)
+                    np.stack([j[3] for j in job_list]))
+                fut = self._mosaic_stage_batch(dev, rows, paints, regs,
+                                               bucket)
                 for slot, job in enumerate(job_list):
                     i = job[0]
                     if mid[i] is None:   # skip pow2-padding repeats
                         pending.append((i, fut, slot))
                         mid[i] = ()
 
-        # phase 3: read mosaic-stage results
+        # phase 3: read mosaic-stage results (one transfer per future)
         results: List[dict] = [empty] * n
+        fetched: Dict[int, dict] = {}
         for i, fut, slot in pending:
-            fb, fs, fl, fv = fut
-            fv_i = np.asarray(fv[slot])
+            if id(fut) not in fetched:
+                fetched[id(fut)] = unpack_detections(fut)
+            d = fetched[id(fut)]
+            fv_i = d["valid"][slot]
             results[i] = {
-                "boxes": np.asarray(fb[slot])[fv_i],
-                "scores": np.asarray(fs[slot])[fv_i],
-                "labels": np.asarray(fl[slot])[fv_i],
+                "boxes": d["boxes"][slot][fv_i],
+                "scores": d["scores"][slot][fv_i],
+                "labels": d["labels"][slot][fv_i],
             }
         return results
 
@@ -350,9 +423,9 @@ class TwoStagePipeline:
         ch, cw = self.coarse_hw
         b_total, h0, w0 = (int(dev_stack.shape[0]), int(dev_stack.shape[1]),
                            int(dev_stack.shape[2]))
-        dets = self._coarse_full_batch(dev_stack)
-        all_boxes = np.asarray(dets["boxes"])
-        all_valid = np.asarray(dets["valid"])
+        dets = unpack_detections(self._coarse_full_batch(dev_stack))
+        all_boxes = dets["boxes"]
+        all_valid = dets["valid"]
 
         jobs: Dict[int, List[tuple]] = {}
         for row in range(b_total):
@@ -365,8 +438,10 @@ class TwoStagePipeline:
             if len(regions) == 0:
                 continue
             bucket = pick_bucket(mh, mw, self.buckets)
+            unmap_rows = regions_to_array(regions, self.max_regions)
             jobs.setdefault(bucket, []).append(
-                (row, regions_to_array(regions, self.max_regions)))
+                (row, split_rows_for_tile(unmap_rows, paint_tile(bucket),
+                                          self.max_paint), unmap_rows))
 
         empty = {
             "boxes": np.zeros((0, 4), np.float32),
@@ -380,17 +455,20 @@ class TwoStagePipeline:
             b = _pow2_pad(real)
             job_list = job_list + [job_list[-1]] * (b - real)
             rows = jnp.asarray(np.array([j[0] for j in job_list], np.int32))
-            regs = jnp.asarray(np.stack([j[1] for j in job_list]))
-            fut = self._mosaic_stage_batch(dev_stack, rows, regs, bucket)
+            paints = jnp.asarray(self._flat_paint(
+                [j[1] for j in job_list]))
+            regs = jnp.asarray(np.stack([j[2] for j in job_list]))
+            fut = self._mosaic_stage_batch(dev_stack, rows, paints, regs,
+                                           bucket)
             pending.append((job_list[:real], fut))
         for job_list, fut in pending:
-            fb, fs, fl, fv = fut
-            for slot, (row, _) in enumerate(job_list):
-                fv_i = np.asarray(fv[slot])
+            d = unpack_detections(fut)       # one transfer per bucket
+            for slot, (row, *_) in enumerate(job_list):
+                fv_i = d["valid"][slot]
                 results[row] = {
-                    "boxes": np.asarray(fb[slot])[fv_i],
-                    "scores": np.asarray(fs[slot])[fv_i],
-                    "labels": np.asarray(fl[slot])[fv_i],
+                    "boxes": d["boxes"][slot][fv_i],
+                    "scores": d["scores"][slot][fv_i],
+                    "labels": d["labels"][slot][fv_i],
                 }
         return results
 
@@ -400,11 +478,13 @@ class TwoStagePipeline:
         ``max_batch``)."""
         img = np.zeros((*image_hw, 3), np.uint8)
         reg1 = regions_to_array([], self.max_regions)
+        paint1 = np.zeros((self.max_paint, 7), np.float32)
         for b in sorted({1, _pow2_pad(self.max_batch)}):
             dev = jnp.asarray(np.stack([img] * b))
             jax.block_until_ready(self._coarse_full_batch(dev))
             rows = jnp.asarray(np.zeros((b,), np.int32))
             regs = jnp.asarray(np.stack([reg1] * b))
+            paints = jnp.asarray(self._flat_paint([paint1] * b))
             for bk in self.buckets:
                 jax.block_until_ready(
-                    self._mosaic_stage_batch(dev, rows, regs, bk))
+                    self._mosaic_stage_batch(dev, rows, paints, regs, bk))

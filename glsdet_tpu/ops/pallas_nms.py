@@ -129,10 +129,18 @@ def batched_nms_pallas(boxes: jnp.ndarray, scores: jnp.ndarray,
 
 
 def use_pallas_nms() -> bool:
-    """True when the default backend is a TPU (and not disabled via the
-    GLSDET_NO_PALLAS env kill-switch)."""
+    """True only when explicitly requested via GLSDET_PALLAS_NMS=1 on a
+    TPU backend.
+
+    Measured on v5e: the fixpoint-iteration NMS in ``ops.nms.nms`` (a
+    handful of vectorized (K, K) passes) beats this kernel's K
+    sequential VMEM steps for every K this framework uses (<= 2048), and
+    unlike a Pallas call it composes freely with vmap/jit fusion — so
+    the kernel is opt-in, kept as the VMEM-resident alternative for
+    very large K."""
     import os
 
-    if os.environ.get("GLSDET_NO_PALLAS"):
+    if os.environ.get("GLSDET_NO_PALLAS"):  # legacy kill-switch
         return False
-    return jax.default_backend() == "tpu"
+    return (os.environ.get("GLSDET_PALLAS_NMS") == "1"
+            and jax.default_backend() == "tpu")

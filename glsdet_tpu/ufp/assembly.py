@@ -211,6 +211,225 @@ def assemble_mosaic_fast(image: jnp.ndarray, regions: jnp.ndarray,
     return canvas
 
 
+def split_rows_for_tile(rows: np.ndarray, tile: int,
+                        max_rows: int) -> np.ndarray:
+    """Split region rows whose *scaled* chip exceeds ``tile`` in either
+    dimension into a grid of sub-chips that each fit a (tile, tile)
+    canvas window (for ``assemble_mosaic_tiled``).
+
+    Sub-chips crop the same source image, so sampling is seamless across
+    split lines (the tiled assembly reads the full padded source, not
+    per-chip crops).  Use the split rows only for *painting*; unmapping
+    must keep the original rows so IoF gating sees whole chips.
+
+    Args:
+        rows: (R, 7) float rows ``[x1, y1, w, h, nx, ny, f]`` (integer
+            valued; f == 0 padding rows are dropped).
+        tile: window size the painter uses.
+        max_rows: output capacity (overflow rows are dropped).
+
+    Returns (max_rows, 7) float32, zero-padded.
+    """
+    out = []
+    for r in np.asarray(rows, np.float64):
+        x1, y1, w, h, nx, ny, f = r
+        if f <= 0 or w <= 0 or h <= 0:
+            continue
+        step = tile // int(f)          # source pixels per window
+        for oy in range(0, int(h), step):
+            for ox in range(0, int(w), step):
+                sw = min(step, int(w) - ox)
+                sh = min(step, int(h) - oy)
+                out.append([x1 + ox, y1 + oy, sw, sh,
+                            nx + ox * f, ny + oy * f, f])
+    arr = np.zeros((max_rows, 7), np.float32)
+    for i, row in enumerate(out[:max_rows]):
+        arr[i] = row
+    return arr
+
+
+def assemble_mosaic_tiled(image: jnp.ndarray, paint_regions: jnp.ndarray,
+                          out_h: int, out_w: int,
+                          tile: int = 512) -> jnp.ndarray:
+    """Tiled read-modify-write mosaic assembly.
+
+    Same crop -> x{1,2,4} upscale -> paste semantics as
+    ``assemble_mosaic_fast``: interiors (>= factor pixels from a chip
+    border) are exact; the outermost factor-wide ring of each chip
+    differs from the gather oracle (and from ``assemble_mosaic_fast``)
+    by at most one source pixel of edge-clamp/bleed — the deviation
+    class documented on ``assemble_mosaic_fast``.  Every per-region
+    operation is sized to a (tile, tile) canvas window around the chip
+    instead of the full canvas: dynamic_slice the window, blend the
+    upscaled crop, dynamic_update_slice it back.  At 1280^2 with 32
+    regions this is ~25x less HBM traffic than the full-canvas scan
+    (which XLA cannot shrink, and which pays all three factor branches
+    under vmap).
+
+    ``paint_regions`` rows must satisfy ``w*f <= tile`` and
+    ``h*f <= tile`` — produced by ``split_rows_for_tile``.  Chips may
+    overhang the canvas edge (window origin is clamped; overhanging
+    pixels drop, as in the masked full-canvas paste).
+
+    Requires tile % 4 == 0 and out_h >= tile, out_w >= tile.
+    """
+    t = int(tile)
+    assert t % 4 == 0 and out_h >= t and out_w >= t
+    c = int(image.shape[2])
+    # Source padding: window crops start at x1 - qx with qx in [0, t/f],
+    # and read t/f + 1 (+1 halo) pixels.
+    padded = jnp.pad(image, ((t, t + 4), (t, t + 4), (0, 0)))
+
+    p_iota = jax.lax.broadcasted_iota(jnp.float32, (t, t), 0)
+    q_iota = jax.lax.broadcasted_iota(jnp.float32, (t, t), 1)
+
+    def window_val(region, ty, tx, factor: int):
+        """Upscaled crop covering the whole (t, t) window at canvas
+        origin (ty, tx); caller masks to the chip rect."""
+        x1, y1 = region[0], region[1]
+        nyw = region[5] - ty           # chip origin in window coords >= 0
+        nxw = region[4] - tx
+        f = float(factor)
+        qy = jnp.floor(nyw / f)
+        qx = jnp.floor(nxw / f)
+        ry = (nyw - qy * f).astype(jnp.int32)
+        rx = (nxw - qx * f).astype(jnp.int32)
+        sy = (y1 - qy + t).astype(jnp.int32)
+        sx = (x1 - qx + t).astype(jnp.int32)
+        n = t // factor + 1
+        crop = jax.lax.dynamic_slice(
+            padded, (sy, sx, jnp.int32(0)), (n, n, c)).astype(jnp.float32)
+        if factor == 1:
+            up = crop
+        elif factor == 2:
+            up = _upscale2(crop)
+        else:
+            up = _upscale4(crop)                   # (t + f, t + f, c)
+        up = jnp.pad(up, ((factor, 0), (factor, 0), (0, 0)))
+        return jax.lax.dynamic_slice(
+            up, (factor - ry, factor - rx, jnp.int32(0)), (t, t, c))
+
+    def per_region(canvas, region):
+        rw, rh, nx, ny, f = (region[2], region[3], region[4], region[5],
+                             region[6])
+        ty = jnp.clip(ny, 0, out_h - t).astype(jnp.int32)
+        tx = jnp.clip(nx, 0, out_w - t).astype(jnp.int32)
+        fi = jnp.clip(f, 1.0, 4.0).astype(jnp.int32)
+        branch = jnp.int32(0) + (fi >= 2) + (fi >= 4)
+        val = jax.lax.switch(
+            branch,
+            [lambda r: window_val(r, ty.astype(jnp.float32),
+                                  tx.astype(jnp.float32), 1),
+             lambda r: window_val(r, ty.astype(jnp.float32),
+                                  tx.astype(jnp.float32), 2),
+             lambda r: window_val(r, ty.astype(jnp.float32),
+                                  tx.astype(jnp.float32), 4)], region)
+        # global canvas coords of the window pixels
+        yy = p_iota + ty.astype(jnp.float32)
+        xx = q_iota + tx.astype(jnp.float32)
+        inside = ((xx >= nx) & (xx < nx + rw * f)
+                  & (yy >= ny) & (yy < ny + rh * f) & (f > 0))
+        win = jax.lax.dynamic_slice(
+            canvas, (ty, tx, jnp.int32(0)), (t, t, c))
+        win = jnp.where(inside[..., None], val, win)
+        canvas = jax.lax.dynamic_update_slice(canvas, win, (ty, tx,
+                                                            jnp.int32(0)))
+        return canvas, None
+
+    canvas = jnp.zeros((out_h, out_w, c), jnp.float32)
+    canvas, _ = jax.lax.scan(per_region, canvas, paint_regions)
+    return canvas
+
+
+def assemble_mosaic_tiled_batch(images: jnp.ndarray,
+                                paint_rows: jnp.ndarray,
+                                out_h: int, out_w: int,
+                                tile: int = 256) -> jnp.ndarray:
+    """Batched tiled painter: one flat scan over every image's rows.
+
+    Same per-chip semantics as ``assemble_mosaic_tiled``, but takes the
+    whole batch at once and is NOT vmapped: rows carry their image index
+    and the scan walks all of them against a (B, out_h, out_w, C)
+    canvas.  Because nothing is batched *per step*, ``lax.switch``
+    executes only the taken upscale branch and padding rows short-cut
+    through ``lax.cond`` — on TPU this is ~3x less HBM traffic than the
+    vmapped per-image scan (where vectorized switch pays all branches
+    for every row).
+
+    Args:
+        images: (B, H, W, C) source batch (uint8 or float).
+        paint_rows: (N, 8) rows ``[x1, y1, w, h, nx, ny, f, img]`` from
+            ``split_rows_for_tile`` + an image-index column; ``f == 0``
+            rows are skipped.  Scaled chips must fit ``tile``.
+        out_h, out_w: canvas size; tile % 4 == 0, canvas >= tile.
+
+    Returns (B, out_h, out_w, C) float32.
+    """
+    t = int(tile)
+    assert t % 4 == 0 and out_h >= t and out_w >= t
+    bsz, c = int(images.shape[0]), int(images.shape[3])
+    padded = jnp.pad(images, ((0, 0), (t, t + 4), (t, t + 4), (0, 0)))
+
+    p_iota = jax.lax.broadcasted_iota(jnp.float32, (t, t), 0)
+    q_iota = jax.lax.broadcasted_iota(jnp.float32, (t, t), 1)
+
+    def window_val(row, img_i, ty, tx, factor: int):
+        x1, y1 = row[0], row[1]
+        nyw = row[5] - ty
+        nxw = row[4] - tx
+        f = float(factor)
+        qy = jnp.floor(nyw / f)
+        qx = jnp.floor(nxw / f)
+        ry = (nyw - qy * f).astype(jnp.int32)
+        rx = (nxw - qx * f).astype(jnp.int32)
+        sy = (y1 - qy + t).astype(jnp.int32)
+        sx = (x1 - qx + t).astype(jnp.int32)
+        n = t // factor + 1
+        crop = jax.lax.dynamic_slice(
+            padded, (img_i, sy, sx, jnp.int32(0)),
+            (1, n, n, c))[0].astype(jnp.float32)
+        if factor == 1:
+            up = crop
+        elif factor == 2:
+            up = _upscale2(crop)
+        else:
+            up = _upscale4(crop)
+        up = jnp.pad(up, ((factor, 0), (factor, 0), (0, 0)))
+        return jax.lax.dynamic_slice(
+            up, (factor - ry, factor - rx, jnp.int32(0)), (t, t, c))
+
+    def paint(canvas, row):
+        rw, rh, nx, ny, f = row[2], row[3], row[4], row[5], row[6]
+        img_i = row[7].astype(jnp.int32)
+        ty = jnp.clip(ny, 0, out_h - t).astype(jnp.int32)
+        tx = jnp.clip(nx, 0, out_w - t).astype(jnp.int32)
+        fi = jnp.clip(f, 1.0, 4.0).astype(jnp.int32)
+        branch = jnp.int32(0) + (fi >= 2) + (fi >= 4)
+        tyf, txf = ty.astype(jnp.float32), tx.astype(jnp.float32)
+        val = jax.lax.switch(
+            branch,
+            [lambda r: window_val(r, img_i, tyf, txf, 1),
+             lambda r: window_val(r, img_i, tyf, txf, 2),
+             lambda r: window_val(r, img_i, tyf, txf, 4)], row)
+        yy = p_iota + tyf
+        xx = q_iota + txf
+        inside = ((xx >= nx) & (xx < nx + rw * f)
+                  & (yy >= ny) & (yy < ny + rh * f))
+        win = jax.lax.dynamic_slice(
+            canvas, (img_i, ty, tx, jnp.int32(0)), (1, t, t, c))
+        win = jnp.where(inside[..., None], val, win[0])[None]
+        return jax.lax.dynamic_update_slice(
+            canvas, win, (img_i, ty, tx, jnp.int32(0)))
+
+    def per_row(canvas, row):
+        return jax.lax.cond(row[6] > 0, lambda cv: paint(cv, row),
+                            lambda cv: cv, canvas), None
+
+    canvas = jnp.zeros((bsz, out_h, out_w, c), jnp.float32)
+    canvas, _ = jax.lax.scan(per_row, canvas, paint_rows)
+    return canvas
+
+
 def chip_boxes_from_regions(regions: jnp.ndarray) -> jnp.ndarray:
     """(R, 7) region rows -> (R, 4) xyxy chip rectangles in mosaic coords."""
     nx, ny = regions[:, 4], regions[:, 5]

@@ -16,6 +16,8 @@ import time
 
 import numpy as np
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 
 def main():
     ap = argparse.ArgumentParser()
@@ -31,10 +33,11 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     import jax.numpy as jnp
-    from glsdet_tpu.eval.two_stage import TwoStagePipeline
+    from glsdet_tpu.eval.two_stage import TwoStagePipeline, paint_tile
     from glsdet_tpu.models import MPDet, YOLOXDetector
-    from glsdet_tpu.ufp.assembly import regions_to_array
-    from glsdet_tpu.ufp.packing import unified_foreground_packing
+    from glsdet_tpu.native import (
+        unified_foreground_packing_native as unified_foreground_packing)
+    from glsdet_tpu.ufp.assembly import regions_to_array, split_rows_for_tile
 
     def log(msg):
         print(f"# {time.strftime('%H:%M:%S')} {msg}", file=sys.stderr,
@@ -88,9 +91,10 @@ def main():
         f"({t_coarse/B*1e3:.1f} ms/img)")
 
     # host packing from real coarse detections
-    dets = pipe._coarse_full_batch(dev_stack)
-    all_boxes = np.asarray(dets["boxes"])
-    all_valid = np.asarray(dets["valid"])
+    from glsdet_tpu.eval.two_stage import unpack_detections
+    dets = unpack_detections(pipe._coarse_full_batch(dev_stack))
+    all_boxes = dets["boxes"]
+    all_valid = dets["valid"]
     h0, w0 = 765, 1360
     sx, sy = w0 / coarse_hw[1], h0 / coarse_hw[0]
     t0 = time.time()
@@ -109,13 +113,18 @@ def main():
 
     # stage 2: mosaic program (assemble+MP-Det+decode+NMS+unmap+NMS)
     rows = jnp.arange(B, dtype=jnp.int32)
-    regs = jnp.asarray(np.stack(
-        [regions_to_array(p[0], pipe.max_regions) for p in packs]))
-    sync(pipe._mosaic_stage_batch(dev_stack, rows, regs, 1280))
+    unmap_np = np.stack(
+        [regions_to_array(p[0], pipe.max_regions) for p in packs])
+    regs = jnp.asarray(unmap_np)
+    paints_np = pipe._flat_paint(
+        [split_rows_for_tile(u, paint_tile(1280), pipe.max_paint)
+         for u in unmap_np])
+    paints = jnp.asarray(paints_np)
+    sync(pipe._mosaic_stage_batch(dev_stack, rows, paints, regs, 1280))
     ts = []
     for _ in range(args.iters):
         t0 = time.time()
-        sync(pipe._mosaic_stage_batch(dev_stack, rows, regs, 1280))
+        sync(pipe._mosaic_stage_batch(dev_stack, rows, paints, regs, 1280))
         ts.append(time.time() - t0)
     t_mosaic = min(ts)
     log(f"mosaic program @1280: {t_mosaic*1e3:8.1f} ms / {B} imgs "
@@ -154,6 +163,72 @@ def main():
     t_cf = min(ts)
     log(f"YOLOX-s fwd @640:     {t_cf*1e3:8.1f} ms / {B} imgs "
         f"({t_cf/B*1e3:.1f} ms/img)")
+
+    # --- fine split of the mosaic stage ---
+    from glsdet_tpu.eval.postprocess import gfl_postprocess
+    from glsdet_tpu.eval.two_stage import _unmap_and_nms
+    from glsdet_tpu.ufp.assembly import assemble_mosaic_tiled_batch
+
+    def _assemble_batch(im, rg):
+        canv = assemble_mosaic_tiled_batch(im, rg, 1280, 1280,
+                                           tile=paint_tile(1280))
+        mean = jnp.asarray([123.675, 116.28, 103.53], jnp.float32)
+        std = jnp.asarray([58.395, 57.12, 57.375], jnp.float32)
+        return (canv - mean) / std
+
+    def timeit_scalar(fn, *a):
+        """fn returns a pytree; timing forces a scalar readback only."""
+        g = jax.jit(lambda *xs: jax.tree_util.tree_reduce(
+            lambda acc, l: acc + l.astype(jnp.float32).sum(),
+            fn(*xs), jnp.float32(0)))
+        float(g(*a))
+        ts = []
+        for _ in range(args.iters):
+            t0 = time.time()
+            float(g(*a))
+            ts.append(time.time() - t0)
+        return min(ts)
+
+    t_asm = timeit_scalar(_assemble_batch, dev_stack, paints)
+    log(f"  assembly @1280:     {t_asm*1e3:8.1f} ms / {B} imgs")
+
+    mosaics = jax.jit(_assemble_batch)(dev_stack, paints)
+    t_fwd = timeit_scalar(
+        lambda v, x: mp.apply(v, x, train=False), mvars, mosaics)
+    log(f"  MP-Det fwd:         {t_fwd*1e3:8.1f} ms / {B} imgs")
+
+    cls_out, reg_out = jax.jit(
+        lambda v, x: mp.apply(v, x, train=False))(mvars, mosaics)
+    t_post = timeit_scalar(lambda c, r: gfl_postprocess(
+        c, r, (1280, 1280), score_thr=pipe.chip_score_thr,
+        max_dets=pipe.max_chip), cls_out, reg_out)
+    log(f"  gfl_postprocess:    {t_post*1e3:8.1f} ms / {B} imgs")
+
+    mp_dets = jax.jit(lambda c, r: gfl_postprocess(
+        c, r, (1280, 1280), score_thr=pipe.chip_score_thr,
+        max_dets=pipe.max_chip))(cls_out, reg_out)
+    t_unmap = timeit_scalar(
+        lambda b, s, l, v, r: jax.vmap(
+            lambda bb, ss, ll, vv, rr: _unmap_and_nms(
+                bb, ss, ll, vv, rr, pipe.final_nms_thr, pipe.max_chip)
+        )(b, s, l, v, r),
+        mp_dets["boxes"], mp_dets["scores"], mp_dets["labels"],
+        mp_dets["valid"], regs)
+    log(f"  unmap+final NMS:    {t_unmap*1e3:8.1f} ms / {B} imgs")
+
+    # --- fine split of the coarse stage ---
+    from glsdet_tpu.eval.postprocess import yolox_postprocess
+    t_rsz = timeit_scalar(lambda x: jax.image.resize(
+        x.astype(jnp.float32), (B, 640, 640, 3), method="bilinear"),
+        dev_stack)
+    log(f"  coarse resize:      {t_rsz*1e3:8.1f} ms / {B} imgs")
+
+    ccls, creg, cobj = jax.jit(
+        lambda v, x: coarse.apply(v, x, train=False))(cvars, x640)
+    t_cpost = timeit_scalar(lambda c, r, o: yolox_postprocess(
+        c, r, o, coarse_hw, score_thr=pipe.coarse_score_thr,
+        max_dets=pipe.max_coarse), ccls, creg, cobj)
+    log(f"  yolox_postprocess:  {t_cpost*1e3:8.1f} ms / {B} imgs")
 
     total = (t_coarse + t_mosaic) / B * 1e3
     log(f"sum of programs: {total:.1f} ms/img "

@@ -241,3 +241,122 @@ class TestAssembleFast:
         fast = np.asarray(assemble_mosaic_fast(
             jnp.asarray(img), jnp.zeros((4, 7), jnp.float32), 16, 16))
         assert (fast == 0).all()
+
+
+class TestAssembleTiled:
+    """assemble_mosaic_tiled (windowed RMW painter): exact on chip
+    interiors vs both the fast path and the gather oracle; the
+    factor-wide border ring deviates by <= 1 source pixel of
+    clamp/bleed (deviation class documented in assembly.py).  Splitting
+    via split_rows_for_tile is seamless — sub-crops slice the same
+    padded source, so split lines are NOT deviation zones."""
+
+    def _interior(self, regions, out):
+        m = np.zeros((out, out), bool)
+        for r in np.asarray(regions):
+            x1, y1, w, h, nx, ny, f = r
+            if f <= 0:
+                continue
+            fi = int(f)
+            m[int(ny) + fi:min(int(ny + h * f), out) - fi,
+              int(nx) + fi:min(int(nx + w * f), out) - fi] = True
+        return m
+
+    def test_matches_fast_and_oracle_interiors(self):
+        from glsdet_tpu.ufp.assembly import (assemble_mosaic_fast,
+                                             assemble_mosaic_tiled)
+
+        rng = np.random.RandomState(1)
+        img = rng.uniform(0, 255, (60, 80, 3)).astype(np.float32)
+        out = 64
+        regions = np.zeros((8, 7), np.float32)
+        regions[0] = [3, 5, 14, 10, 1, 3, 1]
+        regions[1] = [20, 8, 9, 7, 17, 2, 2]
+        regions[2] = [40, 30, 5, 6, 37, 21, 4]
+        regions[3] = [10, 40, 12, 11, 1, 47, 1]
+        fast = np.asarray(assemble_mosaic_fast(
+            jnp.asarray(img), jnp.asarray(regions), out, out))
+        oracle = np.asarray(assemble_mosaic(
+            jnp.asarray(img), jnp.asarray(regions), out, out))
+        tiled = np.asarray(assemble_mosaic_tiled(
+            jnp.asarray(img), jnp.asarray(regions), out, out, tile=32))
+        inner = self._interior(regions, out)
+        np.testing.assert_allclose(tiled[inner], fast[inner], atol=1e-3)
+        np.testing.assert_allclose(tiled[inner], oracle[inner], atol=1e-3)
+        # border ring bounded by 1 src px of clamp/bleed; canvas zeros
+        # outside chips
+        assert np.abs(tiled - fast).max() < 256.0
+        outside = ~self._interior(
+            regions + np.array([0, 0, 2, 2, -1, -1, 0], np.float32), out)
+        outside &= (oracle == 0).all(-1)
+        assert (tiled[outside] == 0).all()
+
+    def test_split_rows_seamless(self):
+        from glsdet_tpu.ufp.assembly import (assemble_mosaic_fast,
+                                             assemble_mosaic_tiled,
+                                             split_rows_for_tile)
+
+        rng = np.random.RandomState(2)
+        img = rng.uniform(0, 255, (80, 100, 3)).astype(np.float32)
+        out = 64
+        # one chip larger than the tile in both dims (48x40 at f=1),
+        # one 2x chip whose scaled size (44) exceeds the 32-tile
+        regions = np.zeros((4, 7), np.float32)
+        regions[0] = [10, 12, 48, 40, 2, 3, 1]
+        regions[1] = [60, 50, 22, 13, 2, 45, 2]
+        fast = np.asarray(assemble_mosaic_fast(
+            jnp.asarray(img), jnp.asarray(regions), out, out))
+        paint = split_rows_for_tile(regions, 32, 32)
+        assert (paint[:, 6] > 0).sum() > 2  # actually split
+        # scaled sub-chips all fit the tile
+        live = paint[paint[:, 6] > 0]
+        assert (live[:, 2] * live[:, 6] <= 32).all()
+        assert (live[:, 3] * live[:, 6] <= 32).all()
+        tiled = np.asarray(assemble_mosaic_tiled(
+            jnp.asarray(img), jnp.asarray(paint), out, out, tile=32))
+        # compare on ORIGINAL-chip interiors: split lines inside them
+        # must be seamless (any split artifact would show up here)
+        inner = self._interior(regions, out)
+        assert inner.sum() > 1500
+        np.testing.assert_allclose(tiled[inner], fast[inner], atol=1e-3)
+
+    def test_canvas_edge_overhang_and_empty(self):
+        from glsdet_tpu.ufp.assembly import assemble_mosaic_tiled
+
+        img = np.ones((40, 40, 3), np.float32) * 7.0
+        regions = np.zeros((2, 7), np.float32)
+        # chip overhangs the right/bottom canvas edge
+        regions[0] = [0, 0, 20, 20, 50, 50, 1]
+        tiled = np.asarray(assemble_mosaic_tiled(
+            jnp.asarray(img), jnp.asarray(regions), 64, 64, tile=32))
+        assert (tiled[50:, 50:] == 7.0).all()
+        assert (tiled[:50, :] == 0).all() and (tiled[:, :50] == 0).all()
+        empty = np.asarray(assemble_mosaic_tiled(
+            jnp.asarray(img), jnp.zeros((3, 7), jnp.float32), 32, 32,
+            tile=16))
+        assert (empty == 0).all()
+
+    def test_batch_painter_matches_single(self):
+        from glsdet_tpu.ufp.assembly import (assemble_mosaic_tiled,
+                                             assemble_mosaic_tiled_batch,
+                                             split_rows_for_tile)
+
+        rng = np.random.RandomState(3)
+        imgs = rng.uniform(0, 255, (2, 60, 80, 3)).astype(np.float32)
+        out = 64
+        r0 = np.zeros((4, 7), np.float32)
+        r0[0] = [3, 5, 14, 10, 1, 3, 1]
+        r0[1] = [20, 8, 9, 7, 17, 2, 2]
+        r1 = np.zeros((4, 7), np.float32)
+        r1[0] = [40, 30, 5, 6, 37, 21, 4]
+        p0 = split_rows_for_tile(r0, 32, 8)
+        p1 = split_rows_for_tile(r1, 32, 8)
+        flat = np.concatenate([
+            np.concatenate([p0, np.full((8, 1), 0, np.float32)], 1),
+            np.concatenate([p1, np.full((8, 1), 1, np.float32)], 1)], 0)
+        got = np.asarray(assemble_mosaic_tiled_batch(
+            jnp.asarray(imgs), jnp.asarray(flat), out, out, tile=32))
+        for b, p in enumerate((p0, p1)):
+            want = np.asarray(assemble_mosaic_tiled(
+                jnp.asarray(imgs[b]), jnp.asarray(p), out, out, tile=32))
+            np.testing.assert_allclose(got[b], want, atol=1e-4)

@@ -45,7 +45,8 @@ def main():
     from glsdet_tpu.eval.postprocess import yolox_postprocess
     from glsdet_tpu.train.loop import build_model, build_optimizer, restore_checkpoint
     from glsdet_tpu.train.state import TrainState
-    from glsdet_tpu.ufp.packing import unified_foreground_packing
+    from glsdet_tpu.native import unified_foreground_packing_native as \
+        unified_foreground_packing
 
     import ast
 
