@@ -108,15 +108,21 @@ def main():
     log(f"coarse detections on noise frames: {n_coarse}")
     assert n_coarse >= 4, "stage 2 would be idle — raise max_dets or " \
                           "lower coarse_score_thr"
-    pipe.run_device_batch(dev_stack)
-    n_iters = 24
+    res = pipe.run_device_batch(dev_stack)
+    n_stage2 = sum(len(r["boxes"]) for r in res)
+    log(f"stage-2 detections: {n_stage2}")
+    assert n_stage2 > 0, "mosaic stage produced nothing"
+    # steady state: pipelined multi-stream driver — readback RPCs and
+    # host packing overlap device compute across stacks
+    stacks = [dev_stack] * 3
+    n_iters = 3 * len(frames)
+    pipe.run_device_batches(stacks)
     rates = []
     for rep in range(5):
         t0 = time.time()
-        for i in range(0, n_iters, len(frames)):
-            pipe.run_device_batch(dev_stack)
+        pipe.run_device_batches(stacks)
         rates.append(n_iters / (time.time() - t0))
-        log(f"rep{rep} (staged): {rates[-1]:.2f} img/s")
+        log(f"rep{rep} (staged, pipelined): {rates[-1]:.2f} img/s")
     ips = max(rates)
 
     # upload-included end-to-end rate over the tunnel (chunked uploads)

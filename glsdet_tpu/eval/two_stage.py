@@ -61,8 +61,8 @@ def _assemble_normalize_impl(image, paint_regions, out_hw):
     """image: (H, W, 3) uint8 (or float) — normalization happens on
     device so the host->device transfer stays uint8 (4x less tunnel/PCIe
     traffic than float32).  Uses the tiled slice+upscale assembly
-    (per-region work sized to a 512-window, not the canvas; regions
-    pre-split on host by ``split_rows_for_tile``)."""
+    (per-region work sized to a ``paint_tile`` window, not the canvas;
+    regions pre-split on host by ``split_rows_for_tile``)."""
     canvas = assemble_mosaic_tiled(image, paint_regions, out_hw, out_hw,
                                    tile=paint_tile(out_hw))
     mean = jnp.asarray([123.675, 116.28, 103.53], jnp.float32)
@@ -415,62 +415,80 @@ class TwoStagePipeline:
 
         The staged twin of ``run_batch`` for ingest paths that already
         land frames in HBM (camera DMA, a decode stage, a sharded
-        loader): no host->device transfer happens here — phase 1 is one
-        coarse dispatch on the stack, phase 2 packs on host from the
-        (small) detection readback, phase 3 is one mosaic dispatch per
-        bucket.  Frames must share one shape by construction.
+        loader): no host->device transfer happens here — one coarse
+        dispatch on the stack, host packing from the (small, single
+        packed-array) detection readback, one mosaic dispatch per
+        bucket.  Frames must share one shape by construction.  For
+        several stacks, prefer ``run_device_batches`` which pipelines
+        readbacks/packing against device compute across stacks.
+        """
+        return self.run_device_batches([dev_stack])[0]
+
+    def run_device_batches(self, stacks: Sequence) -> List[List[dict]]:
+        """Pipelined inference over several device-resident stacks.
+
+        All coarse programs are enqueued before any result is read, and
+        each stack's mosaic jobs are enqueued as soon as its packing is
+        done — so coarse-detection readbacks (one RPC each) and host
+        packing overlap device execution of the other stacks' programs.
+        This is the multi-stream server shape: per-batch dispatch/readback
+        latency hides behind compute instead of adding to it.
         """
         ch, cw = self.coarse_hw
-        b_total, h0, w0 = (int(dev_stack.shape[0]), int(dev_stack.shape[1]),
-                           int(dev_stack.shape[2]))
-        dets = unpack_detections(self._coarse_full_batch(dev_stack))
-        all_boxes = dets["boxes"]
-        all_valid = dets["valid"]
-
-        jobs: Dict[int, List[tuple]] = {}
-        for row in range(b_total):
-            sx, sy = w0 / cw, h0 / ch
-            coarse_boxes = (all_boxes[row]
-                            * np.array([sx, sy, sx, sy],
-                                       np.float32))[all_valid[row]]
-            regions, mw, mh = unified_foreground_packing(
-                coarse_boxes.astype(np.float32), self.ufp_scale, (w0, h0))
-            if len(regions) == 0:
-                continue
-            bucket = pick_bucket(mh, mw, self.buckets)
-            unmap_rows = regions_to_array(regions, self.max_regions)
-            jobs.setdefault(bucket, []).append(
-                (row, split_rows_for_tile(unmap_rows, paint_tile(bucket),
-                                          self.max_paint), unmap_rows))
+        coarse_futs = [self._coarse_full_batch(s) for s in stacks]
 
         empty = {
             "boxes": np.zeros((0, 4), np.float32),
             "scores": np.zeros((0,), np.float32),
             "labels": np.zeros((0,), np.int64),
         }
-        results: List[dict] = [empty] * b_total
-        pending = []
-        for bucket, job_list in jobs.items():
-            real = len(job_list)
-            b = _pow2_pad(real)
-            job_list = job_list + [job_list[-1]] * (b - real)
-            rows = jnp.asarray(np.array([j[0] for j in job_list], np.int32))
-            paints = jnp.asarray(self._flat_paint(
-                [j[1] for j in job_list]))
-            regs = jnp.asarray(np.stack([j[2] for j in job_list]))
-            fut = self._mosaic_stage_batch(dev_stack, rows, paints, regs,
-                                           bucket)
-            pending.append((job_list[:real], fut))
-        for job_list, fut in pending:
-            d = unpack_detections(fut)       # one transfer per bucket
+        all_results: List[List[dict]] = []
+        pending = []  # (stack_index, job_list, fut)
+        for si, (stack, fut) in enumerate(zip(stacks, coarse_futs)):
+            b_total = int(stack.shape[0])
+            h0, w0 = int(stack.shape[1]), int(stack.shape[2])
+            dets = unpack_detections(fut)
+            all_results.append([empty] * b_total)
+            jobs: Dict[int, List[tuple]] = {}
+            sx, sy = w0 / cw, h0 / ch
+            for row in range(b_total):
+                coarse_boxes = (dets["boxes"][row]
+                                * np.array([sx, sy, sx, sy], np.float32)
+                                )[dets["valid"][row]]
+                regions, mw, mh = unified_foreground_packing(
+                    coarse_boxes.astype(np.float32), self.ufp_scale,
+                    (w0, h0))
+                if len(regions) == 0:
+                    continue
+                bucket = pick_bucket(mh, mw, self.buckets)
+                unmap_rows = regions_to_array(regions, self.max_regions)
+                jobs.setdefault(bucket, []).append(
+                    (row, split_rows_for_tile(
+                        unmap_rows, paint_tile(bucket), self.max_paint),
+                     unmap_rows))
+            for bucket, job_list in jobs.items():
+                real = len(job_list)
+                b = _pow2_pad(real)
+                job_list = job_list + [job_list[-1]] * (b - real)
+                rows = jnp.asarray(
+                    np.array([j[0] for j in job_list], np.int32))
+                paints = jnp.asarray(
+                    self._flat_paint([j[1] for j in job_list]))
+                regs = jnp.asarray(np.stack([j[2] for j in job_list]))
+                mfut = self._mosaic_stage_batch(stack, rows, paints, regs,
+                                                bucket)
+                pending.append((si, job_list[:real], mfut))
+
+        for si, job_list, mfut in pending:
+            d = unpack_detections(mfut)
             for slot, (row, *_) in enumerate(job_list):
                 fv_i = d["valid"][slot]
-                results[row] = {
+                all_results[si][row] = {
                     "boxes": d["boxes"][slot][fv_i],
                     "scores": d["scores"][slot][fv_i],
                     "labels": d["labels"][slot][fv_i],
                 }
-        return results
+        return all_results
 
     def warmup(self, image_hw: Tuple[int, int]):
         """Compile the coarse + mosaic programs for every bucket at the
