@@ -20,6 +20,8 @@ class ModelConfig:
     num_words: int = 200
     dtype: str = "bfloat16"          # compute dtype
     variant: str = ""                # attention variant: ffa|lsk|cfp|...
+    remat: bool = True               # checkpoint resnet blocks/head towers
+                                     # in training (bandwidth-bound bwd)
 
 
 @dataclass

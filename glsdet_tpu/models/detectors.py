@@ -114,17 +114,19 @@ class GFLDet(nn.Module):
     feat_channels: int = 256
     dtype: Any = jnp.float32
     axis_name: Optional[str] = None
+    remat: bool = False  # checkpoint backbone blocks + head towers
 
     @nn.compact
     def __call__(self, images, *, train: bool = False):
         feats = ResNet(depth=self.depth, dtype=self.dtype,
-                       axis_name=self.axis_name, name="backbone")(
-            images, train=train)
+                       axis_name=self.axis_name, remat=self.remat,
+                       name="backbone")(images, train=train)
         feats = FPN(out_channels=self.feat_channels, num_outs=5,
                     dtype=self.dtype, name="neck")(feats, train=train)
         return GFLHead(num_classes=self.num_classes,
                        feat_channels=self.feat_channels,
-                       dtype=self.dtype, name="head")(feats, train=train)
+                       dtype=self.dtype, remat=self.remat,
+                       name="head")(feats, train=train)
 
 
 class MPDet(nn.Module):
@@ -137,16 +139,21 @@ class MPDet(nn.Module):
     gamma: float = 10.0
     dtype: Any = jnp.float32
     axis_name: Optional[str] = None
+    remat: bool = False  # checkpoint backbone blocks + head towers: the
+    # backward at detection resolutions is bound by saved-activation HBM
+    # traffic, not FLOPs — remat cuts train-step time ~25% at 1024^2 and
+    # lets the batch grow (see docs/ARCHITECTURE.md)
 
     @nn.compact
     def __call__(self, images, *, train: bool = False):
         feats = ResNet(depth=self.depth, dtype=self.dtype,
-                       axis_name=self.axis_name, name="backbone")(
-            images, train=train)
+                       axis_name=self.axis_name, remat=self.remat,
+                       name="backbone")(images, train=train)
         feats = FPN(out_channels=self.feat_channels, num_outs=5,
                     dtype=self.dtype, name="neck")(feats, train=train)
         return MPHead(num_classes=self.num_classes,
                       feat_channels=self.feat_channels,
                       proxies_list=tuple(self.proxies_list),
                       gamma=self.gamma, dtype=self.dtype,
+                      remat=self.remat,
                       name="head")(feats, train=train)

@@ -30,6 +30,8 @@ class GFLHead(nn.Module):
     num_levels: int = 5
     reg_max: int = 16
     dtype: Any = jnp.float32
+    remat: bool = False  # jax.checkpoint each level's towers (the tower
+    # activations dominate the train-time memory of the whole detector)
 
     @nn.compact
     def __call__(self, feats, *, train: bool = False):
@@ -55,14 +57,26 @@ class GFLHead(nn.Module):
                           name="gfl_reg")
         scales = [Scale(1.0, name=f"scale{i}") for i in range(self.num_levels)]
 
-        cls_scores, bbox_preds = [], []
-        for lvl, x in enumerate(feats):
+        def level(mdl, x, lvl):
+            # mdl is self; the shared tower children register on its
+            # scope (param names unchanged vs the inline loop)
+            del mdl
             cls_feat, reg_feat = x, x
             for conv in cls_convs:
                 cls_feat = conv(cls_feat, train=train)
             for conv in reg_convs:
                 reg_feat = conv(reg_feat, train=train)
-            cls_scores.append(gfl_cls(cls_feat))
-            bbox_preds.append(
-                scales[lvl](gfl_reg(reg_feat)).astype(jnp.float32))
+            return (gfl_cls(cls_feat),
+                    scales[lvl](gfl_reg(reg_feat)).astype(jnp.float32))
+
+        # remat only at apply time: during init the shared tower children
+        # must be created outside any lifted transform (see mp_head.py)
+        use_remat = self.remat and not self.is_initializing()
+        run = (nn.remat(level, prevent_cse=False, static_argnums=(2,))
+               if use_remat else level)
+        cls_scores, bbox_preds = [], []
+        for lvl, x in enumerate(feats):
+            cs, bp = run(self, x, lvl)
+            cls_scores.append(cs)
+            bbox_preds.append(bp)
         return cls_scores, bbox_preds

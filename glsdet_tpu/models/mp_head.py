@@ -89,6 +89,7 @@ class MPHead(nn.Module):
     gamma: float = 10.0
     proxies_list: Sequence[int] = VISDRONE_PROXIES
     dtype: Any = jnp.float32
+    remat: bool = False  # jax.checkpoint each level's towers (see GFLHead)
 
     @nn.compact
     def __call__(self, feats, *, train: bool = False):
@@ -123,16 +124,28 @@ class MPHead(nn.Module):
             (sum(self.proxies_list), self.feat_channels))
         membership = jnp.asarray(proxy_class_matrix(self.proxies_list))
 
-        cls_out, bbox_preds = [], []
-        for lvl, x in enumerate(feats):
+        def level(mdl, x, lvl):
+            # mdl is self; shared tower children register on its scope
+            # (param names identical to the inline loop)
+            del mdl
             cls_feat, reg_feat = x, x
             for conv in cls_convs:
                 cls_feat = conv(cls_feat, train=train)
             for conv in reg_convs:
                 reg_feat = conv(reg_feat, train=train)
-            bbox_preds.append(
-                scales[lvl](gfl_reg(reg_feat)).astype(jnp.float32))
-            cls_feat = gfl_cls_conv(cls_feat)
+            return (gfl_cls_conv(cls_feat),
+                    scales[lvl](gfl_reg(reg_feat)).astype(jnp.float32))
+
+        # remat only at apply time: during init the shared tower children
+        # must be *created* outside any lifted transform (a child created
+        # inside one remat trace and reused in the next leaks tracers)
+        use_remat = self.remat and not self.is_initializing()
+        run = (nn.remat(level, prevent_cse=False, static_argnums=(2,))
+               if use_remat else level)
+        cls_out, bbox_preds = [], []
+        for lvl, x in enumerate(feats):
+            cls_feat, bp = run(self, x, lvl)
+            bbox_preds.append(bp)
             if train:
                 cls_out.append(cls_feat)
             else:

@@ -63,12 +63,13 @@ def build_model(cfg: Config, axis_name: Optional[str] = None):
                      feat_channels=cfg.model.feat_channels,
                      proxies_list=cfg.model.proxies_list,
                      gamma=cfg.model.gamma, dtype=dtype,
-                     axis_name=axis_name)
+                     axis_name=axis_name, remat=cfg.model.remat)
     if cfg.model.family == "gfl":
         return GFLDet(num_classes=cfg.model.num_classes,
                       depth=cfg.model.depth,
                       feat_channels=cfg.model.feat_channels,
-                      dtype=dtype, axis_name=axis_name)
+                      dtype=dtype, axis_name=axis_name,
+                      remat=cfg.model.remat)
     if cfg.model.family == "ffa":
         from glsdet_tpu.models.variants import FFAYoloBody
 
