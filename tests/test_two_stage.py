@@ -93,3 +93,19 @@ class TestTwoStage:
         # the untrained nano at thr=1e-4 must fire on noise — otherwise
         # this test is vacuously comparing empties
         assert nonempty > 0
+
+    def test_pipelined_stacks_match_device_batch(self, pipeline):
+        rs = np.random.RandomState(4)
+        stacks_np = [np.stack([rs.randint(0, 255, (200, 320, 3), np.uint8)
+                               for _ in range(2)]) for _ in range(2)]
+        stacks = [jnp.asarray(s) for s in stacks_np]
+        multi = pipeline.run_device_batches(stacks)
+        assert len(multi) == 2 and all(len(m) == 2 for m in multi)
+        for stack, got in zip(stacks, multi):
+            want = pipeline.run_device_batch(stack)
+            for a, b in zip(got, want):
+                assert a["boxes"].shape == b["boxes"].shape
+                np.testing.assert_allclose(a["boxes"], b["boxes"],
+                                           atol=1e-4)
+                np.testing.assert_allclose(a["scores"], b["scores"],
+                                           atol=1e-6)
