@@ -75,12 +75,12 @@ def main():
         mosaic_buckets=(1280,),
         coarse_score_thr=1e-4,
         coarse_vars=cvars, mp_vars=mvars,
-        max_batch=8,
+        max_batch=16,
     )
 
     rs = np.random.RandomState(0)
     frames = []
-    for _ in range(8):
+    for _ in range(16):
         img = rs.randint(0, 255, (765, 1360, 3), np.uint8)
         frames.append(img)
 
@@ -114,8 +114,8 @@ def main():
     assert n_stage2 > 0, "mosaic stage produced nothing"
     # steady state: pipelined multi-stream driver — readback RPCs and
     # host packing overlap device compute across stacks
-    stacks = [dev_stack] * 3
-    n_iters = 3 * len(frames)
+    stacks = [dev_stack] * 2
+    n_iters = 2 * len(frames)
     pipe.run_device_batches(stacks)
     rates = []
     for rep in range(5):
@@ -127,9 +127,8 @@ def main():
 
     # upload-included end-to-end rate over the tunnel (chunked uploads)
     t0 = time.time()
-    for i in range(0, 8, len(frames)):
-        pipe.run_batch(frames)
-    ips_upload = 8 / (time.time() - t0)
+    pipe.run_batch(frames)
+    ips_upload = len(frames) / (time.time() - t0)
     log(f"upload-included: {ips_upload:.2f} img/s")
 
     # the tunnel transfer floor for context (locally ~0.2 ms over PCIe)
