@@ -114,3 +114,37 @@ def test_soft_nms_decays_overlaps():
     assert new[0] == 0.9            # top box untouched
     assert new[1] < 0.8             # overlapping box decayed
     assert abs(new[2] - 0.7) < 1e-6  # far box untouched
+
+
+def test_fixpoint_nms_deep_suppression_chain():
+    """Adversarial case for the fixpoint iteration: a long chain where
+    box i overlaps box i+1 only — greedy alternates keep/suppress, and
+    the fixpoint must converge to exactly that pattern (depth ~ N)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from glsdet_tpu.ops.nms import NEG_INF, nms
+
+    n = 64
+    # boxes on a line, each overlapping its neighbor by 60% (IoU > 0.3)
+    xs = np.arange(n) * 4.0
+    boxes = np.stack([xs, np.zeros(n), xs + 10.0, np.full(n, 10.0)],
+                     axis=1).astype(np.float32)
+    scores = np.linspace(1.0, 0.5, n).astype(np.float32)  # descending
+    keep, _ = nms(jnp.asarray(boxes), jnp.asarray(scores), 0.3)
+    keep = np.asarray(keep)
+    # numpy greedy oracle
+    want = np.ones(n, bool)
+    for i in range(n):
+        if not want[i]:
+            continue
+        for j in range(i + 1, n):
+            x1 = max(boxes[i, 0], boxes[j, 0])
+            x2 = min(boxes[i, 2], boxes[j, 2])
+            inter = max(0.0, x2 - x1) * 10.0
+            iou = inter / (200.0 - inter)
+            if iou > 0.3:
+                want[j] = False
+    assert keep.tolist() == want.tolist()
+    # the alternating pattern (every other box) for this geometry
+    assert keep[:4].tolist() == [True, False, True, False]
