@@ -104,6 +104,49 @@ class Detector:
             "labels": np.asarray(out["labels"][0])[valid],
         }
 
+    def detect_batch(self, images: Sequence[np.ndarray]) -> list:
+        """Batched ``detect``: ONE stacked dispatch for N frames.
+
+        Frames may have different original sizes (each is resized to the
+        model input and its detections are rescaled back individually).
+        The stack is padded to a power of two so at most log2(N)+1 batch
+        shapes ever compile.  This is the dynamic-batching hook used by
+        ``serve.AsyncDetector``.
+        """
+        import cv2
+        import jax.numpy as jnp
+
+        from glsdet_tpu.data.coco import normalize
+
+        if not images:
+            return []
+        h, w = self.cfg.data.img_hw
+        resized = np.stack([normalize(cv2.resize(im, (w, h)))
+                            for im in images])
+        b = 1
+        while b < len(images):
+            b *= 2
+        if b > len(images):
+            resized = np.concatenate(
+                [resized, np.repeat(resized[-1:], b - len(images), 0)])
+        out = self._fwd(self._variables, jnp.asarray(resized))
+        valid = np.asarray(out["valid"])
+        all_boxes = np.asarray(out["boxes"])
+        all_scores = np.asarray(out["scores"])
+        all_labels = np.asarray(out["labels"])
+        results = []
+        for i, im in enumerate(images):
+            h0, w0 = im.shape[:2]
+            v = valid[i]
+            boxes = all_boxes[i][v] * np.array(
+                [w0 / w, h0 / h, w0 / w, h0 / h], np.float32)
+            results.append({
+                "boxes": boxes,
+                "scores": all_scores[i][v],
+                "labels": all_labels[i][v],
+            })
+        return results
+
     def detect_image(self, image: np.ndarray, score_thr: float = 0.3):
         """Draw detections (yolo.py detect_image analog)."""
         from glsdet_tpu.utils.visualize import draw_detections

@@ -106,25 +106,64 @@ class AsyncDetector:
     analog).
     """
 
-    def __init__(self, detector, max_queue: int = 64):
+    def __init__(self, detector, max_queue: int = 64,
+                 max_batch: int = 8, batch_window_ms: float = 2.0):
+        """``max_batch``/``batch_window_ms``: dynamic batching — the
+        worker drains up to ``max_batch`` queued requests (waiting at
+        most the window for stragglers) and serves them with ONE stacked
+        dispatch via ``detector.detect_batch`` when available (the
+        torchserve batch-inference analog)."""
         self._det = detector
         self._q: "queue.Queue" = queue.Queue(max_queue)
         self._stop = object()
+        self._max_batch = max(1, int(max_batch))
+        self._window_s = max(0.0, batch_window_ms) / 1e3
         self._worker = threading.Thread(target=self._run, daemon=True)
         self._worker.start()
 
+    def _drain(self, first):
+        """Gather a batch: ``first`` plus whatever arrives within the
+        window, up to max_batch.  Returns (items, saw_stop)."""
+        import time as _time
+
+        items = [first]
+        deadline = _time.monotonic() + self._window_s
+        while len(items) < self._max_batch:
+            timeout = deadline - _time.monotonic()
+            try:
+                item = self._q.get(timeout=max(0.0, timeout)) \
+                    if timeout > 0 else self._q.get_nowait()
+            except queue.Empty:
+                break
+            if item is self._stop:
+                return items, True
+            items.append(item)
+        return items, False
+
     def _run(self):
+        batched = hasattr(self._det, "detect_batch")
         while True:
             item = self._q.get()
             if item is self._stop:
                 return
-            fut, image = item
-            if not fut.set_running_or_notify_cancel():
-                continue
+            items, saw_stop = (self._drain(item) if batched
+                               and self._max_batch > 1 else ([item], False))
+            live = [(f, im) for f, im in items
+                    if f.set_running_or_notify_cancel()]
             try:
-                fut.set_result(self._det.detect(image))
-            except BaseException as e:  # surface in the future
-                fut.set_exception(e)
+                if batched and len(live) > 1:
+                    results = self._det.detect_batch(
+                        [im for _, im in live])
+                else:
+                    results = [self._det.detect(im) for _, im in live]
+                for (f, _), r in zip(live, results):
+                    f.set_result(r)
+            except BaseException as e:  # surface in the futures
+                for f, _ in live:
+                    if not f.done():
+                        f.set_exception(e)
+            if saw_stop:
+                return
 
     def submit(self, image: np.ndarray) -> Future:
         fut: Future = Future()

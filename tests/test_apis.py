@@ -113,3 +113,16 @@ class TestDetectorFacade:
             0, 255, (96, 96, 3), np.uint8)
         drawn = detector.detect_image(img, score_thr=0.0)
         assert drawn.shape == img.shape
+
+    def test_detect_batch_matches_detect(self, detector):
+        rs = np.random.RandomState(5)
+        imgs = [rs.randint(0, 255, (120 + 20 * i, 200, 3), np.uint8)
+                for i in range(3)]
+        batch = detector.detect_batch(imgs)
+        singles = [detector.detect(im) for im in imgs]
+        assert len(batch) == 3
+        for b, s in zip(batch, singles):
+            assert b["boxes"].shape == s["boxes"].shape
+            np.testing.assert_allclose(b["boxes"], s["boxes"], atol=1e-3)
+            np.testing.assert_allclose(b["scores"], s["scores"], atol=1e-5)
+        assert detector.detect_batch([]) == []

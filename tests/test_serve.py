@@ -147,3 +147,51 @@ class TestServer:
         with pytest.raises(urllib.error.HTTPError) as ei:
             urllib.request.urlopen(req, timeout=10)
         assert ei.value.code == 404
+
+
+class BatchStubDetector(StubDetector):
+    """Stub with the dynamic-batching hook; records batch sizes."""
+
+    def __init__(self):
+        self.batch_sizes = []
+
+    def detect_batch(self, images):
+        self.batch_sizes.append(len(images))
+        return [self.detect(im) for im in images]
+
+
+class TestDynamicBatching:
+    def test_batches_and_order(self):
+        stub = BatchStubDetector()
+        det = AsyncDetector(stub, max_batch=8, batch_window_ms=50.0)
+        imgs = [np.zeros((8 + i, 16, 3), np.uint8) for i in range(6)]
+        futs = [det.submit(im) for im in imgs]
+        outs = [f.result(timeout=10) for f in futs]
+        # results map back to the right request despite batching
+        assert [o["boxes"][0, 3] for o in outs] == [7, 8, 9, 10, 11, 12]
+        # at least one multi-request batch was formed
+        assert max(stub.batch_sizes, default=1) > 1
+        det.close()
+
+    def test_batch_exception_propagates_to_all(self):
+        class Bad(BatchStubDetector):
+            def detect_batch(self, images):
+                raise RuntimeError("batch boom")
+
+        det = AsyncDetector(Bad(), max_batch=4, batch_window_ms=50.0)
+        futs = [det.submit(np.zeros((4, 4, 3), np.uint8))
+                for _ in range(3)]
+        errs = 0
+        for f in futs:
+            with pytest.raises((RuntimeError, ValueError)):
+                f.result(timeout=10)
+            errs += 1
+        assert errs == 3
+        det.close()
+
+    def test_single_request_uses_detect(self):
+        stub = BatchStubDetector()
+        det = AsyncDetector(stub, max_batch=8, batch_window_ms=1.0)
+        out = det.submit(np.zeros((9, 16, 3), np.uint8)).result(timeout=10)
+        assert out["boxes"][0, 3] == 8
+        det.close()
