@@ -114,8 +114,8 @@ def main():
     assert n_stage2 > 0, "mosaic stage produced nothing"
     # steady state: pipelined multi-stream driver — readback RPCs and
     # host packing overlap device compute across stacks
-    stacks = [dev_stack] * 2
-    n_iters = 2 * len(frames)
+    stacks = [dev_stack] * 3
+    n_iters = 3 * len(frames)
     pipe.run_device_batches(stacks)
     rates = []
     for rep in range(5):
