@@ -18,21 +18,27 @@ import numpy as np
 
 
 def init_detector(config_name: str, checkpoint: Optional[str] = None,
-                  use_ema: bool = True):
+                  use_ema: bool = True, options: Optional[dict] = None):
     """Build a model from a named config + optional orbax checkpoint.
 
     Returns (cfg, model, variables)."""
     import jax
     import jax.numpy as jnp
 
-    from glsdet_tpu.config import get_config
+    from glsdet_tpu.config import apply_overrides, get_config
     from glsdet_tpu.train.loop import (build_model, build_optimizer,
                                        restore_checkpoint)
 
     cfg = get_config(config_name)
+    if options:
+        apply_overrides(cfg, options)
     model = build_model(cfg)
     rng = jax.random.PRNGKey(0)
-    x = jnp.zeros((1, *cfg.data.img_hw, 3), jnp.float32)
+    # init at a capped spatial size: the models are fully convolutional
+    # (param shapes are resolution-independent) and a full-resolution
+    # init program wastes minutes on a remote-tunnel TPU
+    init_hw = (min(cfg.data.img_hw[0], 256), min(cfg.data.img_hw[1], 256))
+    x = jnp.zeros((1, *init_hw, 3), jnp.float32)
     variables = jax.jit(lambda r, x: model.init(r, x, train=False))(rng, x)
     if checkpoint:
         from glsdet_tpu.train.loop import make_state_template
@@ -178,6 +184,83 @@ class Detector:
                 f.write(f"{name} {score:.6f} {int(box[0])} {int(box[1])} "
                         f"{int(box[2])} {int(box[3])}\n")
         return path
+
+
+class TwoStageDetector:
+    """Two-stage UFPMP predictor facade — the serving twin of
+    ``tools/ufpmp_det_eval.py``.
+
+    coarse detector (full frame) -> UFP packing -> MP-Det on the mosaic
+    -> unmap + class-wise NMS, with the integrated on-device global-local
+    fusion (merge_results.py semantics) on by default.  Exposes the same
+    ``detect`` / ``detect_batch`` surface as ``Detector`` so
+    ``serve.AsyncDetector`` (dynamic batching) and the HTTP service can
+    serve the full pipeline; ``detect_batch`` maps onto the pipelined
+    chunk-batched ``TwoStagePipeline.run_batch``.
+    """
+
+    def __init__(self, coarse_config: str,
+                 coarse_checkpoint: Optional[str] = None,
+                 mp_config: str = "mp_det_res50",
+                 mp_checkpoint: Optional[str] = None,
+                 class_names: Optional[Sequence[str]] = None,
+                 score_thr: Optional[float] = None,
+                 fuse_global: bool = True,
+                 use_ema: bool = True,
+                 max_batch: int = 8,
+                 coarse_options: Optional[dict] = None,
+                 mp_options: Optional[dict] = None):
+        from glsdet_tpu.data.visdrone import VISDRONE_CLASSES
+        from glsdet_tpu.eval.two_stage import TwoStagePipeline
+
+        c_cfg, c_model, c_vars = init_detector(
+            coarse_config, coarse_checkpoint, use_ema, coarse_options)
+        m_cfg, m_model, m_vars = init_detector(
+            mp_config, mp_checkpoint, use_ema, mp_options)
+        self.cfg = c_cfg
+        self.mp_cfg = m_cfg
+        self.class_names = list(class_names or VISDRONE_CLASSES)
+        self.score_thr = (score_thr if score_thr is not None
+                          else c_cfg.eval.score_thr)
+        self._pipe = TwoStagePipeline(
+            lambda v, im: c_model.apply(v, im, train=False),
+            lambda v, im: m_model.apply(v, im, train=False),
+            c_cfg.data.img_hw,
+            coarse_vars=c_vars, mp_vars=m_vars,
+            num_classes=c_cfg.model.num_classes,
+            ufp_scale=c_cfg.eval.ufp_scale,
+            mosaic_buckets=c_cfg.eval.mosaic_buckets,
+            max_regions=c_cfg.eval.max_regions,
+            coarse_score_thr=c_cfg.eval.coarse_score_thr,
+            final_nms_thr=c_cfg.eval.chip_nms_iou,
+            max_batch=max_batch,
+            fuse_global=fuse_global,
+            fusion_nms_thr=c_cfg.eval.fusion_nms_iou)
+
+    @property
+    def pipeline(self):
+        return self._pipe
+
+    def _filter(self, out: dict) -> dict:
+        m = out["scores"] >= self.score_thr
+        return {"boxes": out["boxes"][m], "scores": out["scores"][m],
+                "labels": out["labels"][m]}
+
+    def detect(self, image: np.ndarray) -> dict:
+        """image: (H, W, 3) RGB uint8 -> two-stage detections in image
+        coordinates."""
+        return self.detect_batch([image])[0]
+
+    def detect_batch(self, images: Sequence[np.ndarray]) -> list:
+        """Chunk-batched, pipelined two-stage inference over N frames
+        (the dynamic-batching hook used by ``serve.AsyncDetector``)."""
+        outs = self._pipe.run_batch(
+            [np.asarray(im, np.uint8) for im in images])
+        return [self._filter(o) for o in outs]
+
+    def warmup(self, image_hw):
+        """Pre-compile the pipeline programs for one input shape."""
+        self._pipe.warmup(tuple(image_hw))
 
 
 def load_det_txt(path: str, class_names: Sequence[str]):

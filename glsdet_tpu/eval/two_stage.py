@@ -100,6 +100,23 @@ def unpack_detections(packed: np.ndarray) -> dict:
     }
 
 
+def _scale_packed(packed: np.ndarray, sx: float, sy: float) -> np.ndarray:
+    """Scale the box columns of packed detections (..., K, 7) from the
+    coarse-input frame to original image coordinates (host-side)."""
+    out = np.array(packed, np.float32, copy=True)
+    out[..., :4] *= np.array([sx, sy, sx, sy], np.float32)
+    return out
+
+
+def _coarse_row_dets(row7: np.ndarray, sx: float, sy: float) -> dict:
+    """One image's coarse detections as a host result dict (the
+    ``fuse_global`` fallback when UFP yields no foreground regions)."""
+    d = unpack_detections(_scale_packed(row7, sx, sy))
+    v = d["valid"]
+    return {"boxes": d["boxes"][v], "scores": d["scores"][v],
+            "labels": d["labels"][v]}
+
+
 def _pow2_pad(n: int) -> int:
     """Smallest power of two >= n (bounds the set of compiled batch
     shapes to log2(max_batch)+1 programs per image shape)."""
@@ -107,6 +124,31 @@ def _pow2_pad(n: int) -> int:
     while b < n:
         b *= 2
     return b
+
+
+def _fuse_packed(gdets, boxes, scores, labels, valid,
+                 iou_thr: float = 0.65, max_out: int = 500):
+    """Global-local fusion of one image's detection sets on device.
+
+    ``gdets``: (Kg, 7) packed coarse (full-image) detections already in
+    original coordinates; ``boxes``/``scores``/``labels``/``valid``: the
+    unmapped UFP detections.  Reference semantics: concat both sets, one
+    class-wise batched NMS (yolox-drone/merge_results.py:153-158).
+    """
+    gb = gdets[:, :4]
+    gs = gdets[:, 4]
+    gl = gdets[:, 5].astype(labels.dtype)
+    gv = gdets[:, 6] > 0.5
+    ab = jnp.concatenate([gb, boxes], axis=0)
+    asc = jnp.concatenate([jnp.where(gv, gs, NEG_INF),
+                           jnp.where(valid, scores, NEG_INF)], axis=0)
+    al = jnp.concatenate([gl, labels], axis=0)
+    keep, _ = batched_nms(ab, asc, al, iou_thr)
+    kept = jnp.where(keep, asc, NEG_INF)
+    out_scores, idx = jax.lax.top_k(kept, max_out)
+    out_valid = out_scores > NEG_INF / 2
+    return (ab[idx], jnp.where(out_valid, out_scores, 0.0), al[idx],
+            out_valid)
 
 
 @functools.partial(jax.jit, static_argnames=("iou_thr", "max_out"))
@@ -140,7 +182,9 @@ class TwoStagePipeline:
                  max_chip_dets: int = 500,
                  coarse_vars=None, mp_vars=None,
                  max_batch: int = 4,
-                 max_paint_regions: Optional[int] = None):
+                 max_paint_regions: Optional[int] = None,
+                 fuse_global: bool = False,
+                 fusion_nms_thr: float = 0.65):
         """Two call conventions:
 
         - coarse_apply(variables, images) with ``coarse_vars`` given
@@ -266,8 +310,7 @@ class TwoStagePipeline:
         _unmap_nms_v = jax.vmap(functools.partial(
             _unmap_and_nms, iou_thr=final_nms_thr, max_out=max_chip_dets))
 
-        @functools.partial(jax.jit, static_argnames=("hw",))
-        def _mosaic_stage_batch(variables, imgs, idx, paint, regions, hw):
+        def _stage2_core(variables, imgs, idx, paint, regions, hw):
             # imgs: (B, H, W, 3) uint8 stacked chunk already on device;
             # idx: (b,) int32 rows of the chunk to assemble; paint:
             # (b*P, 8) flat tile-split painter rows (8th col = slot in
@@ -286,14 +329,46 @@ class TwoStagePipeline:
             mp_dets = gfl_postprocess(
                 cls, reg, (hw, hw), score_thr=chip_score_thr,
                 max_dets=max_chip_dets)
-            ob, osc, ol, ov = _unmap_nms_v(
+            return _unmap_nms_v(
                 mp_dets["boxes"], mp_dets["scores"], mp_dets["labels"],
                 mp_dets["valid"], regions)
+
+        @functools.partial(jax.jit, static_argnames=("hw",))
+        def _mosaic_stage_batch(variables, imgs, idx, paint, regions, hw):
+            ob, osc, ol, ov = _stage2_core(variables, imgs, idx, paint,
+                                           regions, hw)
             return pack_detections(ob, osc, ol, ov)
 
         self._mosaic_stage_batch = (
             lambda imgs, idx, paint, regions, hw: _mosaic_stage_batch(
                 self._mvars, imgs, idx, paint, regions, hw))
+
+        # Integrated global-local fusion: the stage-1 detections are
+        # already in hand when stage 2 is dispatched, so the fusion NMS
+        # (merge_results.py semantics) runs inside the same program —
+        # no second coarse forward and no extra dispatch/readback
+        # (the reference and the earlier CLI both re-ran the coarse
+        # model on the full image for the "global" set).
+        self.fuse_global = bool(fuse_global)
+        self.fusion_nms_thr = fusion_nms_thr
+        _fuse_v = jax.vmap(functools.partial(
+            _fuse_packed, iou_thr=fusion_nms_thr, max_out=max_chip_dets))
+
+        @functools.partial(jax.jit, static_argnames=("hw",))
+        def _mosaic_stage_batch_fused(variables, imgs, idx, paint,
+                                      regions, gdets, hw):
+            # gdets: (b, Kg, 7) packed coarse detections in ORIGINAL
+            # image coordinates (host scales them from the coarse-input
+            # frame before upload — a few KB).
+            ob, osc, ol, ov = _stage2_core(variables, imgs, idx, paint,
+                                           regions, hw)
+            fb, fs, fl, fv = _fuse_v(gdets, ob, osc, ol, ov)
+            return pack_detections(fb, fs, fl, fv)
+
+        self._mosaic_stage_batch_fused = (
+            lambda imgs, idx, paint, regions, gdets, hw:
+            _mosaic_stage_batch_fused(
+                self._mvars, imgs, idx, paint, regions, gdets, hw))
 
     def __call__(self, image: np.ndarray) -> dict:
         """image: (H, W, 3) uint8/float RGB in original resolution.
@@ -356,8 +431,10 @@ class TwoStagePipeline:
             "labels": np.zeros((0,), np.int64),
         }
         pending = []  # (orig_index, future, row)
+        fallbacks = []  # (orig_index, det dict) — fuse_global, no regions
         for part, dev, packed in chunks:
-            dets = unpack_detections(packed)   # ONE readback transfer
+            packed_np = np.asarray(packed)     # ONE readback transfer
+            dets = unpack_detections(packed_np)
             all_boxes = dets["boxes"]
             all_valid = dets["valid"]
             jobs: Dict[int, List[tuple]] = {}
@@ -371,6 +448,9 @@ class TwoStagePipeline:
                     coarse_boxes.astype(np.float32), self.ufp_scale,
                     (w0, h0))
                 if len(regions) == 0:
+                    if self.fuse_global:
+                        fallbacks.append((i, _coarse_row_dets(
+                            packed_np[row], sx, sy)))
                     continue
                 bucket = pick_bucket(mh, mw, self.buckets)
                 unmap_rows = regions_to_array(regions, self.max_regions)
@@ -381,14 +461,20 @@ class TwoStagePipeline:
             for bucket, job_list in jobs.items():
                 b = _pow2_pad(len(job_list))
                 job_list = job_list + [job_list[-1]] * (b - len(job_list))
-                rows = jnp.asarray(
-                    np.array([j[1] for j in job_list], np.int32))
+                rows_np = np.array([j[1] for j in job_list], np.int32)
+                rows = jnp.asarray(rows_np)
                 paints = jnp.asarray(
                     self._flat_paint([j[2] for j in job_list]))
                 regs = jnp.asarray(
                     np.stack([j[3] for j in job_list]))
-                fut = self._mosaic_stage_batch(dev, rows, paints, regs,
-                                               bucket)
+                if self.fuse_global:
+                    h0, w0 = images[part[0]].shape[:2]
+                    g = _scale_packed(packed_np[rows_np], w0 / cw, h0 / ch)
+                    fut = self._mosaic_stage_batch_fused(
+                        dev, rows, paints, regs, jnp.asarray(g), bucket)
+                else:
+                    fut = self._mosaic_stage_batch(dev, rows, paints,
+                                                   regs, bucket)
                 for slot, job in enumerate(job_list):
                     i = job[0]
                     if mid[i] is None:   # skip pow2-padding repeats
@@ -397,6 +483,8 @@ class TwoStagePipeline:
 
         # phase 3: read mosaic-stage results (one transfer per future)
         results: List[dict] = [empty] * n
+        for i, det in fallbacks:
+            results[i] = det
         fetched: Dict[int, dict] = {}
         for i, fut, slot in pending:
             if id(fut) not in fetched:
@@ -447,7 +535,8 @@ class TwoStagePipeline:
         for si, (stack, fut) in enumerate(zip(stacks, coarse_futs)):
             b_total = int(stack.shape[0])
             h0, w0 = int(stack.shape[1]), int(stack.shape[2])
-            dets = unpack_detections(fut)
+            packed_np = np.asarray(fut)
+            dets = unpack_detections(packed_np)
             all_results.append([empty] * b_total)
             jobs: Dict[int, List[tuple]] = {}
             sx, sy = w0 / cw, h0 / ch
@@ -459,6 +548,9 @@ class TwoStagePipeline:
                     coarse_boxes.astype(np.float32), self.ufp_scale,
                     (w0, h0))
                 if len(regions) == 0:
+                    if self.fuse_global:
+                        all_results[si][row] = _coarse_row_dets(
+                            packed_np[row], sx, sy)
                     continue
                 bucket = pick_bucket(mh, mw, self.buckets)
                 unmap_rows = regions_to_array(regions, self.max_regions)
@@ -470,13 +562,18 @@ class TwoStagePipeline:
                 real = len(job_list)
                 b = _pow2_pad(real)
                 job_list = job_list + [job_list[-1]] * (b - real)
-                rows = jnp.asarray(
-                    np.array([j[0] for j in job_list], np.int32))
+                rows_np = np.array([j[0] for j in job_list], np.int32)
+                rows = jnp.asarray(rows_np)
                 paints = jnp.asarray(
                     self._flat_paint([j[1] for j in job_list]))
                 regs = jnp.asarray(np.stack([j[2] for j in job_list]))
-                mfut = self._mosaic_stage_batch(stack, rows, paints, regs,
-                                                bucket)
+                if self.fuse_global:
+                    g = _scale_packed(packed_np[rows_np], sx, sy)
+                    mfut = self._mosaic_stage_batch_fused(
+                        stack, rows, paints, regs, jnp.asarray(g), bucket)
+                else:
+                    mfut = self._mosaic_stage_batch(stack, rows, paints,
+                                                    regs, bucket)
                 pending.append((si, job_list[:real], mfut))
 
         for si, job_list, mfut in pending:
@@ -504,5 +601,10 @@ class TwoStagePipeline:
             regs = jnp.asarray(np.stack([reg1] * b))
             paints = jnp.asarray(self._flat_paint([paint1] * b))
             for bk in self.buckets:
-                jax.block_until_ready(
-                    self._mosaic_stage_batch(dev, rows, paints, regs, bk))
+                if self.fuse_global:
+                    g = jnp.zeros((b, self.max_coarse, 7), jnp.float32)
+                    jax.block_until_ready(self._mosaic_stage_batch_fused(
+                        dev, rows, paints, regs, g, bk))
+                else:
+                    jax.block_until_ready(self._mosaic_stage_batch(
+                        dev, rows, paints, regs, bk))

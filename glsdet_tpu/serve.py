@@ -42,12 +42,19 @@ def archive_model(config_name: str, checkpoint_dir: Optional[str],
                   output_path: str, model_name: Optional[str] = None,
                   class_names: Optional[Sequence[str]] = None,
                   score_thr: float = 0.3,
-                  force: bool = False) -> str:
+                  force: bool = False,
+                  mp_config: Optional[str] = None,
+                  mp_checkpoint_dir: Optional[str] = None,
+                  fuse_global: bool = True) -> str:
     """Package a named config + orbax checkpoint directory into a single
     self-describing zip archive (the ``.mar`` analog).
 
     The checkpoint directory is embedded file-by-file under ``ckpt/`` so
-    the archive is one portable artifact.
+    the archive is one portable artifact.  Passing ``mp_config`` makes a
+    TWO-STAGE archive (``pipeline: "two_stage"``): ``config_name`` is the
+    coarse detector, ``mp_config``/``mp_checkpoint_dir`` (embedded under
+    ``ckpt_mp/``) the stage-2 MP-Det; serving builds a
+    ``TwoStageDetector`` running the full UFPMP pipeline.
     """
     if not output_path.endswith(ARCHIVE_SUFFIX):
         output_path += ARCHIVE_SUFFIX
@@ -61,32 +68,59 @@ def archive_model(config_name: str, checkpoint_dir: Optional[str],
         "has_checkpoint": checkpoint_dir is not None,
         "format_version": 1,
     }
+    if mp_config:
+        manifest.update({
+            "pipeline": "two_stage",
+            "mp_config_name": mp_config,
+            "has_mp_checkpoint": mp_checkpoint_dir is not None,
+            "fuse_global": fuse_global,
+        })
+
+    def _embed(zf, src_dir, prefix):
+        root = os.path.abspath(src_dir)
+        for base, _, files in os.walk(root):
+            for fn in files:
+                full = os.path.join(base, fn)
+                rel = os.path.relpath(full, root)
+                zf.write(full, os.path.join(prefix, rel))
+
     os.makedirs(os.path.dirname(os.path.abspath(output_path)), exist_ok=True)
     with zipfile.ZipFile(output_path, "w", zipfile.ZIP_DEFLATED) as zf:
         zf.writestr(ARCHIVE_MANIFEST, json.dumps(manifest, indent=2))
         if checkpoint_dir:
-            root = os.path.abspath(checkpoint_dir)
-            for base, _, files in os.walk(root):
-                for fn in files:
-                    full = os.path.join(base, fn)
-                    rel = os.path.relpath(full, root)
-                    zf.write(full, os.path.join("ckpt", rel))
+            _embed(zf, checkpoint_dir, "ckpt")
+        if mp_checkpoint_dir:
+            _embed(zf, mp_checkpoint_dir, "ckpt_mp")
     return output_path
 
 
 def load_archive(path: str, workdir: Optional[str] = None):
-    """Unpack an archive; returns (manifest dict, checkpoint_dir|None)."""
+    """Unpack an archive; returns (manifest dict, checkpoint_dir|None).
+
+    For a two-stage archive (``manifest["pipeline"] == "two_stage"``)
+    the second element is a dict ``{"coarse": dir|None, "mp": dir|None}``.
+    """
     import tempfile
 
     workdir = workdir or tempfile.mkdtemp(prefix="glsdet_serve_")
     with zipfile.ZipFile(path) as zf:
         manifest = json.loads(zf.read(ARCHIVE_MANIFEST))
-        names = [n for n in zf.namelist() if n.startswith("ckpt/")]
-        ckpt_dir = None
-        if manifest.get("has_checkpoint") and names:
+
+        def _extract(prefix):
+            names = [n for n in zf.namelist()
+                     if n.startswith(prefix + "/")]
+            if not names:
+                return None
             for n in names:
                 zf.extract(n, workdir)
-            ckpt_dir = os.path.join(workdir, "ckpt")
+            return os.path.join(workdir, prefix)
+
+        ckpt_dir = (_extract("ckpt")
+                    if manifest.get("has_checkpoint") else None)
+        if manifest.get("pipeline") == "two_stage":
+            mp_dir = (_extract("ckpt_mp")
+                      if manifest.get("has_mp_checkpoint") else None)
+            return manifest, {"coarse": ckpt_dir, "mp": mp_dir}
     return manifest, ckpt_dir
 
 
@@ -233,13 +267,24 @@ class DetectionService:
         self.models[name] = (detector, manifest or {})
 
     def register_archive(self, path: str, detector_cls=None):
-        from glsdet_tpu.apis import Detector
-
-        detector_cls = detector_cls or Detector
         manifest, ckpt_dir = load_archive(path)
-        det = detector_cls(manifest["config_name"], ckpt_dir,
-                           class_names=manifest.get("class_names"),
-                           score_thr=manifest.get("score_thr"))
+        if manifest.get("pipeline") == "two_stage":
+            from glsdet_tpu.apis import TwoStageDetector
+
+            detector_cls = detector_cls or TwoStageDetector
+            det = detector_cls(
+                manifest["config_name"], ckpt_dir["coarse"],
+                manifest["mp_config_name"], ckpt_dir["mp"],
+                class_names=manifest.get("class_names"),
+                score_thr=manifest.get("score_thr"),
+                fuse_global=manifest.get("fuse_global", True))
+        else:
+            from glsdet_tpu.apis import Detector
+
+            detector_cls = detector_cls or Detector
+            det = detector_cls(manifest["config_name"], ckpt_dir,
+                               class_names=manifest.get("class_names"),
+                               score_thr=manifest.get("score_thr"))
         self.register(manifest["model_name"], det, manifest)
         return manifest["model_name"]
 

@@ -8,6 +8,7 @@ compiles; the real ``Detector`` facade is covered by test_apis.py.
 
 import asyncio
 import json
+import os
 import threading
 import urllib.request
 
@@ -195,3 +196,73 @@ class TestDynamicBatching:
         out = det.submit(np.zeros((9, 16, 3), np.uint8)).result(timeout=10)
         assert out["boxes"][0, 3] == 8
         det.close()
+
+
+class TestTwoStageArchive:
+    """Two-stage (.gtar pipeline="two_stage") archives: the UFPMP
+    pipeline behind the torchserve-style service."""
+
+    def test_manifest_and_ckpt_roundtrip(self, tmp_path):
+        from glsdet_tpu.serve import archive_model, load_archive
+
+        cdir = tmp_path / "ckpt_c"
+        mdir = tmp_path / "ckpt_m"
+        cdir.mkdir(); mdir.mkdir()
+        (cdir / "c.bin").write_bytes(b"coarse")
+        (mdir / "m.bin").write_bytes(b"mp")
+        out = archive_model("coarse_det", str(cdir),
+                            str(tmp_path / "two"),
+                            model_name="ufpmp",
+                            mp_config="mp_det_res50",
+                            mp_checkpoint_dir=str(mdir))
+        manifest, ckpts = load_archive(out, str(tmp_path / "w"))
+        assert manifest["pipeline"] == "two_stage"
+        assert manifest["mp_config_name"] == "mp_det_res50"
+        assert manifest["fuse_global"] is True
+        assert open(os.path.join(ckpts["coarse"], "c.bin"), "rb").read() \
+            == b"coarse"
+        assert open(os.path.join(ckpts["mp"], "m.bin"), "rb").read() == b"mp"
+
+    def test_single_stage_roundtrip_unchanged(self, tmp_path):
+        from glsdet_tpu.serve import archive_model, load_archive
+
+        out = archive_model("coarse_det", None, str(tmp_path / "one"))
+        manifest, ckpt = load_archive(out)
+        assert "pipeline" not in manifest
+        assert ckpt is None
+
+    def test_register_and_predict_two_stage(self, tmp_path):
+        import base64
+        import functools
+
+        from glsdet_tpu.apis import TwoStageDetector
+        from glsdet_tpu.serve import DetectionService, archive_model
+
+        out = archive_model("coarse_det", None, str(tmp_path / "ts"),
+                            model_name="ufpmp",
+                            mp_config="mp_det_res50")
+        tiny = functools.partial(
+            TwoStageDetector,
+            coarse_options={"model.phi": "nano", "model.dtype": "float32",
+                            "data.img_hw": (128, 128),
+                            "eval.mosaic_buckets": (256,),
+                            "eval.coarse_score_thr": 1e-4,
+                            "eval.max_regions": 8},
+            mp_options={"model.depth": 18, "model.dtype": "float32"})
+        service = DetectionService()
+        name = service.register_archive(out, detector_cls=tiny)
+        assert name == "ufpmp"
+        det = service.models[name][0]
+        assert det.pipeline.fuse_global
+
+        img = np.random.RandomState(0).randint(
+            0, 255, (160, 160, 3), np.uint8)
+        body = json.dumps({
+            "image": base64.b64encode(img.tobytes()).decode(),
+            "shape": [160, 160, 3], "dtype": "uint8",
+        }).encode()
+        results = service.predict(name, body)
+        assert isinstance(results, list)
+        for r in results:
+            assert set(r) == {"class_name", "class_label", "score", "bbox"}
+            assert r["score"] >= det.score_thr - 1e-6

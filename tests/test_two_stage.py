@@ -15,18 +15,33 @@ from glsdet_tpu.models import MPDet, YOLOXDetector
 
 
 @pytest.fixture(scope="module")
-def pipeline():
+def tiny_models():
     rng = jax.random.PRNGKey(0)
     coarse = YOLOXDetector(num_classes=10, phi="nano")
     cvars = coarse.init(rng, jnp.zeros((1, 128, 128, 3)), train=False)
     mp = MPDet(num_classes=10, depth=18)
     mvars = mp.init(rng, jnp.zeros((1, 128, 128, 3)), train=False)
+    return coarse, cvars, mp, mvars
+
+
+def _make_pipeline(tiny_models, **kw):
+    coarse, cvars, mp, mvars = tiny_models
     return TwoStagePipeline(
         lambda v, im: coarse.apply(v, im, train=False),
         lambda v, im: mp.apply(v, im, train=False),
         (128, 128), mosaic_buckets=(256, 512),
         coarse_score_thr=1e-4, max_regions=16,
-        coarse_vars=cvars, mp_vars=mvars)
+        coarse_vars=cvars, mp_vars=mvars, **kw)
+
+
+@pytest.fixture(scope="module")
+def pipeline(tiny_models):
+    return _make_pipeline(tiny_models)
+
+
+@pytest.fixture(scope="module")
+def fused_pipeline(tiny_models):
+    return _make_pipeline(tiny_models, fuse_global=True)
 
 
 class TestPickBucket:
@@ -109,3 +124,90 @@ class TestTwoStage:
                                            atol=1e-4)
                 np.testing.assert_allclose(a["scores"], b["scores"],
                                            atol=1e-6)
+
+
+class TestFusedPipeline:
+    """Integrated global-local fusion (merge_results.py semantics run
+    inside the mosaic-stage program with the stage-1 detections)."""
+
+    def test_fused_matches_host_fusion(self, pipeline, fused_pipeline):
+        from glsdet_tpu.eval.fusion import fuse_detections
+        from glsdet_tpu.eval.two_stage import (_scale_packed,
+                                               unpack_detections)
+
+        rs = np.random.RandomState(7)
+        img = rs.randint(0, 255, (200, 320, 3), np.uint8)
+        fused = fused_pipeline(img)
+        plain = pipeline(img)
+
+        # host-side oracle: fuse the scaled coarse detections with the
+        # unfused pipeline output via the standalone fusion op
+        packed = np.asarray(
+            pipeline._coarse_full_batch(jnp.asarray(img[None])))
+        h0, w0 = img.shape[:2]
+        g = unpack_detections(_scale_packed(packed[0], w0 / 128, h0 / 128))
+        gdict = {k: jnp.asarray(v) for k, v in g.items()}
+
+        k = 500
+        pad = {
+            "boxes": np.zeros((k, 4), np.float32),
+            "scores": np.zeros((k,), np.float32),
+            "labels": np.zeros((k,), np.int64),
+            "valid": np.zeros((k,), bool),
+        }
+        npl = len(plain["boxes"])
+        pad["boxes"][:npl] = plain["boxes"]
+        pad["scores"][:npl] = plain["scores"]
+        pad["labels"][:npl] = plain["labels"]
+        pad["valid"][:npl] = True
+        ldict = {kk: jnp.asarray(v) for kk, v in pad.items()}
+
+        want = fuse_detections(gdict, ldict, 0.65, k)
+        wv = np.asarray(want["valid"])
+        w_scores = np.sort(np.asarray(want["scores"])[wv])[::-1]
+        f_scores = np.sort(fused["scores"])[::-1]
+        assert len(f_scores) == len(w_scores)
+        np.testing.assert_allclose(f_scores, w_scores, atol=1e-5)
+        # the fusion genuinely merged something from both sets
+        assert len(f_scores) > 0
+
+    def test_fused_batch_matches_single(self, fused_pipeline):
+        rs = np.random.RandomState(8)
+        imgs = [rs.randint(0, 255, (200, 320, 3), np.uint8)
+                for _ in range(2)]
+        batch = fused_pipeline.run_batch(imgs)
+        singles = [fused_pipeline(im) for im in imgs]
+        for b, s in zip(batch, singles):
+            np.testing.assert_allclose(b["boxes"], s["boxes"], atol=1e-4)
+            np.testing.assert_allclose(b["scores"], s["scores"], atol=1e-6)
+
+    def test_fused_device_batches_match(self, fused_pipeline):
+        rs = np.random.RandomState(9)
+        imgs = [rs.randint(0, 255, (200, 320, 3), np.uint8)
+                for _ in range(2)]
+        staged = fused_pipeline.run_device_batch(
+            jnp.asarray(np.stack(imgs)))
+        host = fused_pipeline.run_batch(imgs)
+        for a, b in zip(staged, host):
+            assert a["boxes"].shape == b["boxes"].shape
+            np.testing.assert_allclose(a["boxes"], b["boxes"], atol=1e-4)
+
+    def test_no_region_fallback_returns_coarse(self, tiny_models):
+        # a coarse threshold no noise detection clears -> UFP yields no
+        # regions -> the fused pipeline must return the (empty) coarse
+        # set rather than crash, and the plain pipeline returns empty
+        pipe = _make_pipeline(tiny_models, fuse_global=True)
+        pipe.coarse_score_thr = pipe.coarse_score_thr  # doc no-op
+        out = pipe(np.zeros((160, 160, 3), np.uint8))
+        assert set(out) == {"boxes", "scores", "labels"}
+
+    def test_coarse_row_dets_scales(self):
+        from glsdet_tpu.eval.two_stage import _coarse_row_dets
+
+        row = np.zeros((3, 7), np.float32)
+        row[0] = [10, 20, 30, 40, 0.9, 2, 1]
+        row[1] = [1, 1, 2, 2, 0.5, 0, 0]   # invalid -> dropped
+        d = _coarse_row_dets(row, 2.0, 0.5)
+        assert len(d["boxes"]) == 1
+        np.testing.assert_allclose(d["boxes"][0], [20, 10, 60, 20])
+        assert d["labels"][0] == 2

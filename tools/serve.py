@@ -30,6 +30,15 @@ def main():
     a.add_argument("--model-name", default=None)
     a.add_argument("--score-thr", type=float, default=0.3)
     a.add_argument("--force", action="store_true")
+    a.add_argument("--mp-config", default=None,
+                   help="stage-2 MP-Det config: makes a TWO-STAGE "
+                        "archive serving the full UFPMP pipeline "
+                        "(--config becomes the coarse detector)")
+    a.add_argument("--mp-checkpoint", default=None,
+                   help="stage-2 orbax ckpt dir")
+    a.add_argument("--no-fuse-global", action="store_true",
+                   help="disable the integrated global-local fusion in "
+                        "two-stage archives")
 
     s = sub.add_parser("serve", help="serve archives over HTTP")
     s.add_argument("--model-store", required=True,
@@ -45,7 +54,10 @@ def main():
     if args.cmd == "archive":
         path = archive_model(args.config, args.checkpoint, args.output,
                              model_name=args.model_name,
-                             score_thr=args.score_thr, force=args.force)
+                             score_thr=args.score_thr, force=args.force,
+                             mp_config=args.mp_config,
+                             mp_checkpoint_dir=args.mp_checkpoint,
+                             fuse_global=not args.no_fuse_global)
         print(f"wrote {path}")
         return
 

@@ -100,7 +100,9 @@ def main():
         mosaic_buckets=c_cfg.eval.mosaic_buckets,
         max_regions=c_cfg.eval.max_regions,
         coarse_score_thr=c_cfg.eval.coarse_score_thr,
-        final_nms_thr=c_cfg.eval.chip_nms_iou)
+        final_nms_thr=c_cfg.eval.chip_nms_iou,
+        fuse_global=args.fuse_global,
+        fusion_nms_thr=c_cfg.eval.fusion_nms_iou)
 
     dataset = CocoDataset(args.dataset_anno, args.img_root)
     dets_by_img = {}
@@ -110,51 +112,14 @@ def main():
     records = dataset.records
     if args.max_images:
         records = records[:args.max_images]
-    if args.fuse_global:
-        import jax.numpy as jnp
-
-        from glsdet_tpu.eval.fusion import fuse_detections
-
-        def to_padded(d, k=500):
-            b = np.zeros((k, 4), np.float32)
-            s_ = np.zeros((k,), np.float32)
-            l = np.zeros((k,), np.int32)
-            v = np.zeros((k,), bool)
-            n_ = min(len(d["boxes"]), k)
-            b[:n_], s_[:n_], l[:n_] = (d["boxes"][:n_], d["scores"][:n_],
-                                       d["labels"][:n_])
-            v[:n_] = True
-            return {"boxes": jnp.asarray(b), "scores": jnp.asarray(s_),
-                    "labels": jnp.asarray(l), "valid": jnp.asarray(v)}
-
+    # --fuse-global now runs INSIDE the pipeline programs (the coarse
+    # detections from stage 1 fuse on-device in the mosaic-stage dispatch;
+    # merge_results.py semantics, no second coarse forward).
     CHUNK = 8  # pipelined batches overlap host packing with device work
     for start in range(0, len(records), CHUNK):
         chunk = records[start:start + CHUNK]
         imgs = [dataset.load_image(r) for r in chunk]
         outs = pipe.run_batch(imgs)
-        if args.fuse_global:
-            # reference merge_results.py: concat global + local per image,
-            # class-wise NMS @ fusion_nms_iou
-            fused_outs = []
-            for img, out in zip(imgs, outs):
-                h0, w0 = img.shape[:2]
-                ch, cw = c_cfg.data.img_hw
-                g = pipe._coarse_full(jnp.asarray(img.astype(np.uint8)))
-                gv = np.asarray(g["valid"][0])
-                gb = np.asarray(g["boxes"][0])[gv]
-                gb *= np.array([w0 / cw, h0 / ch] * 2, np.float32)
-                gdet = {"boxes": gb,
-                        "scores": np.asarray(g["scores"][0])[gv],
-                        "labels": np.asarray(g["labels"][0])[gv]}
-                f = fuse_detections(to_padded(gdet), to_padded(out),
-                                    c_cfg.eval.fusion_nms_iou, 500)
-                fv = np.asarray(f["valid"])
-                fused_outs.append({
-                    "boxes": np.asarray(f["boxes"])[fv],
-                    "scores": np.asarray(f["scores"])[fv],
-                    "labels": np.asarray(f["labels"])[fv],
-                })
-            outs = fused_outs
         for rec, out in zip(chunk, outs):
             b = out["boxes"]
             xywh = np.concatenate(
