@@ -75,12 +75,12 @@ def main():
         mosaic_buckets=(1280,),
         coarse_score_thr=1e-4,
         coarse_vars=cvars, mp_vars=mvars,
-        max_batch=16,
+        max_batch=32,
     )
 
     rs = np.random.RandomState(0)
     frames = []
-    for _ in range(16):
+    for _ in range(32):
         img = rs.randint(0, 255, (765, 1360, 3), np.uint8)
         frames.append(img)
 

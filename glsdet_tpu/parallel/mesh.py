@@ -43,8 +43,20 @@ def init_distributed(coordinator_address: Optional[str] = None,
     host before building the mesh; jax.distributed wires all hosts'
     devices into one global device list.
     """
+    import os
+
     import jax
 
+    # On the CPU backend cross-process collectives need an explicit
+    # implementation (the virtual-DCN path used by scripts/
+    # multihost_smoke.py and CI); on TPU the ICI/DCN collectives are
+    # native and this config is ignored.
+    if "cpu" in os.environ.get("JAX_PLATFORMS", ""):
+        try:
+            jax.config.update("jax_cpu_collectives_implementation",
+                              "gloo")
+        except Exception:
+            pass
     kwargs = {}
     if coordinator_address is not None:
         kwargs = dict(coordinator_address=coordinator_address,

@@ -1,0 +1,153 @@
+#!/usr/bin/env python
+"""Multi-host (DCN) training smoke test — no real cluster needed.
+
+The reference's multi-host path is ``tools/dist_train.sh`` →
+``torch.distributed.launch`` → ``MMDistributedDataParallel`` over NCCL
+(mmdet/apis/train.py:113-121).  The TPU-native equivalent is
+``jax.distributed.initialize`` + one global-view jitted train step over
+a mesh spanning every host's devices; gradient/BN/normalizer reductions
+become XLA collectives that ride ICI within a slice and DCN across
+slices.  This script validates that path end-to-end with MULTIPLE
+PROCESSES (the thing the in-process 8-device tests cannot cover):
+
+    python scripts/multihost_smoke.py            # launcher: forks 2
+    python scripts/multihost_smoke.py --process-id 0 --num-processes 2
+
+Each worker owns 2 virtual CPU devices; the global mesh is 4 wide.  The
+launcher asserts both workers converge on identical global losses (the
+all-reduce contract: every host sees the same replicated state).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+COORD = "127.0.0.1:29781"
+MARK = "MULTIHOST_STEP"
+
+
+def worker(pid: int, nproc: int) -> None:
+    import jax
+
+    # the axon sitecustomize pins jax_platforms to the TPU tunnel; this
+    # smoke must run on the virtual-CPU DCN path
+    jax.config.update("jax_platforms", "cpu")
+    sys.path.insert(0, REPO)
+
+    from glsdet_tpu.parallel.mesh import init_distributed
+
+    init_distributed(COORD, nproc, pid)
+    assert jax.process_count() == nproc, jax.process_count()
+
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from glsdet_tpu.models import YOLOXDetector
+    from glsdet_tpu.parallel import data_mesh
+    from glsdet_tpu.train import (TrainState, make_yolox_train_step,
+                                  yolox_sgd, yolox_warm_cos)
+
+    n_dev = len(jax.devices())
+    n_local = len(jax.local_devices())
+    print(f"[{pid}] processes={nproc} global_devices={n_dev} "
+          f"local_devices={n_local}", flush=True)
+
+    B_global, H, W, G = 2 * n_dev, 64, 64, 4
+    B_local = B_global // nproc
+    mesh = data_mesh()
+    bs = NamedSharding(mesh, P("data"))
+    repl = NamedSharding(mesh, P())
+
+    model = YOLOXDetector(num_classes=10, phi="nano")
+    rng = jax.random.PRNGKey(0)
+    variables = jax.jit(
+        lambda r: model.init(r, jnp.zeros((1, H, W, 3)), train=False))(rng)
+    tx = yolox_sgd(yolox_warm_cos(0.01, 10, 100, 10))
+    state = jax.device_put(TrainState.create(variables, tx, rng), repl)
+    step = jax.jit(make_yolox_train_step(model, tx, (H, W)),
+                   in_shardings=(repl, bs),
+                   donate_argnums=(0,))
+
+    # per-host local batch shard -> one global array (the DCN data path:
+    # every host loads only its slice of the global batch)
+    rs = np.random.RandomState(100 + pid)
+
+    def global_batch(step_i: int):
+        local = {
+            "images": rs.rand(B_local, H, W, 3).astype(np.float32) * 0.1,
+            "gt_boxes": np.tile(
+                np.array([[8.0, 8.0, 40.0, 40.0]], np.float32),
+                (B_local, G, 1)),
+            "gt_labels": np.zeros((B_local, G), np.int32),
+            "gt_valid": np.zeros((B_local, G), bool),
+        }
+        local["gt_valid"][:, 0] = True
+        return {
+            k: jax.make_array_from_process_local_data(
+                bs, v, (B_global, *v.shape[1:]))
+            for k, v in local.items()
+        }
+
+    for i in range(3):
+        state, metrics = step(state, global_batch(i))
+        loss = float(metrics["loss"])   # host readback syncs every host
+        assert np.isfinite(loss), f"step {i}: non-finite loss {loss}"
+        print(f"[{pid}] {MARK} {i} loss={loss:.6f}", flush=True)
+
+    # replicated-state contract: every host reads the same params
+    pnorm = float(
+        jax.tree.reduce(
+            lambda a, x: a + jnp.sum(jnp.abs(x.astype(jnp.float32))),
+            state.params, jnp.float32(0)))
+    print(f"[{pid}] MULTIHOST_OK param_l1={pnorm:.4f}", flush=True)
+
+
+def launcher(nproc: int) -> int:
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    flags = env.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        env["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=2").strip()
+    procs = [
+        subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__),
+             "--process-id", str(i), "--num-processes", str(nproc)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True)
+        for i in range(nproc)
+    ]
+    outs = [p.communicate(timeout=600)[0] for p in procs]
+    ok = True
+    losses = []
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        sys.stdout.write(out)
+        if p.returncode != 0 or "MULTIHOST_OK" not in out:
+            print(f"worker {i} FAILED (rc={p.returncode})")
+            ok = False
+        losses.append([ln.split("loss=")[1] for ln in out.splitlines()
+                       if MARK in ln])
+    if ok and len(set(map(tuple, losses))) != 1:
+        print(f"worker losses diverge: {losses}")
+        ok = False
+    print("multihost smoke:", "PASS" if ok else "FAIL")
+    return 0 if ok else 1
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--process-id", type=int, default=None)
+    ap.add_argument("--num-processes", type=int, default=2)
+    args = ap.parse_args()
+    if args.process_id is None:
+        raise SystemExit(launcher(args.num_processes))
+    worker(args.process_id, args.num_processes)
+
+
+if __name__ == "__main__":
+    main()

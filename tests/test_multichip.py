@@ -103,3 +103,20 @@ def test_sharded_eval_runs():
         (96, 96), 10, batch_size=8, variables=variables, mesh=mesh,
         verbose=False)
     assert stats["images"] == 8
+
+
+def test_multihost_two_process_smoke():
+    """True multi-process (virtual DCN) training: 2 jax.distributed
+    processes x 2 CPU devices, gloo collectives, identical global losses
+    on every host (scripts/multihost_smoke.py).  The subprocess boundary
+    is the part the in-process 8-device mesh cannot exercise."""
+    import subprocess
+
+    env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    r = subprocess.run(
+        [sys.executable,
+         os.path.join(os.path.dirname(os.path.dirname(
+             os.path.abspath(__file__))), "scripts", "multihost_smoke.py")],
+        env=env, capture_output=True, text=True, timeout=570)
+    assert r.returncode == 0, r.stdout[-3000:] + r.stderr[-2000:]
+    assert "multihost smoke: PASS" in r.stdout
