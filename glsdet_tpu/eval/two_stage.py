@@ -184,7 +184,8 @@ class TwoStagePipeline:
                  max_batch: int = 4,
                  max_paint_regions: Optional[int] = None,
                  fuse_global: bool = False,
-                 fusion_nms_thr: float = 0.65):
+                 fusion_nms_thr: float = 0.65,
+                 mosaic_dtype=jnp.bfloat16):
         """Two call conventions:
 
         - coarse_apply(variables, images) with ``coarse_vars`` given
@@ -288,13 +289,18 @@ class TwoStagePipeline:
             # for the whole chunk (a tunneled TPU pays per-RPC overhead,
             # so B frames per round trip is ~B-fold fewer stalls), and
             # ONE packed output array (one readback transfer).
+            # Resize + normalize run in ``mosaic_dtype`` (bfloat16 by
+            # default) — the fp32 chain materializes ~8x the uint8
+            # frame bytes before the model even starts.
+            dt = mosaic_dtype
             b = imgs.shape[0]
-            img = imgs.astype(jnp.float32)
+            img = imgs.astype(dt)
             resized = jax.image.resize(
                 img, (b, coarse_hw[0], coarse_hw[1], 3), method="bilinear")
             mean = jnp.asarray([123.675, 116.28, 103.53], jnp.float32)
-            std = jnp.asarray([58.395, 57.12, 57.375], jnp.float32)
-            images = (resized - mean) / std
+            inv_std = 1.0 / jnp.asarray([58.395, 57.12, 57.375],
+                                        jnp.float32)
+            images = (resized - mean.astype(dt)) * inv_std.astype(dt)
             out = (coarse_apply(variables, images)
                    if variables is not None else coarse_apply(images))
             cls, reg, obj = out
@@ -317,12 +323,19 @@ class TwoStagePipeline:
             # ``idx``); regions: (b, R, 7) original rows for unmapping.
             # One dispatch covers assembly, MP-Det forward, decode+NMS
             # and unmapping for the group; ONE packed output array.
+            # The canvas + normalize chain runs in ``mosaic_dtype``
+            # (default bfloat16): at b32/1280^2 the fp32 version moves
+            # ~1.9GB of HBM traffic per batch through the painter RMW,
+            # the normalize round-trip and the first conv's read —
+            # bfloat16 halves it for a <=0.5/255 pixel error.
+            dt = mosaic_dtype
             sel = imgs[idx]
             canv = assemble_mosaic_tiled_batch(
-                sel, paint, hw, hw, tile=paint_tile(hw))
+                sel, paint, hw, hw, tile=paint_tile(hw), dtype=dt)
             mean = jnp.asarray([123.675, 116.28, 103.53], jnp.float32)
-            std = jnp.asarray([58.395, 57.12, 57.375], jnp.float32)
-            mosaics = (canv - mean) / std
+            inv_std = 1.0 / jnp.asarray([58.395, 57.12, 57.375],
+                                        jnp.float32)
+            mosaics = (canv - mean.astype(dt)) * inv_std.astype(dt)
             out = (mp_apply(variables, mosaics)
                    if variables is not None else mp_apply(mosaics))
             cls, reg = out
