@@ -71,25 +71,55 @@ def gfl_postprocess(
     iou_thr: float = 0.6,
     max_dets: int = 100,
     scores_are_logits: bool = True,
+    nms_pre: int = 1000,
 ):
     """GFL/MPHead per-level maps -> ranked detections.
 
     cls_scores: per-level (B, H, W, C) proxy/cls scores (logits);
     bbox_preds: per-level (B, H, W, 4*(reg_max+1)).
-    """
-    centers_np, strides_np, _ = grid_points(img_hw, strides, offset=0.0)
-    centers = jnp.asarray(centers_np)
-    stride_v = jnp.asarray(strides_np)
 
+    ``nms_pre``: per-level pre-NMS candidate cap by max class score —
+    the reference's ``nms_pre=1000`` filter (gfl_head.py:380
+    ``_get_bboxes_single``).  Besides parity, this bounds the Integral
+    softmax decode and the NMS top-k to ~5k rows instead of the full
+    stride-8 grid (34k rows at 1280^2 — a ~7x cut in postprocess work).
+    ``nms_pre <= 0`` disables the filter.
+    """
+    centers_np, strides_np, counts = grid_points(img_hw, strides,
+                                                 offset=0.0)
     b = cls_scores[0].shape[0]
-    cls_f = jnp.concatenate(
-        [c.reshape(b, -1, c.shape[-1]) for c in cls_scores], axis=1)
-    reg_f = jnp.concatenate(
-        [p.reshape(b, -1, p.shape[-1]) for p in bbox_preds], axis=1)
+
+    cls_l, reg_l, ctr_l, str_l = [], [], [], []
+    off = 0
+    for c, p, n, s in zip(cls_scores, bbox_preds, counts, strides):
+        cf = c.reshape(b, n, c.shape[-1])
+        pf = p.reshape(b, n, p.shape[-1])
+        ctr = jnp.asarray(centers_np[off:off + n])          # (n, 2)
+        off += n
+        k = min(nms_pre, n) if nms_pre and nms_pre > 0 else n
+        if k < n:
+            # max over classes is monotone under sigmoid, so ranking on
+            # logits matches the reference's ranking on scores
+            lead = jnp.max(cf.astype(jnp.float32), axis=-1)  # (B, n)
+            _, idx = jax.lax.top_k(lead, k)                  # (B, k)
+            cf = jnp.take_along_axis(cf, idx[..., None], axis=1)
+            pf = jnp.take_along_axis(pf, idx[..., None], axis=1)
+            ctr = ctr[idx]                                   # (B, k, 2)
+        else:
+            ctr = jnp.broadcast_to(ctr[None], (b, n, 2))
+        cls_l.append(cf)
+        reg_l.append(pf)
+        ctr_l.append(ctr)
+        str_l.append(jnp.full((b, ctr.shape[1]), float(s), jnp.float32))
+
+    cls_f = jnp.concatenate(cls_l, axis=1)
+    reg_f = jnp.concatenate(reg_l, axis=1)
+    centers = jnp.concatenate(ctr_l, axis=1)                 # (B, K, 2)
+    stride_v = jnp.concatenate(str_l, axis=1)                # (B, K)
 
     dists = integral_decode(reg_f.astype(jnp.float32), reg_max)
-    dists = dists * stride_v[None, :, None]
-    boxes = distance2bbox(centers[None], dists, max_shape=img_hw)
+    dists = dists * stride_v[..., None]
+    boxes = distance2bbox(centers, dists, max_shape=img_hw)
     scores = cls_f.astype(jnp.float32)
     if scores_are_logits:
         scores = jax.nn.sigmoid(scores)
