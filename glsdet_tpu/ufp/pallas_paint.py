@@ -273,7 +273,7 @@ def assemble_mosaic_pallas_batch(images: jnp.ndarray,
             pl.BlockSpec((1, 1, 1, cap, 8),
                          lambda b, i, j: (b, i, j, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((1, 3, t, t),
                                lambda b, i, j: (b, 0, i, j)),

@@ -116,10 +116,11 @@ def main():
     unmap_np = np.stack(
         [regions_to_array(p[0], pipe.max_regions) for p in packs])
     regs = jnp.asarray(unmap_np)
-    paints_np = pipe._flat_paint(
-        [split_rows_for_tile(u, paint_tile(1280), pipe.max_paint)
-         for u in unmap_np])
-    paints = jnp.asarray(paints_np)
+    # the ACTIVE painter's payload (pallas tile tables on TPU, flat
+    # split rows otherwise)
+    paints = jnp.asarray(pipe._paint_group(list(unmap_np), 1280))
+    print(f"# painter: {pipe.painter} payload ndim {paints.ndim}",
+          file=sys.stderr, flush=True)
     sync(pipe._mosaic_stage_batch(dev_stack, rows, paints, regs, 1280))
     ts = []
     for _ in range(args.iters):
@@ -170,11 +171,20 @@ def main():
     from glsdet_tpu.ufp.assembly import assemble_mosaic_tiled_batch
 
     def _assemble_batch(im, rg):
-        canv = assemble_mosaic_tiled_batch(im, rg, 1280, 1280,
-                                           tile=paint_tile(1280))
+        import jax.numpy as jnp
+        from glsdet_tpu.ufp.pallas_paint import assemble_mosaic_pallas_batch
+        if rg.ndim == 5:
+            canv = assemble_mosaic_pallas_batch(
+                im, rg, 1280, 1280, tile=paint_tile(1280),
+                dtype=jnp.bfloat16)
+        else:
+            canv = assemble_mosaic_tiled_batch(
+                im, rg, 1280, 1280, tile=paint_tile(1280),
+                dtype=jnp.bfloat16)
         mean = jnp.asarray([123.675, 116.28, 103.53], jnp.float32)
         std = jnp.asarray([58.395, 57.12, 57.375], jnp.float32)
-        return (canv - mean) / std
+        return ((canv - mean.astype(jnp.bfloat16))
+                * (1.0 / std).astype(jnp.bfloat16))
 
     def timeit_scalar(fn, *a):
         """fn returns a pytree; timing forces a scalar readback only."""
