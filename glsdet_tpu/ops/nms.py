@@ -215,3 +215,34 @@ def diou_nms(boxes: jnp.ndarray, scores: jnp.ndarray,
     keep_sorted = jax.lax.fori_loop(0, k, body, valid)
     keep = jnp.zeros((k,), dtype=bool).at[order].set(keep_sorted)
     return keep, order
+
+
+def nms_match(boxes: jnp.ndarray, scores: jnp.ndarray,
+              iou_threshold: float) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """mmcv ``nms_match`` semantics as a fixed-shape XLA op.
+
+    Greedy NMS, but instead of discarding suppressed boxes each one is
+    assigned to the kept box that suppressed it (the highest-scoring
+    kept box with IoU > threshold) — mmcv returns a list of index
+    groups; here the same information is a fixed-shape mapping.
+
+    Returns:
+        keep: (K,) bool — group leaders (greedy-NMS survivors).
+        group: (K,) int32 — for every box, the input index of its group
+            leader (leaders map to themselves; padding rows with
+            ``score <= NEG_INF/2`` map to -1).
+    """
+    k = scores.shape[0]
+    keep, order = nms(boxes, scores, iou_threshold)
+    valid = scores > NEG_INF / 2
+    iou_mat = pairwise_iou(boxes, boxes)
+    # leader of j = argmax score over kept i with IoU(i, j) > thr
+    cand = keep[:, None] & (iou_mat > iou_threshold)       # (i, j)
+    cand_scores = jnp.where(cand, scores[:, None], NEG_INF)
+    leader = jnp.argmax(cand_scores, axis=0).astype(jnp.int32)
+    has_leader = jnp.max(cand_scores, axis=0) > NEG_INF / 2
+    self_idx = jnp.arange(k, dtype=jnp.int32)
+    group = jnp.where(keep, self_idx,
+                      jnp.where(has_leader, leader, self_idx))
+    group = jnp.where(valid, group, -1)
+    return keep, group

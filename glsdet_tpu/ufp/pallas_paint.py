@@ -11,16 +11,21 @@ two-stage pipeline).  This kernel restructures the work the TPU way:
   RMW, no cross-step hazards (regions are disjoint in canvas space by
   packing; a region straddling tiles is painted independently by each
   tile it intersects, masked to the intersection).
-- per intersecting region: one async DMA pulls the (3, t+1, t+1) source
-  crop HBM→VMEM, the x{1,2,4} cv2 INTER_LINEAR upscale runs on the VPU
-  from VMEM, and the masked blend hits the resident tile.
+- per intersecting region: one async DMA pulls a tile-aligned source
+  crop HBM→VMEM (Mosaic requires (8, 128)-aligned starts/shapes; the
+  sub-tile residues are removed with ``pltpu.roll`` dynamic rotates),
+  the x{1,2,4} cv2 INTER_LINEAR upscale runs on the VPU from VMEM, and
+  the masked blend hits the resident tile.
 - the host pre-bins regions into per-tile tables (``build_tile_tables``)
-  so the kernel's inner loop is a fixed ``cap``-bounded scan over SMEM
-  scalars (skipped entries are ``pl.when``-predicated to ~nothing).
+  delivered as per-step SMEM blocks, so the kernel's inner loop is a
+  fixed ``cap``-bounded scan over SMEM scalars (empty entries are
+  ``pl.when``-predicated to ~nothing).
 
-Numerics are identical to ``assemble_mosaic_tiled_batch`` (same crop /
-residue / tap formulas, taps in float32, cast to the canvas dtype at the
-blend) — property-tested against it in tests/test_pallas_paint.py.
+Numerics: interiors are bit-identical to the gather oracle
+(``assembly.assemble_mosaic``, float32 taps, cast to the canvas dtype at
+the blend); the outer f-wide ring of each chip may bleed a neighboring
+source pixel where cv2's crop clamps — the same deviation class the XLA
+painters document.  Property-tested in tests/test_pallas_paint.py.
 
 Layout note: pixels are processed planar (B, 3, H, W) so the lane
 dimension is image width (a multiple of 128 at every bucket) instead of

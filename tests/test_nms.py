@@ -148,3 +148,38 @@ def test_fixpoint_nms_deep_suppression_chain():
     assert keep.tolist() == want.tolist()
     # the alternating pattern (every other box) for this geometry
     assert keep[:4].tolist() == [True, False, True, False]
+
+
+class TestNmsMatch:
+    """mmcv nms_match analog: suppressed boxes map to their suppressor."""
+
+    def test_groups(self):
+        import jax.numpy as jnp
+
+        from glsdet_tpu.ops.nms import NEG_INF, nms_match
+
+        boxes = jnp.asarray(np.array([
+            [0, 0, 10, 10],      # leader A (score .9)
+            [1, 1, 11, 11],      # suppressed by A
+            [50, 50, 60, 60],    # leader B (score .8)
+            [51, 51, 61, 61],    # suppressed by B
+            [100, 100, 110, 110],  # isolated leader C
+        ], np.float32))
+        scores = jnp.asarray(np.array([.9, .7, .8, .6, .5], np.float32))
+        keep, group = nms_match(boxes, scores, 0.5)
+        np.testing.assert_array_equal(
+            np.asarray(keep), [True, False, True, False, True])
+        np.testing.assert_array_equal(
+            np.asarray(group), [0, 0, 2, 2, 4])
+
+    def test_padding_rows(self):
+        import jax.numpy as jnp
+
+        from glsdet_tpu.ops.nms import NEG_INF, nms_match
+
+        boxes = jnp.zeros((4, 4), jnp.float32).at[0].set(
+            jnp.asarray([0, 0, 10, 10.]))
+        scores = jnp.asarray([0.9, NEG_INF, NEG_INF, NEG_INF])
+        keep, group = nms_match(boxes, scores, 0.5)
+        assert bool(keep[0]) and int(group[0]) == 0
+        np.testing.assert_array_equal(np.asarray(group)[1:], [-1, -1, -1])
