@@ -27,7 +27,6 @@ import numpy as np
 from glsdet_tpu.eval.postprocess import gfl_postprocess, yolox_postprocess
 from glsdet_tpu.ops.nms import NEG_INF, batched_nms
 from glsdet_tpu.ufp.assembly import (
-    assemble_mosaic_tiled,
     assemble_mosaic_tiled_batch,
     regions_to_array,
     split_rows_for_tile,
@@ -59,23 +58,6 @@ def paint_tile(out_hw: int) -> int:
     256 balances per-row HBM traffic (~tile^2) against the extra rows
     that splitting large chips produces (split_rows_for_tile)."""
     return min(256, out_hw) // 4 * 4
-
-
-def _assemble_normalize_impl(image, paint_regions, out_hw):
-    """image: (H, W, 3) uint8 (or float) — normalization happens on
-    device so the host->device transfer stays uint8 (4x less tunnel/PCIe
-    traffic than float32).  Uses the tiled slice+upscale assembly
-    (per-region work sized to a ``paint_tile`` window, not the canvas;
-    regions pre-split on host by ``split_rows_for_tile``)."""
-    canvas = assemble_mosaic_tiled(image, paint_regions, out_hw, out_hw,
-                                   tile=paint_tile(out_hw))
-    mean = jnp.asarray([123.675, 116.28, 103.53], jnp.float32)
-    std = jnp.asarray([58.395, 57.12, 57.375], jnp.float32)
-    return (canvas - mean) / std
-
-
-_assemble_normalize = jax.jit(_assemble_normalize_impl,
-                              static_argnames=("out_hw",))
 
 
 def pack_detections(boxes, scores, labels, valid) -> jnp.ndarray:
@@ -230,76 +212,6 @@ class TwoStagePipeline:
             p = "pallas" if jax.default_backend() == "tpu" else "xla"
         self.painter = p
         self.paint_cap = int(paint_table_cap)
-
-        @jax.jit
-        def _coarse(variables, images):
-            # uint8 in; normalize on device (transfer stays 1 byte/px)
-            mean = jnp.asarray([123.675, 116.28, 103.53], jnp.float32)
-            std = jnp.asarray([58.395, 57.12, 57.375], jnp.float32)
-            images = (images.astype(jnp.float32) - mean) / std
-            out = (coarse_apply(variables, images)
-                   if variables is not None else coarse_apply(images))
-            cls, reg, obj = out
-            return yolox_postprocess(
-                cls, reg, obj, coarse_hw, score_thr=coarse_score_thr,
-                max_dets=max_coarse_dets)
-
-        self._coarse = lambda images: _coarse(self._cvars, images)
-
-        @jax.jit
-        def _coarse_full(variables, full_img):
-            # single uint8 upload: device-side resize to the coarse input
-            # (jax.image.resize bilinear ~ cv2 INTER_LINEAR), normalize,
-            # forward, postprocess.  The same uploaded buffer feeds the
-            # mosaic assembly afterwards — one transfer per frame total.
-            img = full_img.astype(jnp.float32)
-            resized = jax.image.resize(
-                img, (coarse_hw[0], coarse_hw[1], 3), method="bilinear")
-            mean = jnp.asarray([123.675, 116.28, 103.53], jnp.float32)
-            std = jnp.asarray([58.395, 57.12, 57.375], jnp.float32)
-            images = ((resized - mean) / std)[None]
-            out = (coarse_apply(variables, images)
-                   if variables is not None else coarse_apply(images))
-            cls, reg, obj = out
-            return yolox_postprocess(
-                cls, reg, obj, coarse_hw, score_thr=coarse_score_thr,
-                max_dets=max_coarse_dets)
-
-        self._coarse_full = lambda img: _coarse_full(self._cvars, img)
-
-        @functools.partial(jax.jit, static_argnames=("hw",))
-        def _mp_jit(variables, images, hw):
-            out = (mp_apply(variables, images)
-                   if variables is not None else mp_apply(images))
-            cls, reg = out
-            return gfl_postprocess(
-                cls, reg, (hw, hw), score_thr=chip_score_thr,
-                max_dets=max_chip_dets)
-
-        self._mp = lambda images, hw: _mp_jit(self._mvars, images, hw)
-
-        @functools.partial(jax.jit, static_argnames=("hw",))
-        def _mosaic_stage(variables, full_img, paint_regions, regions, hw):
-            # one program for the whole stage-2: assemble mosaic -> MP-Det
-            # forward -> decode+NMS -> unmap + final class-wise NMS.  One
-            # dispatch round trip per image instead of three.
-            # ``paint_regions``: tile-split rows for the painter;
-            # ``regions``: original rows for IoF gating/unmapping.
-            mosaic = _assemble_normalize(full_img, paint_regions, hw)
-            out = (mp_apply(variables, mosaic[None])
-                   if variables is not None else mp_apply(mosaic[None]))
-            cls, reg = out
-            mp_dets = gfl_postprocess(
-                cls, reg, (hw, hw), score_thr=chip_score_thr,
-                max_dets=max_chip_dets)
-            return _unmap_and_nms(
-                mp_dets["boxes"][0], mp_dets["scores"][0],
-                mp_dets["labels"][0], mp_dets["valid"][0], regions,
-                final_nms_thr, max_chip_dets)
-
-        self._mosaic_stage = (
-            lambda img, paint, regions, hw: _mosaic_stage(
-                self._mvars, img, paint, regions, hw))
 
         @jax.jit
         def _coarse_full_batch(variables, imgs):
