@@ -57,7 +57,8 @@ class Detector:
     def __init__(self, config_name: str, checkpoint: Optional[str] = None,
                  class_names: Optional[Sequence[str]] = None,
                  score_thr: Optional[float] = None,
-                 use_ema: bool = True):
+                 use_ema: bool = True,
+                 quant8: bool = False):
         import jax
 
         from glsdet_tpu.data.visdrone import VISDRONE_CLASSES
@@ -66,6 +67,12 @@ class Detector:
 
         cfg, model, variables = init_detector(config_name, checkpoint,
                                               use_ema)
+        apply_fn = model.apply
+        if quant8:
+            # W8A8 int8 serving mode (ops/quant.py): int8 convs on the MXU
+            from glsdet_tpu.ops.quant import wrap_apply_quant8
+            apply_fn = wrap_apply_quant8(apply_fn)
+        self.quant8 = bool(quant8)
         self.cfg = cfg
         self.class_names = list(class_names or VISDRONE_CLASSES)
         self.score_thr = (score_thr if score_thr is not None
@@ -75,13 +82,13 @@ class Detector:
 
         if family == "yolox":
             def _fwd(v, images):
-                cls, reg, obj = model.apply(v, images, train=False)
+                cls, reg, obj = apply_fn(v, images, train=False)
                 return yolox_postprocess(
                     cls, reg, obj, img_hw, score_thr=self.score_thr,
                     iou_thr=cfg.eval.nms_iou, max_dets=cfg.eval.max_dets)
         else:
             def _fwd(v, images):
-                cls, reg = model.apply(v, images, train=False)
+                cls, reg = apply_fn(v, images, train=False)
                 return gfl_postprocess(
                     cls, reg, img_hw, score_thr=self.score_thr,
                     iou_thr=cfg.eval.nms_iou, max_dets=cfg.eval.max_dets)
@@ -209,7 +216,8 @@ class TwoStageDetector:
                  use_ema: bool = True,
                  max_batch: int = 8,
                  coarse_options: Optional[dict] = None,
-                 mp_options: Optional[dict] = None):
+                 mp_options: Optional[dict] = None,
+                 quant8: bool = False):
         from glsdet_tpu.data.visdrone import VISDRONE_CLASSES
         from glsdet_tpu.eval.two_stage import TwoStagePipeline
 
@@ -235,7 +243,8 @@ class TwoStageDetector:
             final_nms_thr=c_cfg.eval.chip_nms_iou,
             max_batch=max_batch,
             fuse_global=fuse_global,
-            fusion_nms_thr=c_cfg.eval.fusion_nms_iou)
+            fusion_nms_thr=c_cfg.eval.fusion_nms_iou,
+            quant8=quant8)
 
     @property
     def pipeline(self):

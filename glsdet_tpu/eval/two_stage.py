@@ -173,7 +173,8 @@ class TwoStagePipeline:
                  fusion_nms_thr: float = 0.65,
                  mosaic_dtype=jnp.bfloat16,
                  painter: str = "auto",
-                 paint_table_cap: int = 24):
+                 paint_table_cap: int = 24,
+                 quant8: bool = False):
         """Two call conventions:
 
         - coarse_apply(variables, images) with ``coarse_vars`` given
@@ -183,6 +184,15 @@ class TwoStagePipeline:
         - coarse_apply(images) already bound, with ``coarse_vars=None``
           (weights become constants — fine only for tiny test models).
         """
+        if quant8:
+            # W8A8 dynamic-quantized forwards (ops/quant.py): every
+            # nn.Conv in both models runs s8xs8->s32 on the MXU.  The
+            # wrap must happen before the jitted closures below capture
+            # the apply fns so the interceptor is active at trace time.
+            from glsdet_tpu.ops.quant import wrap_apply_quant8
+            coarse_apply = wrap_apply_quant8(coarse_apply)
+            mp_apply = wrap_apply_quant8(mp_apply)
+        self.quant8 = bool(quant8)
         self.coarse_hw = coarse_hw
         self.num_classes = num_classes
         self.ufp_scale = ufp_scale

@@ -24,6 +24,8 @@ def main():
     ap.add_argument("--max-images", type=int)
     ap.add_argument("--use-ema", action="store_true",
                     help="evaluate EMA weights (reference eval default)")
+    ap.add_argument("--int8", action="store_true",
+                    help="W8A8 dynamic-quantized forward (ops/quant.py)")
     ap.add_argument("--fuse-conv-bn", action="store_true",
                     help="fold BN into conv weights before inference "
                          "(reference tools/test.py flag)")
@@ -68,10 +70,16 @@ def main():
         variables, n_fused = fuse_conv_bn(variables)
         print(f"fused {n_fused} conv+bn pairs")
 
+    apply_fn = lambda v, images: model.apply(v, images, train=False)
+    if args.int8:
+        from glsdet_tpu.ops.quant import wrap_apply_quant8
+
+        apply_fn = wrap_apply_quant8(apply_fn)
+
     family = "yolox" if cfg.model.family == "yolox" else "gfl"
     run_eval(
         dataset,
-        lambda v, images: model.apply(v, images, train=False),
+        apply_fn,
         family, cfg.data.img_hw, cfg.model.num_classes,
         batch_size=cfg.data.batch_size,
         score_thr=cfg.eval.score_thr, nms_iou=cfg.eval.nms_iou,

@@ -37,6 +37,9 @@ def main():
                     help="global-local fusion: merge the coarse full-image "
                          "detections with the UFP detections via class-wise "
                          "NMS (merge_results.py semantics)")
+    ap.add_argument("--int8", action="store_true",
+                    help="W8A8 dynamic-quantized forwards (int8 MXU path; "
+                         "ops/quant.py)")
     args = ap.parse_args()
 
     import jax
@@ -102,7 +105,8 @@ def main():
         coarse_score_thr=c_cfg.eval.coarse_score_thr,
         final_nms_thr=c_cfg.eval.chip_nms_iou,
         fuse_global=args.fuse_global,
-        fusion_nms_thr=c_cfg.eval.fusion_nms_iou)
+        fusion_nms_thr=c_cfg.eval.fusion_nms_iou,
+        quant8=args.int8)
 
     dataset = CocoDataset(args.dataset_anno, args.img_root)
     dets_by_img = {}
