@@ -68,27 +68,40 @@ def main():
     # obj*cls ~5e-3) so the coarse stage genuinely fires on the noise
     # frames and stage 2 (packing -> mosaic -> MP-Det -> unmap+NMS) runs
     # with a realistic region load; asserted below.
-    # GLSDET_INT8=1 benches the W8A8 int8 serving mode (ops/quant.py):
-    # 3x3-convs-only dynamic quantization, ~7% faster MP-Det forward at
-    # b8 but within tunnel noise at the b32 steady state, so the headline
-    # stays bf16 (the honest default config).
-    quant8 = os.environ.get("GLSDET_INT8", "0") == "1"
-    pipe = TwoStagePipeline(
-        lambda v, images: coarse.apply(v, images, train=False),
-        lambda v, images: mp.apply(v, images, train=False),
-        coarse_hw,
-        mosaic_buckets=(1280,),
-        coarse_score_thr=1e-4,
-        coarse_vars=cvars, mp_vars=mvars,
-        max_batch=32,
-        quant8=quant8,
-    )
+    # GLSDET_INT8 selects the serving precision: "static" (default) =
+    # calibrated W8A8 with the explicit int8 backbone
+    # (ops/quant_static.py, 1.30x the MP-Det forward on v5e); "1" =
+    # dynamic W8A8 (ops/quant.py); "0" = bf16.
+    quant8_env = os.environ.get("GLSDET_INT8", "static")
+    quant8 = {"0": False, "1": True}.get(quant8_env, "static")
+
+    def make_pipe(q, act_scales=None):
+        return TwoStagePipeline(
+            lambda v, images: coarse.apply(v, images, train=False),
+            lambda v, images: mp.apply(v, images, train=False),
+            coarse_hw,
+            mosaic_buckets=(1280,),
+            coarse_score_thr=1e-4,
+            coarse_vars=cvars, mp_vars=mvars,
+            max_batch=32,
+            quant8=q,
+            act_scales=act_scales,
+        )
+
+    pipe = make_pipe(False if quant8 == "static" else quant8)
 
     rs = np.random.RandomState(0)
     frames = []
     for _ in range(32):
         img = rs.randint(0, 255, (765, 1360, 3), np.uint8)
         frames.append(img)
+
+    if quant8 == "static":
+        t0 = time.time()
+        scales = pipe.calibrate_int8(frames[:4])
+        pipe = make_pipe("static", scales)
+        log(f"int8 calibration done in {time.time()-t0:.0f}s "
+            f"({len(scales[0])}+{len(scales[1])} scales)")
 
     # warmup / compile coarse + every mosaic bucket
     t0 = time.time()

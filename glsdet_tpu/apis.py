@@ -230,10 +230,8 @@ class TwoStageDetector:
         self.class_names = list(class_names or VISDRONE_CLASSES)
         self.score_thr = (score_thr if score_thr is not None
                           else c_cfg.eval.score_thr)
-        self._pipe = TwoStagePipeline(
-            lambda v, im: c_model.apply(v, im, train=False),
-            lambda v, im: m_model.apply(v, im, train=False),
-            c_cfg.data.img_hw,
+        self._pipe_kwargs = dict(
+            coarse_hw=c_cfg.data.img_hw,
             coarse_vars=c_vars, mp_vars=m_vars,
             num_classes=c_cfg.model.num_classes,
             ufp_scale=c_cfg.eval.ufp_scale,
@@ -243,12 +241,30 @@ class TwoStageDetector:
             final_nms_thr=c_cfg.eval.chip_nms_iou,
             max_batch=max_batch,
             fuse_global=fuse_global,
-            fusion_nms_thr=c_cfg.eval.fusion_nms_iou,
-            quant8=quant8)
+            fusion_nms_thr=c_cfg.eval.fusion_nms_iou)
+        self._applies = (lambda v, im: c_model.apply(v, im, train=False),
+                         lambda v, im: m_model.apply(v, im, train=False))
+        # quant8="static" calibrates lazily on the first detect_batch
+        # (the first frames ARE the calibration set), then rebuilds the
+        # pipeline with the static-int8 applies.
+        self._needs_calibration = quant8 == "static"
+        self._pipe = TwoStagePipeline(
+            *self._applies,
+            quant8=False if self._needs_calibration else quant8,
+            **self._pipe_kwargs)
 
     @property
     def pipeline(self):
         return self._pipe
+
+    def _calibrate(self, images: Sequence[np.ndarray]):
+        from glsdet_tpu.eval.two_stage import TwoStagePipeline
+
+        scales = self._pipe.calibrate_int8(images)
+        self._pipe = TwoStagePipeline(
+            *self._applies, quant8="static", act_scales=scales,
+            **self._pipe_kwargs)
+        self._needs_calibration = False
 
     def _filter(self, out: dict) -> dict:
         m = out["scores"] >= self.score_thr
@@ -263,8 +279,10 @@ class TwoStageDetector:
     def detect_batch(self, images: Sequence[np.ndarray]) -> list:
         """Chunk-batched, pipelined two-stage inference over N frames
         (the dynamic-batching hook used by ``serve.AsyncDetector``)."""
-        outs = self._pipe.run_batch(
-            [np.asarray(im, np.uint8) for im in images])
+        frames = [np.asarray(im, np.uint8) for im in images]
+        if self._needs_calibration:
+            self._calibrate(frames[:4])
+        outs = self._pipe.run_batch(frames)
         return [self._filter(o) for o in outs]
 
     def warmup(self, image_hw):

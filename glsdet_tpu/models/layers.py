@@ -17,6 +17,8 @@ laid out TPU-first:
 
 from __future__ import annotations
 
+import contextlib
+import contextvars
 from typing import Any, Callable, Optional, Sequence, Tuple
 
 import jax
@@ -24,6 +26,29 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 Dtype = Any
+
+_REMAT_DISABLED: contextvars.ContextVar[bool] = contextvars.ContextVar(
+    "glsdet_remat_disabled", default=False)
+
+
+def remat_active(flag: bool) -> bool:
+    """Whether a module's ``remat`` flag takes effect for this trace.
+    Remat is a backward-pass memory optimization; forward-only tooling
+    that needs values to cross module boundaries (e.g. int8 calibration
+    recording, ops/quant_static.py) turns it off via
+    :func:`disable_remat` — a no-op numerically."""
+    return bool(flag) and not _REMAT_DISABLED.get()
+
+
+@contextlib.contextmanager
+def disable_remat():
+    """Context manager: models traced inside skip their ``nn.remat``
+    wrapping (must be active at *trace* time)."""
+    tok = _REMAT_DISABLED.set(True)
+    try:
+        yield
+    finally:
+        _REMAT_DISABLED.reset(tok)
 
 # torch BN(momentum=0.03, eps=0.001) from yolox configs → flax momentum 0.97.
 BN_MOMENTUM = 0.97

@@ -16,7 +16,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from glsdet_tpu.models.layers import BN_EPS, BN_MOMENTUM
+from glsdet_tpu.models.layers import BN_EPS, BN_MOMENTUM, remat_active
 
 STAGE_BLOCKS = {
     18: (2, 2, 2, 2),
@@ -127,7 +127,8 @@ class ResNet(nn.Module):
         # the remat boundary would trace it (TracerBoolConversionError).
         run = (nn.remat(lambda mdl, h: mdl(h, train=train),
                         prevent_cse=False)
-               if self.remat else (lambda mdl, h: mdl(h, train=train)))
+               if remat_active(self.remat)
+               else (lambda mdl, h: mdl(h, train=train)))
 
         x = ResNetConv(self.base_channels, 7, 2, dtype=self.dtype,
                        axis_name=self.axis_name, name="stem")(x, train=train)

@@ -1,0 +1,206 @@
+"""Static-scale W8A8 inference (glsdet_tpu/ops/quant_static.py).
+
+Checks: calibration records the right module set, the static rewrite
+stays close to the f32 forward on real model graphs (ResNet BN chains,
+GFL GN towers), prediction convs and training mode are untouched, and
+boundary fake-quant keeps values on the int8 grid.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from glsdet_tpu.ops.quant_static import (calibrate_scales,
+                                         static_quant_inference,
+                                         wrap_apply_quant8_static)
+
+
+def _rel(a, b):
+    a = np.asarray(a, np.float32)
+    b = np.asarray(b, np.float32)
+    return float(np.abs(a - b).max() / (np.abs(a).max() + 1e-9))
+
+
+class TestCalibrate:
+    def test_records_resnet(self):
+        from glsdet_tpu.models import ResNet
+
+        m = ResNet(depth=50, base_channels=16, dtype=jnp.bfloat16)
+        x = jnp.asarray(np.random.RandomState(0).randn(2, 32, 32, 3),
+                        jnp.float32)
+        v = m.init(jax.random.PRNGKey(0), x, train=False)
+        fn = lambda vv, im: m.apply(vv, im, train=False)
+        scales = calibrate_scales(fn, v, [x], min_channels=16)
+        # every eligible ResNetConv records .in; every block .out
+        assert any(k.endswith(".in") for k in scales)
+        assert any("layer1_0.out" in k for k in scales), sorted(scales)[:5]
+        assert all(s > 0 for s in scales.values())
+
+    def test_max_over_batches(self):
+        from glsdet_tpu.models import ResNet
+
+        m = ResNet(depth=50, base_channels=16, dtype=jnp.bfloat16)
+        rs = np.random.RandomState(0)
+        x1 = jnp.asarray(rs.randn(1, 32, 32, 3), jnp.float32)
+        x2 = jnp.asarray(rs.randn(1, 32, 32, 3) * 3, jnp.float32)
+        v = m.init(jax.random.PRNGKey(0), x1, train=False)
+        fn = lambda vv, im: m.apply(vv, im, train=False)
+        s1 = calibrate_scales(fn, v, [x1], min_channels=16)
+        s12 = calibrate_scales(fn, v, [x1, x2], min_channels=16)
+        assert set(s1) == set(s12)
+        assert all(s12[k] >= s1[k] - 1e-9 for k in s1)
+        assert any(s12[k] > s1[k] for k in s1)
+
+
+class TestStaticQuant:
+    def _setup(self):
+        from glsdet_tpu.models import ResNet
+
+        m = ResNet(depth=50, base_channels=16, dtype=jnp.bfloat16)
+        x = jnp.asarray(np.random.RandomState(0).randn(2, 32, 32, 3),
+                        jnp.float32)
+        v = m.init(jax.random.PRNGKey(0), x, train=False)
+        fn = lambda vv, im: m.apply(vv, im, train=False)
+        return m, v, x, fn
+
+    def test_resnet_close_and_changed(self):
+        m, v, x, fn = self._setup()
+        scales = calibrate_scales(fn, v, [x], min_channels=16)
+        q = wrap_apply_quant8_static(fn, scales, min_channels=16)
+        ref, got = fn(v, x), q(v, x)
+        assert all(_rel(r, g) < 0.2 for r, g in zip(ref, got))
+        assert any(float(jnp.abs(r.astype(jnp.float32)
+                                 - g.astype(jnp.float32)).max()) > 0
+                   for r, g in zip(ref, got))
+
+    def test_works_under_jit(self):
+        m, v, x, fn = self._setup()
+        scales = calibrate_scales(fn, v, [x], min_channels=16)
+        q = jax.jit(wrap_apply_quant8_static(fn, scales, min_channels=16))
+        ref, got = fn(v, x), q(v, x)
+        assert all(_rel(r, g) < 0.2 for r, g in zip(ref, got))
+
+    def test_train_falls_through(self):
+        m, v, x, fn = self._setup()
+        scales = calibrate_scales(fn, v, [x], min_channels=16)
+        ref, _ = m.apply(v, x, train=True, mutable=["batch_stats"])
+        with static_quant_inference(scales, min_channels=16):
+            got, _ = m.apply(v, x, train=True, mutable=["batch_stats"])
+        for r, g in zip(ref, got):
+            np.testing.assert_array_equal(np.asarray(r), np.asarray(g))
+
+    def test_missing_scales_noop(self):
+        m, v, x, fn = self._setup()
+        ref = fn(v, x)
+        with static_quant_inference({}, min_channels=16):
+            got = fn(v, x)
+        for r, g in zip(ref, got):
+            np.testing.assert_array_equal(np.asarray(r), np.asarray(g))
+
+    def test_mpdet_gn_towers(self):
+        from glsdet_tpu.models import MPDet
+
+        mp = MPDet(num_classes=4, depth=50, proxies_list=(2,) * 4,
+                   dtype=jnp.bfloat16)
+        x = jnp.asarray(
+            np.random.RandomState(0).rand(1, 64, 64, 3) * 4 - 2,
+            jnp.float32)
+        v = jax.jit(lambda r, a: mp.init(r, a, train=False))(
+            jax.random.PRNGKey(0), jnp.zeros_like(x))
+        fn = lambda w, im: mp.apply(w, im, train=False)
+        scales = calibrate_scales(fn, v, [x], min_channels=16)
+        # GN tower convs of the head must be calibrated
+        assert any("head" in k and k.endswith(".in") for k in scales)
+        q = wrap_apply_quant8_static(fn, scales, min_channels=16)
+        cls0, reg0 = fn(v, x)
+        cls1, reg1 = q(v, x)
+        for a, b in zip(list(cls0) + list(reg0), list(cls1) + list(reg1)):
+            assert _rel(a, b) < 0.3
+
+    def test_calibrate_with_remat_model(self):
+        # config-built models have remat=True (a train-time memory
+        # optimization); calibration must disable it — recording absmax
+        # inside an nn.remat scope leaks tracers (caught by the facade
+        # drive: init_detector models failed where remat=False unit
+        # fixtures passed)
+        from glsdet_tpu.models import MPDet
+
+        mp = MPDet(num_classes=3, depth=50, proxies_list=(2, 2, 2),
+                   remat=True, dtype=jnp.bfloat16)
+        x = jnp.asarray(np.random.RandomState(0).rand(1, 64, 64, 3),
+                        jnp.float32)
+        v = jax.jit(lambda r, a: mp.init(r, a, train=False))(
+            jax.random.PRNGKey(0), jnp.zeros_like(x))
+        fn = lambda w, im: mp.apply(w, im, train=False)
+        scales = calibrate_scales(fn, v, [x], min_channels=16)
+        assert len(scales) > 10
+        # and the static rewrite serves the remat model (loose bound:
+        # numeric closeness is covered by the remat=False tests; random
+        # proxy scores on 1x1 maps are noisy)
+        q = wrap_apply_quant8_static(fn, scales, min_channels=16)
+        for a, b in zip(jax.tree_util.tree_leaves(fn(v, x)),
+                        jax.tree_util.tree_leaves(q(v, x))):
+            assert _rel(a, b) < 0.5
+
+    def test_pred_convs_never_quantized(self):
+        # prediction layers are bare nn.Conv — no scale key may point at
+        # them, whatever the policy
+        from glsdet_tpu.models import MPDet
+
+        mp = MPDet(num_classes=4, depth=50, proxies_list=(2,) * 4)
+        x = jnp.asarray(np.random.RandomState(0).rand(1, 64, 64, 3),
+                        jnp.float32)
+        v = jax.jit(lambda r, a: mp.init(r, a, train=False))(
+            jax.random.PRNGKey(0), jnp.zeros_like(x))
+        fn = lambda w, im: mp.apply(w, im, train=False)
+        scales = calibrate_scales(fn, v, [x], min_channels=1)
+        assert not any("gfl_cls" in k or "gfl_reg" in k for k in scales)
+
+    def test_two_stage_calibrate_and_serve(self):
+        from glsdet_tpu.eval.two_stage import TwoStagePipeline
+        from glsdet_tpu.models import MPDet, YOLOXDetector
+
+        rng = jax.random.PRNGKey(0)
+        coarse = YOLOXDetector(num_classes=3, phi="nano")
+        mp = MPDet(num_classes=3, depth=18, proxies_list=(2, 2, 2))
+        cx = jnp.zeros((1, 64, 64, 3), jnp.float32)
+        cvars = coarse.init(rng, cx, train=False)
+        mvars = mp.init(rng, cx, train=False)
+
+        def make_pipe(q, s=None):
+            return TwoStagePipeline(
+                lambda v, im: coarse.apply(v, im, train=False),
+                lambda v, im: mp.apply(v, im, train=False),
+                (64, 64), num_classes=3, mosaic_buckets=(128,),
+                coarse_score_thr=1e-4, max_coarse_dets=32,
+                coarse_vars=cvars, mp_vars=mvars, quant8=q, act_scales=s)
+
+        imgs = [np.random.RandomState(i).randint(
+            0, 255, (96, 128, 3), np.uint8) for i in range(2)]
+        pipe = make_pipe(False)
+        out0 = pipe(imgs[0])
+        scales = pipe.calibrate_int8(imgs)
+        assert len(scales[0]) > 3 and len(scales[1]) > 3
+        qpipe = make_pipe("static", scales)
+        out1 = qpipe(imgs[0])
+        assert set(out1) >= {"boxes", "scores", "labels"}
+        s0 = float(np.max(np.asarray(out0["scores"])))
+        s1 = float(np.max(np.asarray(out1["scores"])))
+        assert abs(s0 - s1) < 0.15, (s0, s1)
+
+    def test_yolox_coarse_model(self):
+        from glsdet_tpu.models import YOLOXDetector
+
+        det = YOLOXDetector(num_classes=4, phi="s", dtype=jnp.bfloat16)
+        x = jnp.asarray(
+            np.random.RandomState(0).rand(1, 64, 64, 3) * 2 - 1,
+            jnp.float32)
+        v = jax.jit(lambda r, a: det.init(r, a, train=False))(
+            jax.random.PRNGKey(0), jnp.zeros_like(x))
+        fn = lambda w, im: det.apply(w, im, train=False)
+        scales = calibrate_scales(fn, v, [x], min_channels=16)
+        assert len(scales) > 10
+        q = wrap_apply_quant8_static(fn, scales, min_channels=16)
+        for a, b in zip(jax.tree_util.tree_leaves(fn(v, x)),
+                        jax.tree_util.tree_leaves(q(v, x))):
+            assert _rel(a, b) < 0.3

@@ -26,6 +26,10 @@ def main():
                     help="evaluate EMA weights (reference eval default)")
     ap.add_argument("--int8", action="store_true",
                     help="W8A8 dynamic-quantized forward (ops/quant.py)")
+    ap.add_argument("--int8-static", action="store_true",
+                    help="calibrated static-W8A8 forward with an explicit "
+                         "int8 backbone (ops/quant_static.py; calibrates "
+                         "on the first eval batches)")
     ap.add_argument("--fuse-conv-bn", action="store_true",
                     help="fold BN into conv weights before inference "
                          "(reference tools/test.py flag)")
@@ -71,7 +75,23 @@ def main():
         print(f"fused {n_fused} conv+bn pairs")
 
     apply_fn = lambda v, images: model.apply(v, images, train=False)
-    if args.int8:
+    if args.int8_static:
+        import jax.numpy as jnp
+
+        from glsdet_tpu.data.loader import EvalPipeline, eval_loader
+        from glsdet_tpu.ops.quant_static import (calibrate_scales,
+                                                 wrap_apply_quant8_static)
+
+        batches = []
+        for batch in eval_loader(EvalPipeline(dataset, cfg.data.img_hw),
+                                 cfg.data.batch_size):
+            batches.append(jnp.asarray(batch["images"]))
+            if len(batches) >= 2:
+                break
+        print(f"calibrating int8 scales on {len(batches)} batches ...")
+        scales = calibrate_scales(apply_fn, variables, batches)
+        apply_fn = wrap_apply_quant8_static(apply_fn, scales)
+    elif args.int8:
         from glsdet_tpu.ops.quant import wrap_apply_quant8
 
         apply_fn = wrap_apply_quant8(apply_fn)

@@ -40,6 +40,10 @@ def main():
     ap.add_argument("--int8", action="store_true",
                     help="W8A8 dynamic-quantized forwards (int8 MXU path; "
                          "ops/quant.py)")
+    ap.add_argument("--int8-static", action="store_true",
+                    help="calibrated static-W8A8 forwards with an explicit "
+                         "int8 backbone (ops/quant_static.py; fastest "
+                         "serving mode — calibrates on the first frames)")
     args = ap.parse_args()
 
     import jax
@@ -93,22 +97,32 @@ def main():
     m_cfg, m_model, m_vars = load(args.second_cfg, args.second_ckpt,
                                   parse_opts(args.second_options))
 
-    pipe = TwoStagePipeline(
-        lambda v, im: c_model.apply(v, im, train=False),
-        lambda v, im: m_model.apply(v, im, train=False),
-        c_cfg.data.img_hw,
-        coarse_vars=c_vars, mp_vars=m_vars,
-        num_classes=c_cfg.model.num_classes,
-        ufp_scale=c_cfg.eval.ufp_scale,
-        mosaic_buckets=c_cfg.eval.mosaic_buckets,
-        max_regions=c_cfg.eval.max_regions,
-        coarse_score_thr=c_cfg.eval.coarse_score_thr,
-        final_nms_thr=c_cfg.eval.chip_nms_iou,
-        fuse_global=args.fuse_global,
-        fusion_nms_thr=c_cfg.eval.fusion_nms_iou,
-        quant8=args.int8)
+    def make_pipe(quant8, act_scales=None):
+        return TwoStagePipeline(
+            lambda v, im: c_model.apply(v, im, train=False),
+            lambda v, im: m_model.apply(v, im, train=False),
+            c_cfg.data.img_hw,
+            coarse_vars=c_vars, mp_vars=m_vars,
+            num_classes=c_cfg.model.num_classes,
+            ufp_scale=c_cfg.eval.ufp_scale,
+            mosaic_buckets=c_cfg.eval.mosaic_buckets,
+            max_regions=c_cfg.eval.max_regions,
+            coarse_score_thr=c_cfg.eval.coarse_score_thr,
+            final_nms_thr=c_cfg.eval.chip_nms_iou,
+            fuse_global=args.fuse_global,
+            fusion_nms_thr=c_cfg.eval.fusion_nms_iou,
+            quant8=quant8, act_scales=act_scales)
+
+    pipe = make_pipe(False if args.int8_static else args.int8)
 
     dataset = CocoDataset(args.dataset_anno, args.img_root)
+
+    if args.int8_static:
+        # calibrate on the first frames, rebuild with static-int8 applies
+        calib = [dataset.load_image(r) for r in dataset.records[:4]]
+        print("calibrating int8 activation scales on "
+              f"{len(calib)} frames ...")
+        pipe = make_pipe("static", pipe.calibrate_int8(calib))
     dets_by_img = {}
     coco_dets = []
     t0 = time.time()
