@@ -58,29 +58,57 @@ class Detector:
                  class_names: Optional[Sequence[str]] = None,
                  score_thr: Optional[float] = None,
                  use_ema: bool = True,
-                 quant8: bool = False):
-        import jax
-
+                 quant8=False,
+                 int8_scales=None):
         from glsdet_tpu.data.visdrone import VISDRONE_CLASSES
-        from glsdet_tpu.eval.postprocess import (gfl_postprocess,
-                                                 yolox_postprocess)
 
         cfg, model, variables = init_detector(config_name, checkpoint,
                                               use_ema)
-        apply_fn = model.apply
-        if quant8:
-            # W8A8 int8 serving mode (ops/quant.py): int8 convs on the MXU
-            from glsdet_tpu.ops.quant import wrap_apply_quant8
-            apply_fn = wrap_apply_quant8(apply_fn)
-        self.quant8 = bool(quant8)
+        self.quant8 = quant8
         self.cfg = cfg
         self.class_names = list(class_names or VISDRONE_CLASSES)
         self.score_thr = (score_thr if score_thr is not None
                           else cfg.eval.score_thr)
-        img_hw = cfg.data.img_hw
-        family = cfg.model.family
+        self._raw_apply = model.apply
+        self._variables = variables
 
-        if family == "yolox":
+        # quant8="static" (ops/quant_static.py): serve with saved scales
+        # when available (``int8_scales`` = json path or dict), else
+        # calibrate lazily on the first detect/detect_batch inputs (and
+        # persist to the path when one was named).
+        self._scales_path = (int8_scales
+                             if isinstance(int8_scales, str) else None)
+        scales = None
+        if quant8 == "static":
+            if self._scales_path and os.path.exists(self._scales_path):
+                from glsdet_tpu.ops.quant_static import load_scales
+                scales = load_scales(self._scales_path)
+            elif int8_scales is not None and not self._scales_path:
+                scales = int8_scales
+        self._needs_calibration = quant8 == "static" and scales is None
+
+        apply_fn = self._raw_apply
+        if quant8 == "static":
+            if scales is not None:
+                from glsdet_tpu.ops.quant_static import \
+                    wrap_apply_quant8_static
+                apply_fn = wrap_apply_quant8_static(apply_fn, scales)
+        elif quant8:
+            # W8A8 dynamic int8 (ops/quant.py): int8 convs on the MXU
+            from glsdet_tpu.ops.quant import wrap_apply_quant8
+            apply_fn = wrap_apply_quant8(apply_fn)
+        self._set_fwd(apply_fn)
+
+    def _set_fwd(self, apply_fn):
+        import jax
+
+        from glsdet_tpu.eval.postprocess import (gfl_postprocess,
+                                                 yolox_postprocess)
+
+        cfg = self.cfg
+        img_hw = cfg.data.img_hw
+
+        if cfg.model.family == "yolox":
             def _fwd(v, images):
                 cls, reg, obj = apply_fn(v, images, train=False)
                 return yolox_postprocess(
@@ -94,7 +122,20 @@ class Detector:
                     iou_thr=cfg.eval.nms_iou, max_dets=cfg.eval.max_dets)
 
         self._fwd = jax.jit(_fwd)
-        self._variables = variables
+
+    def _calibrate(self, model_inputs):
+        """``model_inputs``: the normalized (B, H, W, 3) batch the first
+        request produced — it IS the calibration set."""
+        from glsdet_tpu.ops.quant_static import (calibrate_scales,
+                                                 save_scales,
+                                                 wrap_apply_quant8_static)
+
+        fn = lambda v, im: self._raw_apply(v, im, train=False)
+        scales = calibrate_scales(fn, self._variables, [model_inputs])
+        if self._scales_path:
+            save_scales(self._scales_path, scales)
+        self._set_fwd(wrap_apply_quant8_static(self._raw_apply, scales))
+        self._needs_calibration = False
 
     def detect(self, image: np.ndarray) -> dict:
         """image: (H, W, 3) RGB uint8 -> detections in image coords."""
@@ -106,8 +147,10 @@ class Detector:
         h0, w0 = image.shape[:2]
         h, w = self.cfg.data.img_hw
         resized = cv2.resize(image, (w, h))
-        out = self._fwd(self._variables,
-                        jnp.asarray(normalize(resized)[None]))
+        batch = jnp.asarray(normalize(resized)[None])
+        if self._needs_calibration:
+            self._calibrate(batch)
+        out = self._fwd(self._variables, batch)
         valid = np.asarray(out["valid"][0])
         boxes = np.asarray(out["boxes"][0])[valid]
         boxes *= np.array([w0 / w, h0 / h, w0 / w, h0 / h], np.float32)
@@ -142,7 +185,10 @@ class Detector:
         if b > len(images):
             resized = np.concatenate(
                 [resized, np.repeat(resized[-1:], b - len(images), 0)])
-        out = self._fwd(self._variables, jnp.asarray(resized))
+        batch = jnp.asarray(resized)
+        if self._needs_calibration:
+            self._calibrate(batch)
+        out = self._fwd(self._variables, batch)
         valid = np.asarray(out["valid"])
         all_boxes = np.asarray(out["boxes"])
         all_scores = np.asarray(out["scores"])
@@ -217,7 +263,8 @@ class TwoStageDetector:
                  max_batch: int = 8,
                  coarse_options: Optional[dict] = None,
                  mp_options: Optional[dict] = None,
-                 quant8: bool = False):
+                 quant8=False,
+                 int8_scales=None):
         from glsdet_tpu.data.visdrone import VISDRONE_CLASSES
         from glsdet_tpu.eval.two_stage import TwoStagePipeline
 
@@ -244,13 +291,27 @@ class TwoStageDetector:
             fusion_nms_thr=c_cfg.eval.fusion_nms_iou)
         self._applies = (lambda v, im: c_model.apply(v, im, train=False),
                          lambda v, im: m_model.apply(v, im, train=False))
-        # quant8="static" calibrates lazily on the first detect_batch
-        # (the first frames ARE the calibration set), then rebuilds the
-        # pipeline with the static-int8 applies.
-        self._needs_calibration = quant8 == "static"
+        # quant8="static" serving: ``int8_scales`` may be a saved-scales
+        # json path (ops/quant_static.save_scales) or the (coarse, mp)
+        # dict pair itself — then the pipeline starts int8 immediately.
+        # Without scales it calibrates lazily on the first detect_batch
+        # (the first frames ARE the calibration set) and, when
+        # ``int8_scales`` names a not-yet-existing path, persists the
+        # result there so the next boot skips calibration.
+        self._scales_path = (int8_scales
+                             if isinstance(int8_scales, str) else None)
+        scales = None
+        if quant8 == "static":
+            if self._scales_path and os.path.exists(self._scales_path):
+                from glsdet_tpu.ops.quant_static import load_scales
+                scales = load_scales(self._scales_path)
+            elif int8_scales is not None and not self._scales_path:
+                scales = int8_scales
+        self._needs_calibration = quant8 == "static" and scales is None
         self._pipe = TwoStagePipeline(
             *self._applies,
             quant8=False if self._needs_calibration else quant8,
+            act_scales=scales,
             **self._pipe_kwargs)
 
     @property
@@ -261,6 +322,9 @@ class TwoStageDetector:
         from glsdet_tpu.eval.two_stage import TwoStagePipeline
 
         scales = self._pipe.calibrate_int8(images)
+        if self._scales_path:
+            from glsdet_tpu.ops.quant_static import save_scales
+            save_scales(self._scales_path, scales)
         self._pipe = TwoStagePipeline(
             *self._applies, quant8="static", act_scales=scales,
             **self._pipe_kwargs)

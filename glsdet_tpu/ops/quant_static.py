@@ -46,7 +46,45 @@ from flax import linen as nn
 from glsdet_tpu.models.layers import ACTIVATIONS, BN_EPS
 
 __all__ = ["calibrate_scales", "static_quant_inference",
-           "wrap_apply_quant8_static"]
+           "wrap_apply_quant8_static", "save_scales", "load_scales"]
+
+SCALES_FORMAT = "glsdet-int8-scales-v1"
+
+
+def save_scales(path: str, scales) -> str:
+    """Persist calibrated activation scales as JSON: a single
+    ``{module_path: scale}`` dict (one model) or a ``(coarse, mp)``
+    pair (two-stage pipeline).  Scales are tiny (a few KB) — persisting
+    them means a served model never re-calibrates on boot."""
+    import json
+    import os
+
+    if isinstance(scales, dict):
+        payload = {"format": SCALES_FORMAT, "scales": scales}
+    else:
+        coarse, mp = scales
+        payload = {"format": SCALES_FORMAT, "coarse": dict(coarse),
+                   "mp": dict(mp)}
+    d = os.path.dirname(os.path.abspath(path))
+    if d:
+        os.makedirs(d, exist_ok=True)
+    with open(path, "w") as f:
+        json.dump(payload, f, indent=1, sort_keys=True)
+    return path
+
+
+def load_scales(path: str):
+    """Inverse of :func:`save_scales`: returns the dict or the
+    ``(coarse, mp)`` tuple."""
+    import json
+
+    with open(path) as f:
+        payload = json.load(f)
+    if payload.get("format") != SCALES_FORMAT:
+        raise ValueError(f"{path}: not a {SCALES_FORMAT} file")
+    if "scales" in payload:
+        return payload["scales"]
+    return payload["coarse"], payload["mp"]
 
 _RECORDS: contextvars.ContextVar[Optional[dict]] = contextvars.ContextVar(
     "glsdet_quant_records", default=None)

@@ -45,7 +45,9 @@ def archive_model(config_name: str, checkpoint_dir: Optional[str],
                   force: bool = False,
                   mp_config: Optional[str] = None,
                   mp_checkpoint_dir: Optional[str] = None,
-                  fuse_global: bool = True) -> str:
+                  fuse_global: bool = True,
+                  quant8=False,
+                  int8_scales: Optional[str] = None) -> str:
     """Package a named config + orbax checkpoint directory into a single
     self-describing zip archive (the ``.mar`` analog).
 
@@ -55,6 +57,12 @@ def archive_model(config_name: str, checkpoint_dir: Optional[str],
     coarse detector, ``mp_config``/``mp_checkpoint_dir`` (embedded under
     ``ckpt_mp/``) the stage-2 MP-Det; serving builds a
     ``TwoStageDetector`` running the full UFPMP pipeline.
+
+    ``quant8`` ("static" | True | False) selects the serving precision
+    baked into the manifest; with ``quant8="static"``, ``int8_scales``
+    may name a saved-scales json (``ops/quant_static.save_scales``)
+    embedded as ``int8_scales.json`` so serving never re-calibrates.
+    Without it the detector calibrates lazily on its first requests.
     """
     if not output_path.endswith(ARCHIVE_SUFFIX):
         output_path += ARCHIVE_SUFFIX
@@ -68,6 +76,9 @@ def archive_model(config_name: str, checkpoint_dir: Optional[str],
         "has_checkpoint": checkpoint_dir is not None,
         "format_version": 1,
     }
+    if quant8:
+        manifest["quant8"] = quant8
+        manifest["has_int8_scales"] = int8_scales is not None
     if mp_config:
         manifest.update({
             "pipeline": "two_stage",
@@ -91,6 +102,8 @@ def archive_model(config_name: str, checkpoint_dir: Optional[str],
             _embed(zf, checkpoint_dir, "ckpt")
         if mp_checkpoint_dir:
             _embed(zf, mp_checkpoint_dir, "ckpt_mp")
+        if int8_scales:
+            zf.write(int8_scales, "int8_scales.json")
     return output_path
 
 
@@ -117,6 +130,11 @@ def load_archive(path: str, workdir: Optional[str] = None):
 
         ckpt_dir = (_extract("ckpt")
                     if manifest.get("has_checkpoint") else None)
+        if manifest.get("has_int8_scales") \
+                and "int8_scales.json" in zf.namelist():
+            zf.extract("int8_scales.json", workdir)
+            manifest["_int8_scales_path"] = os.path.join(
+                workdir, "int8_scales.json")
         if manifest.get("pipeline") == "two_stage":
             mp_dir = (_extract("ckpt_mp")
                       if manifest.get("has_mp_checkpoint") else None)
@@ -268,6 +286,10 @@ class DetectionService:
 
     def register_archive(self, path: str, detector_cls=None):
         manifest, ckpt_dir = load_archive(path)
+        qkw = {}
+        if manifest.get("quant8"):
+            qkw = {"quant8": manifest["quant8"],
+                   "int8_scales": manifest.get("_int8_scales_path")}
         if manifest.get("pipeline") == "two_stage":
             from glsdet_tpu.apis import TwoStageDetector
 
@@ -277,14 +299,14 @@ class DetectionService:
                 manifest["mp_config_name"], ckpt_dir["mp"],
                 class_names=manifest.get("class_names"),
                 score_thr=manifest.get("score_thr"),
-                fuse_global=manifest.get("fuse_global", True))
+                fuse_global=manifest.get("fuse_global", True), **qkw)
         else:
             from glsdet_tpu.apis import Detector
 
             detector_cls = detector_cls or Detector
             det = detector_cls(manifest["config_name"], ckpt_dir,
                                class_names=manifest.get("class_names"),
-                               score_thr=manifest.get("score_thr"))
+                               score_thr=manifest.get("score_thr"), **qkw)
         self.register(manifest["model_name"], det, manifest)
         return manifest["model_name"]
 

@@ -156,6 +156,35 @@ class TestStaticQuant:
         scales = calibrate_scales(fn, v, [x], min_channels=1)
         assert not any("gfl_cls" in k or "gfl_reg" in k for k in scales)
 
+    def test_scales_save_load_roundtrip(self, tmp_path):
+        from glsdet_tpu.ops.quant_static import load_scales, save_scales
+
+        d = {"backbone/layer1_0.out": 0.125, "head/cls_conv0.in": 2.5}
+        p = str(tmp_path / "single.json")
+        save_scales(p, d)
+        assert load_scales(p) == d
+        pair = (d, {"other.in": 1.0})
+        p2 = str(tmp_path / "pair.json")
+        save_scales(p2, pair)
+        got = load_scales(p2)
+        assert isinstance(got, tuple) and got[0] == d and got[1] == pair[1]
+
+    def test_archive_embeds_scales(self, tmp_path):
+        # manifest-level round trip (no model build): archive_model
+        # embeds the scales json; load_archive surfaces its path
+        from glsdet_tpu.ops.quant_static import load_scales, save_scales
+        from glsdet_tpu.serve import archive_model, load_archive
+
+        sp = str(tmp_path / "scales.json")
+        save_scales(sp, ({"a.in": 0.5}, {"b.in": 0.25}))
+        out = archive_model("coarse_det", None, str(tmp_path / "m"),
+                            mp_config="mp_det_res50",
+                            quant8="static", int8_scales=sp)
+        manifest, ckpts = load_archive(out, str(tmp_path / "x"))
+        assert manifest["quant8"] == "static"
+        got = load_scales(manifest["_int8_scales_path"])
+        assert got == ({"a.in": 0.5}, {"b.in": 0.25})
+
     def test_two_stage_calibrate_and_serve(self):
         from glsdet_tpu.eval.two_stage import TwoStagePipeline
         from glsdet_tpu.models import MPDet, YOLOXDetector
@@ -187,6 +216,42 @@ class TestStaticQuant:
         s0 = float(np.max(np.asarray(out0["scores"])))
         s1 = float(np.max(np.asarray(out1["scores"])))
         assert abs(s0 - s1) < 0.15, (s0, s1)
+
+    def test_facade_scales_persistence(self, tmp_path):
+        # TwoStageDetector(quant8="static", int8_scales=path): first
+        # boot calibrates on the first detect_batch and persists; the
+        # second boot loads the file and never calibrates
+        from glsdet_tpu.apis import TwoStageDetector
+
+        sp = str(tmp_path / "scales.json")
+        tiny_c = {"model.phi": "nano", "model.num_classes": 3,
+                  "data.img_hw": (64, 64), "eval.mosaic_buckets": (128,),
+                  "eval.coarse_score_thr": 1e-4, "eval.max_regions": 8}
+        tiny_m = {"model.depth": 18, "model.num_classes": 3,
+                  "model.proxies_list": (2, 2, 2)}
+
+        def build():
+            return TwoStageDetector(
+                "coarse_det", None, "mp_det_res50", None,
+                coarse_options=tiny_c, mp_options=tiny_m,
+                score_thr=0.0, max_batch=2,
+                quant8="static", int8_scales=sp)
+
+        frames = [np.random.RandomState(i).randint(
+            0, 255, (96, 128, 3), np.uint8) for i in range(2)]
+        det1 = build()
+        assert det1._needs_calibration
+        out1 = det1.detect_batch(frames)
+        assert not det1._needs_calibration
+        import os
+        assert os.path.exists(sp)
+
+        det2 = build()
+        assert not det2._needs_calibration   # loaded, no calibration
+        out2 = det2.detect_batch(frames)
+        for a, b in zip(out1, out2):
+            np.testing.assert_allclose(a["boxes"], b["boxes"], atol=1e-5)
+            np.testing.assert_allclose(a["scores"], b["scores"], atol=1e-5)
 
     def test_yolox_coarse_model(self):
         from glsdet_tpu.models import YOLOXDetector

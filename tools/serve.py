@@ -39,6 +39,13 @@ def main():
     a.add_argument("--no-fuse-global", action="store_true",
                    help="disable the integrated global-local fusion in "
                         "two-stage archives")
+    a.add_argument("--int8", choices=["static", "dynamic"], default=None,
+                   help="serving precision baked into the manifest "
+                        "(static = calibrated W8A8, ops/quant_static.py)")
+    a.add_argument("--int8-scales", default=None,
+                   help="saved-scales json (ops/quant_static.save_scales "
+                        "/ the CLIs' --int8-scales) to embed so serving "
+                        "never re-calibrates")
 
     s = sub.add_parser("serve", help="serve archives over HTTP")
     s.add_argument("--model-store", required=True,
@@ -52,12 +59,14 @@ def main():
                                   make_server)
 
     if args.cmd == "archive":
+        quant8 = {"static": "static", "dynamic": True}.get(args.int8, False)
         path = archive_model(args.config, args.checkpoint, args.output,
                              model_name=args.model_name,
                              score_thr=args.score_thr, force=args.force,
                              mp_config=args.mp_config,
                              mp_checkpoint_dir=args.mp_checkpoint,
-                             fuse_global=not args.no_fuse_global)
+                             fuse_global=not args.no_fuse_global,
+                             quant8=quant8, int8_scales=args.int8_scales)
         print(f"wrote {path}")
         return
 

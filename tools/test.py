@@ -30,6 +30,10 @@ def main():
                     help="calibrated static-W8A8 forward with an explicit "
                          "int8 backbone (ops/quant_static.py; calibrates "
                          "on the first eval batches)")
+    ap.add_argument("--int8-scales", default=None, metavar="PATH",
+                    help="saved-scales json: load it instead of "
+                         "calibrating when it exists, else calibrate and "
+                         "save there (implies --int8-static)")
     ap.add_argument("--fuse-conv-bn", action="store_true",
                     help="fold BN into conv weights before inference "
                          "(reference tools/test.py flag)")
@@ -75,21 +79,31 @@ def main():
         print(f"fused {n_fused} conv+bn pairs")
 
     apply_fn = lambda v, images: model.apply(v, images, train=False)
-    if args.int8_static:
-        import jax.numpy as jnp
-
-        from glsdet_tpu.data.loader import EvalPipeline, eval_loader
-        from glsdet_tpu.ops.quant_static import (calibrate_scales,
+    if args.int8_static or args.int8_scales:
+        from glsdet_tpu.ops.quant_static import (load_scales, save_scales,
                                                  wrap_apply_quant8_static)
 
-        batches = []
-        for batch in eval_loader(EvalPipeline(dataset, cfg.data.img_hw),
-                                 cfg.data.batch_size):
-            batches.append(jnp.asarray(batch["images"]))
-            if len(batches) >= 2:
-                break
-        print(f"calibrating int8 scales on {len(batches)} batches ...")
-        scales = calibrate_scales(apply_fn, variables, batches)
+        if args.int8_scales and os.path.exists(args.int8_scales):
+            print(f"loading int8 scales from {args.int8_scales}")
+            scales = load_scales(args.int8_scales)
+        else:
+            import jax.numpy as jnp
+
+            from glsdet_tpu.data.loader import EvalPipeline, eval_loader
+            from glsdet_tpu.ops.quant_static import calibrate_scales
+
+            batches = []
+            for batch in eval_loader(
+                    EvalPipeline(dataset, cfg.data.img_hw),
+                    cfg.data.batch_size):
+                batches.append(jnp.asarray(batch["images"]))
+                if len(batches) >= 2:
+                    break
+            print(f"calibrating int8 scales on {len(batches)} batches ...")
+            scales = calibrate_scales(apply_fn, variables, batches)
+            if args.int8_scales:
+                save_scales(args.int8_scales, scales)
+                print(f"saved int8 scales to {args.int8_scales}")
         apply_fn = wrap_apply_quant8_static(apply_fn, scales)
     elif args.int8:
         from glsdet_tpu.ops.quant import wrap_apply_quant8

@@ -44,6 +44,10 @@ def main():
                     help="calibrated static-W8A8 forwards with an explicit "
                          "int8 backbone (ops/quant_static.py; fastest "
                          "serving mode — calibrates on the first frames)")
+    ap.add_argument("--int8-scales", default=None, metavar="PATH",
+                    help="saved-scales json: load it instead of "
+                         "calibrating when it exists, else calibrate and "
+                         "save there (implies --int8-static)")
     args = ap.parse_args()
 
     import jax
@@ -113,16 +117,27 @@ def main():
             fusion_nms_thr=c_cfg.eval.fusion_nms_iou,
             quant8=quant8, act_scales=act_scales)
 
-    pipe = make_pipe(False if args.int8_static else args.int8)
+    int8_static = args.int8_static or args.int8_scales is not None
+    pipe = make_pipe(False if int8_static else args.int8)
 
     dataset = CocoDataset(args.dataset_anno, args.img_root)
 
-    if args.int8_static:
-        # calibrate on the first frames, rebuild with static-int8 applies
-        calib = [dataset.load_image(r) for r in dataset.records[:4]]
-        print("calibrating int8 activation scales on "
-              f"{len(calib)} frames ...")
-        pipe = make_pipe("static", pipe.calibrate_int8(calib))
+    if int8_static:
+        from glsdet_tpu.ops.quant_static import load_scales, save_scales
+
+        if args.int8_scales and os.path.exists(args.int8_scales):
+            print(f"loading int8 scales from {args.int8_scales}")
+            scales = load_scales(args.int8_scales)
+        else:
+            # calibrate on the first frames, rebuild with int8 applies
+            calib = [dataset.load_image(r) for r in dataset.records[:4]]
+            print("calibrating int8 activation scales on "
+                  f"{len(calib)} frames ...")
+            scales = pipe.calibrate_int8(calib)
+            if args.int8_scales:
+                save_scales(args.int8_scales, scales)
+                print(f"saved int8 scales to {args.int8_scales}")
+        pipe = make_pipe("static", scales)
     dets_by_img = {}
     coco_dets = []
     t0 = time.time()
