@@ -23,6 +23,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=4)
     ap.add_argument("--iters", type=int, default=12)
+    ap.add_argument("--int8", action="store_true",
+                    help="profile the static-int8 serving configuration "
+                         "(calibrates on the sample frames first)")
     args = ap.parse_args()
 
     import jax
@@ -56,15 +59,32 @@ def main():
     jax.block_until_ready(mvars)
     log("inits done")
 
-    pipe = TwoStagePipeline(
-        lambda v, images: coarse.apply(v, images, train=False),
-        lambda v, images: mp.apply(v, images, train=False),
-        coarse_hw, mosaic_buckets=(1280,), coarse_score_thr=1e-4,
-        coarse_vars=cvars, mp_vars=mvars, max_batch=args.batch)
+    coarse_apply = lambda v, images: coarse.apply(v, images, train=False)
+    mp_apply = lambda v, images: mp.apply(v, images, train=False)
+
+    def make_pipe(q=False, s=None):
+        return TwoStagePipeline(
+            coarse_apply, mp_apply,
+            coarse_hw, mosaic_buckets=(1280,), coarse_score_thr=1e-4,
+            coarse_vars=cvars, mp_vars=mvars, max_batch=args.batch,
+            quant8=q, act_scales=s)
+
+    pipe = make_pipe()
 
     rs = np.random.RandomState(0)
     frames = [rs.randint(0, 255, (765, 1360, 3), np.uint8)
               for _ in range(args.batch)]
+
+    if args.int8:
+        from glsdet_tpu.ops.quant_static import wrap_apply_quant8_static
+
+        t0 = time.time()
+        scales = pipe.calibrate_int8(frames[:2])
+        log(f"int8 calibration done in {time.time()-t0:.0f}s")
+        pipe = make_pipe("static", scales)
+        # the standalone forward timers below profile the same int8 path
+        coarse_apply = wrap_apply_quant8_static(coarse_apply, scales[0])
+        mp_apply = wrap_apply_quant8_static(mp_apply, scales[1])
     dev_stack = jnp.asarray(np.stack(frames))
     jax.block_until_ready(dev_stack)
 
@@ -134,7 +154,7 @@ def main():
     # MP-Det forward alone at 1280 (no assembly/postprocess)
     @jax.jit
     def _mp_fwd_sum(v, x):
-        cls, reg = mp.apply(v, x, train=False)
+        cls, reg = mp_apply(v, x)
         return sum(c.astype(jnp.float32).sum() for c in cls)
 
     x1280 = jnp.zeros((B, 1280, 1280, 3), jnp.float32)
@@ -151,7 +171,7 @@ def main():
     # coarse YOLOX-s forward alone at 640
     @jax.jit
     def _coarse_fwd_sum(v, x):
-        cls, reg, obj = coarse.apply(v, x, train=False)
+        cls, reg, obj = coarse_apply(v, x)
         return sum(c.astype(jnp.float32).sum() for c in cls)
 
     x640 = jnp.zeros((B, 640, 640, 3), jnp.float32)
