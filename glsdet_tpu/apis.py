@@ -54,6 +54,10 @@ def init_detector(config_name: str, checkpoint: Optional[str] = None,
 class Detector:
     """Single-model predictor facade (yolo.py:19 YOLO class analog)."""
 
+    # class-level default so hand-assembled instances (tests build via
+    # ``__new__`` + attribute assignment) skip lazy int8 calibration
+    _needs_calibration = False
+
     def __init__(self, config_name: str, checkpoint: Optional[str] = None,
                  class_names: Optional[Sequence[str]] = None,
                  score_thr: Optional[float] = None,
@@ -251,6 +255,8 @@ class TwoStageDetector:
     serve the full pipeline; ``detect_batch`` maps onto the pipelined
     chunk-batched ``TwoStagePipeline.run_batch``.
     """
+
+    _needs_calibration = False
 
     def __init__(self, coarse_config: str,
                  coarse_checkpoint: Optional[str] = None,
