@@ -173,13 +173,21 @@ class Detector:
         shapes ever compile.  This is the dynamic-batching hook used by
         ``serve.AsyncDetector``.
         """
+        if not images:
+            return []
+        return self.collect_batch(self.submit_batch(images))
+
+    def submit_batch(self, images: Sequence[np.ndarray]):
+        """Streaming phase 1: preprocess + ONE stacked dispatch; returns
+        a handle for :meth:`collect_batch`.  Nothing blocks on device
+        results (JAX dispatch is asynchronous), so a server can keep a
+        second batch's forward in flight while reading back the first
+        (see ``serve.AsyncDetector``)."""
         import cv2
         import jax.numpy as jnp
 
         from glsdet_tpu.data.coco import normalize
 
-        if not images:
-            return []
         h, w = self.cfg.data.img_hw
         resized = np.stack([normalize(cv2.resize(im, (w, h)))
                             for im in images])
@@ -192,7 +200,13 @@ class Detector:
         batch = jnp.asarray(resized)
         if self._needs_calibration:
             self._calibrate(batch)
-        out = self._fwd(self._variables, batch)
+        return list(images), self._fwd(self._variables, batch)
+
+    def collect_batch(self, handle) -> list:
+        """Streaming phase 2: read back a :meth:`submit_batch` handle and
+        rescale detections to each frame's original coordinates."""
+        images, out = handle
+        h, w = self.cfg.data.img_hw
         valid = np.asarray(out["valid"])
         all_boxes = np.asarray(out["boxes"])
         all_scores = np.asarray(out["scores"])
@@ -349,11 +363,27 @@ class TwoStageDetector:
     def detect_batch(self, images: Sequence[np.ndarray]) -> list:
         """Chunk-batched, pipelined two-stage inference over N frames
         (the dynamic-batching hook used by ``serve.AsyncDetector``)."""
+        return self.collect_batch(self.submit_batch(images))
+
+    def submit_batch(self, images: Sequence[np.ndarray]):
+        """Streaming phase 1: upload + coarse dispatch (non-blocking);
+        returns a pipeline batch handle."""
         frames = [np.asarray(im, np.uint8) for im in images]
         if self._needs_calibration:
             self._calibrate(frames[:4])
-        outs = self._pipe.run_batch(frames)
-        return [self._filter(o) for o in outs]
+        return self._pipe.submit_batch(frames)
+
+    def advance_batch(self, handle):
+        """Streaming phase 2: coarse readback + UFP packing + mosaic
+        dispatch.  Optional — :meth:`collect_batch` runs it if skipped;
+        calling it while a NEWER batch's coarse programs are already
+        queued on-device is what overlaps host packing with device
+        compute across requests."""
+        self._pipe.dispatch_mosaics(handle)
+
+    def collect_batch(self, handle) -> list:
+        """Streaming phase 3: mosaic readback -> per-frame detections."""
+        return [self._filter(o) for o in self._pipe.collect_batch(handle)]
 
     def warmup(self, image_hw):
         """Pre-compile the pipeline programs for one input shape."""

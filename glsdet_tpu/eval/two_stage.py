@@ -153,6 +153,21 @@ def _unmap_and_nms(det_boxes, det_scores, det_labels, det_valid, regions,
             labels[idx], out_valid)
 
 
+class _BatchHandle:
+    """In-flight batch state for the streaming submit/dispatch/collect
+    protocol (one ``run_batch`` split into its three phases so a server
+    can overlap several batches against the device)."""
+
+    __slots__ = ("images", "chunks", "pending", "fallbacks", "dispatched")
+
+    def __init__(self, images, chunks):
+        self.images = images
+        self.chunks = chunks        # (orig_indices, dev_stack, coarse_fut)
+        self.pending = []           # (orig_index, mosaic_future, row slot)
+        self.fallbacks = []         # (orig_index, det dict) — no regions
+        self.dispatched = False
+
+
 class TwoStagePipeline:
     """End-to-end UFPMP inference: callable(image) -> detections dict."""
 
@@ -479,11 +494,22 @@ class TwoStagePipeline:
         before any result is read, so host-side UFP packing overlaps
         device compute (the reference's packing blocks its GPU,
         ufpmp_det_eval.py:263).
-        """
-        ch, cw = self.coarse_hw
-        n = len(images)
 
-        # phase 1: shape-grouped chunks -> stacked upload + coarse batch
+        Composition of the streaming protocol — a server holding several
+        requests in flight should instead call :meth:`submit_batch` /
+        :meth:`dispatch_mosaics` / :meth:`collect_batch` directly so
+        batch N+1's coarse programs run on-device while batch N is being
+        packed and its mosaics read back (see ``serve.AsyncDetector``).
+        """
+        h = self.submit_batch(images)
+        self.dispatch_mosaics(h)
+        return self.collect_batch(h)
+
+    def submit_batch(self, images: Sequence[np.ndarray]):
+        """Streaming phase 1: upload shape-grouped chunks and enqueue
+        their coarse programs.  Returns an opaque batch handle; nothing
+        blocks on device results here (JAX dispatch is asynchronous)."""
+        # shape-grouped chunks -> stacked upload + coarse batch
         by_shape: Dict[tuple, List[int]] = {}
         for i, img in enumerate(images):
             by_shape.setdefault(img.shape, []).append(i)
@@ -498,17 +524,22 @@ class TwoStagePipeline:
                                   for i in padded])
                 dev = jnp.asarray(stack)            # one upload per chunk
                 chunks.append((part, dev, self._coarse_full_batch(dev)))
+        return _BatchHandle(images=list(images), chunks=chunks)
 
-        # phase 2: read coarse dets, pack on host, group mosaic jobs by
-        # bucket within each chunk (jobs reuse the chunk's device stack)
+    def dispatch_mosaics(self, h: "_BatchHandle"):
+        """Streaming phase 2: read the handle's coarse detections (one
+        packed array per chunk), run UFP packing on host, and enqueue the
+        mosaic-stage programs.  Blocks only on the coarse results; the
+        mosaic programs are left in flight on the handle."""
+        ch, cw = self.coarse_hw
+        images, chunks = h.images, h.chunks
+        n = len(images)
+
+        # read coarse dets, pack on host, group mosaic jobs by bucket
+        # within each chunk (jobs reuse the chunk's device stack)
         mid: List[Optional[tuple]] = [None] * n
-        empty = {
-            "boxes": np.zeros((0, 4), np.float32),
-            "scores": np.zeros((0,), np.float32),
-            "labels": np.zeros((0,), np.int64),
-        }
-        pending = []  # (orig_index, future, row)
-        fallbacks = []  # (orig_index, det dict) — fuse_global, no regions
+        pending = h.pending   # (orig_index, future, row)
+        fallbacks = h.fallbacks  # (orig_index, det dict) — no regions
         for part, dev, packed in chunks:
             packed_np = np.asarray(packed)     # ONE readback transfer
             dets = unpack_detections(packed_np)
@@ -555,13 +586,24 @@ class TwoStagePipeline:
                     if mid[i] is None:   # skip pow2-padding repeats
                         pending.append((i, fut, slot))
                         mid[i] = ()
+        h.dispatched = True
 
-        # phase 3: read mosaic-stage results (one transfer per future)
+    def collect_batch(self, h: "_BatchHandle") -> List[dict]:
+        """Streaming phase 3: read the handle's mosaic-stage results
+        (one transfer per future) and assemble per-image detections."""
+        if not h.dispatched:
+            self.dispatch_mosaics(h)
+        n = len(h.images)
+        empty = {
+            "boxes": np.zeros((0, 4), np.float32),
+            "scores": np.zeros((0,), np.float32),
+            "labels": np.zeros((0,), np.int64),
+        }
         results: List[dict] = [empty] * n
-        for i, det in fallbacks:
+        for i, det in h.fallbacks:
             results[i] = det
         fetched: Dict[int, dict] = {}
-        for i, fut, slot in pending:
+        for i, fut, slot in h.pending:
             if id(fut) not in fetched:
                 fetched[id(fut)] = unpack_detections(fut)
             d = fetched[id(fut)]

@@ -159,17 +159,27 @@ class AsyncDetector:
     """
 
     def __init__(self, detector, max_queue: int = 64,
-                 max_batch: int = 8, batch_window_ms: float = 2.0):
+                 max_batch: int = 8, batch_window_ms: float = 2.0,
+                 pipeline_depth: int = 2):
         """``max_batch``/``batch_window_ms``: dynamic batching — the
         worker drains up to ``max_batch`` queued requests (waiting at
         most the window for stragglers) and serves them with ONE stacked
         dispatch via ``detector.detect_batch`` when available (the
-        torchserve batch-inference analog)."""
+        torchserve batch-inference analog).
+
+        ``pipeline_depth``: multi-stream serving — when >1 and the
+        detector implements the streaming protocol (``submit_batch`` /
+        optional ``advance_batch`` / ``collect_batch``), up to this many
+        batches stay in flight: batch N+1's programs are dispatched
+        before batch N's results are read back, so per-batch RPC
+        round-trips and host-side UFP packing hide behind device compute
+        (the serving twin of ``TwoStagePipeline.run_device_batches``)."""
         self._det = detector
         self._q: "queue.Queue" = queue.Queue(max_queue)
         self._stop = object()
         self._max_batch = max(1, int(max_batch))
         self._window_s = max(0.0, batch_window_ms) / 1e3
+        self._depth = max(1, int(pipeline_depth))
         self._worker = threading.Thread(target=self._run, daemon=True)
         self._worker.start()
 
@@ -193,6 +203,9 @@ class AsyncDetector:
         return items, False
 
     def _run(self):
+        if (self._depth > 1 and hasattr(self._det, "submit_batch")
+                and hasattr(self._det, "collect_batch")):
+            return self._run_streaming()
         batched = hasattr(self._det, "detect_batch")
         while True:
             item = self._q.get()
@@ -216,6 +229,83 @@ class AsyncDetector:
                         f.set_exception(e)
             if saw_stop:
                 return
+
+    def _run_streaming(self):
+        """Multi-stream worker: keep up to ``pipeline_depth`` batches in
+        flight through the detector's submit/advance/collect protocol.
+
+        Per loop turn: (1) drain the queue into a new batch and submit it
+        (dispatch-only, non-blocking) whenever there is room in the
+        pipeline, (2) advance the oldest un-advanced in-flight batch
+        (two-stage: coarse readback + packing + mosaic dispatch — the
+        newer batch's coarse programs are already queued on-device behind
+        it, so the device never idles during the host work), (3) collect
+        the oldest batch when the pipeline is full or traffic paused.
+        """
+        advance = getattr(self._det, "advance_batch", None)
+        pending: list = []   # [handle, live (future, image) list, state]
+        stopping = False
+        while True:
+            # 1. take new work only while the pipeline has room (FIFO:
+            # a full pipeline leaves requests queued, not reordered)
+            got_work = False
+            if not stopping and len(pending) < self._depth:
+                try:
+                    item = (self._q.get() if not pending
+                            else self._q.get_nowait())
+                except queue.Empty:
+                    item = None
+                if item is self._stop:
+                    stopping = True
+                elif item is not None:
+                    got_work = True
+                    items, saw_stop = (self._drain(item)
+                                       if self._max_batch > 1
+                                       else ([item], False))
+                    stopping = stopping or saw_stop
+                    live = [(f, im) for f, im in items
+                            if f.set_running_or_notify_cancel()]
+                    if live:
+                        try:
+                            h = self._det.submit_batch(
+                                [im for _, im in live])
+                            pending.append([h, live, "submitted"])
+                        except BaseException as e:
+                            for f, _ in live:
+                                f.set_exception(e)
+
+            # 2. advance the oldest un-advanced batch (the newer batch's
+            # coarse programs are already queued on-device behind it)
+            if advance is not None:
+                for entry in pending:
+                    if entry[2] == "submitted":
+                        try:
+                            advance(entry[0])
+                            entry[2] = "advanced"
+                        except BaseException as e:
+                            entry[2] = e
+                        break
+
+            # 3. collect the oldest batch once the pipeline is full or
+            # traffic paused (drains the pipeline when the queue is idle)
+            if pending and (len(pending) >= self._depth or not got_work):
+                h, live, state = pending.pop(0)
+                try:
+                    if isinstance(state, BaseException):
+                        raise state
+                    results = self._det.collect_batch(h)
+                    for (f, _), r in zip(live, results):
+                        f.set_result(r)
+                except BaseException as e:
+                    for f, _ in live:
+                        if not f.done():
+                            f.set_exception(e)
+            if stopping and not pending:
+                return
+
+    @property
+    def class_names(self):
+        return getattr(self._det, "class_names", None)
 
     def submit(self, image: np.ndarray) -> Future:
         fut: Future = Future()
@@ -284,7 +374,18 @@ class DetectionService:
     def register(self, name: str, detector, manifest: Optional[dict] = None):
         self.models[name] = (detector, manifest or {})
 
-    def register_archive(self, path: str, detector_cls=None):
+    def register_archive(self, path: str, detector_cls=None,
+                         async_batching: bool = False,
+                         max_batch: int = 8,
+                         batch_window_ms: float = 2.0,
+                         pipeline_depth: int = 2):
+        """Load a ``.gtar`` archive and register its detector.
+
+        ``async_batching=True`` wraps the detector in
+        :class:`AsyncDetector` so concurrent ``/predictions`` requests
+        are served with dynamic batching and (two-stage archives) the
+        multi-stream pipelined driver.
+        """
         manifest, ckpt_dir = load_archive(path)
         qkw = {}
         if manifest.get("quant8"):
@@ -307,13 +408,22 @@ class DetectionService:
             det = detector_cls(manifest["config_name"], ckpt_dir,
                                class_names=manifest.get("class_names"),
                                score_thr=manifest.get("score_thr"), **qkw)
+        if async_batching:
+            det = AsyncDetector(det, max_batch=max_batch,
+                                batch_window_ms=batch_window_ms,
+                                pipeline_depth=pipeline_depth)
         self.register(manifest["model_name"], det, manifest)
         return manifest["model_name"]
 
     def predict(self, name: str, body: bytes) -> list:
         det, manifest = self.models[name]
         image = _decode_image(body)
-        out = det.detect(image)
+        if isinstance(det, AsyncDetector):
+            # concurrent HTTP handler threads funnel into the batching
+            # worker: dynamic batching + multi-stream pipelining
+            out = det.submit(image).result()
+        else:
+            out = det.detect(image)
         names = getattr(det, "class_names", None)
         results = []
         for box, score, label in zip(out["boxes"], out["scores"],

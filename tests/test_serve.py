@@ -149,6 +149,35 @@ class TestServer:
             urllib.request.urlopen(req, timeout=10)
         assert ei.value.code == 404
 
+    def test_predict_through_async_detector(self):
+        """A model registered as AsyncDetector serves /predictions via
+        the batching worker (class_names delegated through)."""
+        import base64
+
+        service = DetectionService()
+        adet = AsyncDetector(StubDetector(), max_batch=4,
+                             batch_window_ms=1.0)
+        service.register("astub", adet)
+        srv = make_server(service, port=0)
+        t = threading.Thread(target=srv.serve_forever, daemon=True)
+        t.start()
+        try:
+            img = np.full((20, 30, 3), 128, np.uint8)
+            body = json.dumps({
+                "image": base64.b64encode(img.tobytes()).decode(),
+                "shape": [20, 30, 3], "dtype": "uint8",
+            }).encode()
+            url = (f"http://127.0.0.1:{srv.server_address[1]}"
+                   "/predictions/astub")
+            req = urllib.request.Request(url, data=body, method="POST")
+            with urllib.request.urlopen(req, timeout=10) as r:
+                out = json.loads(r.read())
+            assert out == [{"class_name": "person", "class_label": 1,
+                            "score": 0.9, "bbox": [1.0, 2.0, 29.0, 19.0]}]
+        finally:
+            srv.shutdown()
+            adet.close()
+
 
 class BatchStubDetector(StubDetector):
     """Stub with the dynamic-batching hook; records batch sizes."""
@@ -195,6 +224,93 @@ class TestDynamicBatching:
         det = AsyncDetector(stub, max_batch=8, batch_window_ms=1.0)
         out = det.submit(np.zeros((9, 16, 3), np.uint8)).result(timeout=10)
         assert out["boxes"][0, 3] == 8
+        det.close()
+
+
+class StreamingStubDetector(BatchStubDetector):
+    """Implements the submit/advance/collect streaming protocol and
+    records the phase-call order so tests can check pipelining."""
+
+    def __init__(self):
+        super().__init__()
+        self.events = []
+        self._n = 0
+
+    def submit_batch(self, images):
+        self._n += 1
+        self.events.append(("submit", self._n))
+        return (self._n, list(images), "submitted")
+
+    def advance_batch(self, handle):
+        self.events.append(("advance", handle[0]))
+        return (handle[0], handle[1], "advanced")
+
+    def collect_batch(self, handle):
+        self.events.append(("collect", handle[0]))
+        return [self.detect(im) for im in handle[1]]
+
+
+class TestStreamingPipeline:
+    def test_results_and_order(self):
+        stub = StreamingStubDetector()
+        det = AsyncDetector(stub, max_batch=2, batch_window_ms=5.0,
+                            pipeline_depth=2)
+        imgs = [np.zeros((8 + i, 16, 3), np.uint8) for i in range(8)]
+        futs = [det.submit(im) for im in imgs]
+        outs = [f.result(timeout=10) for f in futs]
+        assert [o["boxes"][0, 3] for o in outs] == [7 + i for i in range(8)]
+        # every submitted batch was advanced then collected, in order
+        subs = [n for e, n in stub.events if e == "submit"]
+        cols = [n for e, n in stub.events if e == "collect"]
+        advs = [n for e, n in stub.events if e == "advance"]
+        assert cols == sorted(cols) == subs == advs
+        det.close()
+
+    def test_overlap_under_load(self):
+        """With a full queue, batch N+1 is submitted before batch N is
+        collected (two batches genuinely in flight)."""
+        import time as _time
+
+        class Slow(StreamingStubDetector):
+            def collect_batch(self, handle):
+                _time.sleep(0.005)   # let the request queue fill
+                return super().collect_batch(handle)
+
+        stub = Slow()
+        det = AsyncDetector(stub, max_batch=1, batch_window_ms=0.0,
+                            pipeline_depth=2)
+        futs = [det.submit(np.zeros((8, 16, 3), np.uint8))
+                for _ in range(6)]
+        for f in futs:
+            f.result(timeout=10)
+        det.close()
+        order = {(e, n): i for i, (e, n) in enumerate(stub.events)}
+        overlapped = any(
+            order.get(("submit", n + 1), 1 << 30) < order[("collect", n)]
+            for n in range(1, stub._n))
+        assert overlapped, stub.events
+
+    def test_exception_in_advance_propagates(self):
+        class Bad(StreamingStubDetector):
+            def advance_batch(self, handle):
+                raise RuntimeError("advance boom")
+
+        det = AsyncDetector(Bad(), max_batch=4, batch_window_ms=5.0,
+                            pipeline_depth=2)
+        futs = [det.submit(np.zeros((4, 4, 3), np.uint8))
+                for _ in range(3)]
+        for f in futs:
+            with pytest.raises(RuntimeError, match="advance boom"):
+                f.result(timeout=10)
+        det.close()
+
+    def test_depth_one_uses_legacy_path(self):
+        stub = StreamingStubDetector()
+        det = AsyncDetector(stub, max_batch=4, batch_window_ms=5.0,
+                            pipeline_depth=1)
+        out = det.submit(np.zeros((9, 16, 3), np.uint8)).result(timeout=10)
+        assert out["boxes"][0, 3] == 8
+        assert stub.events == []  # streaming protocol not engaged
         det.close()
 
 

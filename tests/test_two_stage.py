@@ -109,6 +109,27 @@ class TestTwoStage:
         # this test is vacuously comparing empties
         assert nonempty > 0
 
+    def test_streaming_phases_match_run_batch(self, pipeline):
+        """submit_batch / dispatch_mosaics / collect_batch composed by
+        hand — with TWO batches interleaved as a streaming server would
+        (submit B before dispatching A) — equals run_batch."""
+        rs = np.random.RandomState(5)
+        batches = [[rs.randint(0, 255, (200, 320, 3), np.uint8)
+                    for _ in range(2)] for _ in range(2)]
+        ha = pipeline.submit_batch(batches[0])
+        hb = pipeline.submit_batch(batches[1])   # B's coarse behind A's
+        pipeline.dispatch_mosaics(ha)
+        got_a = pipeline.collect_batch(ha)
+        got_b = pipeline.collect_batch(hb)       # auto-dispatches B
+        for got, imgs in zip((got_a, got_b), batches):
+            want = pipeline.run_batch(imgs)
+            for a, b in zip(got, want):
+                assert a["boxes"].shape == b["boxes"].shape
+                np.testing.assert_allclose(a["boxes"], b["boxes"],
+                                           atol=1e-4)
+                np.testing.assert_allclose(a["scores"], b["scores"],
+                                           atol=1e-6)
+
     def test_pipelined_stacks_match_device_batch(self, pipeline):
         rs = np.random.RandomState(4)
         stacks_np = [np.stack([rs.randint(0, 255, (200, 320, 3), np.uint8)

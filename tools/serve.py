@@ -52,6 +52,16 @@ def main():
                    help="directory of .gtar archives")
     s.add_argument("--host", default="127.0.0.1")
     s.add_argument("--port", type=int, default=8080)
+    s.add_argument("--async-batching", action="store_true",
+                   help="serve each model through AsyncDetector: "
+                        "concurrent requests get dynamic batching + "
+                        "multi-stream pipelining")
+    s.add_argument("--max-batch", type=int, default=8,
+                   help="dynamic-batching drain size (--async-batching)")
+    s.add_argument("--batch-window-ms", type=float, default=2.0,
+                   help="straggler wait window (--async-batching)")
+    s.add_argument("--pipeline-depth", type=int, default=2,
+                   help="batches kept in flight (--async-batching)")
 
     args = ap.parse_args()
 
@@ -72,7 +82,11 @@ def main():
 
     service = DetectionService()
     for path in sorted(glob.glob(os.path.join(args.model_store, "*.gtar"))):
-        name = service.register_archive(path)
+        name = service.register_archive(
+            path, async_batching=args.async_batching,
+            max_batch=args.max_batch,
+            batch_window_ms=args.batch_window_ms,
+            pipeline_depth=args.pipeline_depth)
         print(f"registered {name} from {path}")
     if not service.models:
         raise SystemExit(f"no .gtar archives in {args.model_store}")
