@@ -158,10 +158,10 @@ class _BatchHandle:
     protocol (one ``run_batch`` split into its three phases so a server
     can overlap several batches against the device)."""
 
-    __slots__ = ("images", "chunks", "pending", "fallbacks", "dispatched")
+    __slots__ = ("shapes", "chunks", "pending", "fallbacks", "dispatched")
 
-    def __init__(self, images, chunks):
-        self.images = images
+    def __init__(self, shapes, chunks):
+        self.shapes = shapes        # per-frame (h0, w0) original sizes
         self.chunks = chunks        # (orig_indices, dev_stack, coarse_fut)
         self.pending = []           # (orig_index, mosaic_future, row slot)
         self.fallbacks = []         # (orig_index, det dict) — no regions
@@ -524,7 +524,19 @@ class TwoStagePipeline:
                                   for i in padded])
                 dev = jnp.asarray(stack)            # one upload per chunk
                 chunks.append((part, dev, self._coarse_full_batch(dev)))
-        return _BatchHandle(images=list(images), chunks=chunks)
+        return _BatchHandle(shapes=[im.shape[:2] for im in images],
+                            chunks=chunks)
+
+    def submit_device_batch(self, dev_stack):
+        """Streaming phase 1 for a device-resident uint8 (B, H, W, 3)
+        stack (HBM-staged ingest): ONE coarse dispatch, no upload.
+        Returns a batch handle for :meth:`dispatch_mosaics` /
+        :meth:`collect_batch`."""
+        b, h0, w0 = (int(dev_stack.shape[0]), int(dev_stack.shape[1]),
+                     int(dev_stack.shape[2]))
+        chunk = (list(range(b)), dev_stack,
+                 self._coarse_full_batch(dev_stack))
+        return _BatchHandle(shapes=[(h0, w0)] * b, chunks=[chunk])
 
     def dispatch_mosaics(self, h: "_BatchHandle"):
         """Streaming phase 2: read the handle's coarse detections (one
@@ -532,8 +544,8 @@ class TwoStagePipeline:
         mosaic-stage programs.  Blocks only on the coarse results; the
         mosaic programs are left in flight on the handle."""
         ch, cw = self.coarse_hw
-        images, chunks = h.images, h.chunks
-        n = len(images)
+        shapes, chunks = h.shapes, h.chunks
+        n = len(shapes)
 
         # read coarse dets, pack on host, group mosaic jobs by bucket
         # within each chunk (jobs reuse the chunk's device stack)
@@ -547,7 +559,7 @@ class TwoStagePipeline:
             all_valid = dets["valid"]
             jobs: Dict[int, List[tuple]] = {}
             for row, i in enumerate(part):
-                h0, w0 = images[i].shape[:2]
+                h0, w0 = shapes[i]
                 sx, sy = w0 / cw, h0 / ch
                 coarse_boxes = (all_boxes[row]
                                 * np.array([sx, sy, sx, sy],
@@ -574,7 +586,7 @@ class TwoStagePipeline:
                 regs = jnp.asarray(
                     np.stack([j[2] for j in job_list]))
                 if self.fuse_global:
-                    h0, w0 = images[part[0]].shape[:2]
+                    h0, w0 = shapes[part[0]]
                     g = _scale_packed(packed_np[rows_np], w0 / cw, h0 / ch)
                     fut = self._mosaic_stage_batch_fused(
                         dev, rows, paints, regs, jnp.asarray(g), bucket)
@@ -593,7 +605,7 @@ class TwoStagePipeline:
         (one transfer per future) and assemble per-image detections."""
         if not h.dispatched:
             self.dispatch_mosaics(h)
-        n = len(h.images)
+        n = len(h.shapes)
         empty = {
             "boxes": np.zeros((0, 4), np.float32),
             "scores": np.zeros((0,), np.float32),
@@ -638,68 +650,16 @@ class TwoStagePipeline:
         packing overlap device execution of the other stacks' programs.
         This is the multi-stream server shape: per-batch dispatch/readback
         latency hides behind compute instead of adding to it.
+
+        Composition of the streaming protocol: every stack's coarse
+        program is enqueued (``submit_device_batch``) before any
+        packing (``dispatch_mosaics``) runs, and every mosaic program is
+        in flight before any result is read (``collect_batch``).
         """
-        ch, cw = self.coarse_hw
-        coarse_futs = [self._coarse_full_batch(s) for s in stacks]
-
-        empty = {
-            "boxes": np.zeros((0, 4), np.float32),
-            "scores": np.zeros((0,), np.float32),
-            "labels": np.zeros((0,), np.int64),
-        }
-        all_results: List[List[dict]] = []
-        pending = []  # (stack_index, job_list, fut)
-        for si, (stack, fut) in enumerate(zip(stacks, coarse_futs)):
-            b_total = int(stack.shape[0])
-            h0, w0 = int(stack.shape[1]), int(stack.shape[2])
-            packed_np = np.asarray(fut)
-            dets = unpack_detections(packed_np)
-            all_results.append([empty] * b_total)
-            jobs: Dict[int, List[tuple]] = {}
-            sx, sy = w0 / cw, h0 / ch
-            for row in range(b_total):
-                coarse_boxes = (dets["boxes"][row]
-                                * np.array([sx, sy, sx, sy], np.float32)
-                                )[dets["valid"][row]]
-                regions, mw, mh = unified_foreground_packing(
-                    coarse_boxes.astype(np.float32), self.ufp_scale,
-                    (w0, h0))
-                if len(regions) == 0:
-                    if self.fuse_global:
-                        all_results[si][row] = _coarse_row_dets(
-                            packed_np[row], sx, sy)
-                    continue
-                bucket = pick_bucket(mh, mw, self.buckets)
-                unmap_rows = regions_to_array(regions, self.max_regions)
-                jobs.setdefault(bucket, []).append((row, unmap_rows))
-            for bucket, job_list in jobs.items():
-                real = len(job_list)
-                b = _pow2_pad(real)
-                job_list = job_list + [job_list[-1]] * (b - real)
-                rows_np = np.array([j[0] for j in job_list], np.int32)
-                rows = jnp.asarray(rows_np)
-                paints = jnp.asarray(
-                    self._paint_group([j[1] for j in job_list], bucket))
-                regs = jnp.asarray(np.stack([j[1] for j in job_list]))
-                if self.fuse_global:
-                    g = _scale_packed(packed_np[rows_np], sx, sy)
-                    mfut = self._mosaic_stage_batch_fused(
-                        stack, rows, paints, regs, jnp.asarray(g), bucket)
-                else:
-                    mfut = self._mosaic_stage_batch(stack, rows, paints,
-                                                    regs, bucket)
-                pending.append((si, job_list[:real], mfut))
-
-        for si, job_list, mfut in pending:
-            d = unpack_detections(mfut)
-            for slot, (row, *_) in enumerate(job_list):
-                fv_i = d["valid"][slot]
-                all_results[si][row] = {
-                    "boxes": d["boxes"][slot][fv_i],
-                    "scores": d["scores"][slot][fv_i],
-                    "labels": d["labels"][slot][fv_i],
-                }
-        return all_results
+        handles = [self.submit_device_batch(s) for s in stacks]
+        for h in handles:
+            self.dispatch_mosaics(h)
+        return [self.collect_batch(h) for h in handles]
 
     def warmup(self, image_hw: Tuple[int, int]):
         """Compile the coarse + mosaic programs for every bucket at the
