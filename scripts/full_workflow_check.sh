@@ -32,6 +32,7 @@ print(f"synthetic dataset at {wd}")
 PYEOF
 
 python tools/convert_datasets.py visdrone "$WD" "$WD/train.json"
+python tools/analyze_dataset.py "$WD/train.json"
 
 echo "=== stage 1: train coarse detector ==="
 python tools/train.py coarse_det \
@@ -43,6 +44,13 @@ python tools/train.py coarse_det \
     data.num_workers=2 train.epochs=60 train.base_lr=0.002 \
     train.warmup_epochs=2 train.num_last_epochs=5 train.ckpt_interval=60 \
     train.log_interval=24 eval.coarse_score_thr=0.05
+
+python tools/draw_cam.py --config coarse_det \
+  --checkpoint "$WD/coarse/epoch_60" --image "$WD/images/0000.jpg" \
+  --out "$WD/cam.jpg" \
+  --cfg-options model.phi=nano model.dtype=float32 \
+    data.img_hw="(256,256)" \
+  && echo "CAM overlay written"
 
 echo "=== stage 2: build UFP dataset ==="
 python tools/build_ufp_dataset.py coarse_det "$WD/coarse/epoch_60" \

@@ -79,6 +79,7 @@ def main():
                     help="which matching feature map (default: the "
                          "most-downsampled match)")
     ap.add_argument("--alpha", type=float, default=0.5)
+    ap.add_argument("--cfg-options", nargs="*", metavar="KEY=VAL")
     args = ap.parse_args()
 
     import cv2
@@ -87,7 +88,17 @@ def main():
     from glsdet_tpu.apis import init_detector
     from glsdet_tpu.data.coco import normalize
 
-    cfg, model, variables = init_detector(args.config, args.checkpoint)
+    import ast
+
+    opts = {}
+    for p in args.cfg_options or []:
+        k, _, v = p.partition("=")
+        try:
+            opts[k] = ast.literal_eval(v)
+        except (ValueError, SyntaxError):
+            opts[k] = v
+    cfg, model, variables = init_detector(args.config, args.checkpoint,
+                                          options=opts)
     img = cv2.cvtColor(cv2.imread(args.image), cv2.COLOR_BGR2RGB)
     h, w = cfg.data.img_hw
     batch = jnp.asarray(normalize(cv2.resize(img, (w, h)))[None])
