@@ -284,7 +284,8 @@ class TwoStageDetector:
                  coarse_options: Optional[dict] = None,
                  mp_options: Optional[dict] = None,
                  quant8=False,
-                 int8_scales=None):
+                 int8_scales=None,
+                 devices=None):
         from glsdet_tpu.data.visdrone import VISDRONE_CLASSES
         from glsdet_tpu.eval.two_stage import TwoStagePipeline
 
@@ -308,7 +309,8 @@ class TwoStageDetector:
             final_nms_thr=c_cfg.eval.chip_nms_iou,
             max_batch=max_batch,
             fuse_global=fuse_global,
-            fusion_nms_thr=c_cfg.eval.fusion_nms_iou)
+            fusion_nms_thr=c_cfg.eval.fusion_nms_iou,
+            devices=devices)
         self._applies = (lambda v, im: c_model.apply(v, im, train=False),
                          lambda v, im: m_model.apply(v, im, train=False))
         # quant8="static" serving: ``int8_scales`` may be a saved-scales

@@ -18,7 +18,8 @@ TPU-first structure:
 from __future__ import annotations
 
 import functools
-from typing import Dict, List, Optional, Sequence, Tuple
+import itertools
+from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -190,7 +191,8 @@ class TwoStagePipeline:
                  painter: str = "auto",
                  paint_table_cap: int = 24,
                  quant8=False,
-                 act_scales=None):
+                 act_scales=None,
+                 devices=None):
         """Two call conventions:
 
         - coarse_apply(variables, images) with ``coarse_vars`` given
@@ -207,6 +209,13 @@ class TwoStagePipeline:
         ``(coarse_scales, mp_scales)`` pair from :meth:`calibrate_int8`
         on a pipeline built WITHOUT quantization over a few sample
         frames.
+
+        ``devices``: optional device list for multi-chip serving —
+        request batches round-robin across them (weights are replicated
+        per device on first use; the two-stage workload is
+        embarrassingly data-parallel, so N chips give ~N× serving
+        throughput with no collectives).  Requires ``coarse_vars`` /
+        ``mp_vars`` (bound applies bake weights for one device).
         """
         # raw (pre-quantization) applies, kept for calibrate_int8
         self._raw_coarse_apply = coarse_apply
@@ -242,6 +251,13 @@ class TwoStagePipeline:
         self.max_chip = max_chip_dets
         self._cvars = coarse_vars
         self._mvars = mp_vars
+        if devices and (coarse_vars is None or mp_vars is None):
+            raise ValueError("devices= needs coarse_vars/mp_vars "
+                             "(weights must be replicable per device)")
+        self._devices = list(devices) if devices else None
+        self._dev_cycle = (itertools.cycle(self._devices)
+                           if self._devices else None)
+        self._vars_by_dev: Dict[Any, tuple] = {}
         self.max_batch = max(1, int(max_batch))
         # painter rows: tile-splitting can produce more rows than regions
         # (padding rows cost ~nothing — cond-skipped in the flat scan)
@@ -294,7 +310,8 @@ class TwoStagePipeline:
                                    d["valid"])
 
         self._coarse_full_batch = (
-            lambda imgs: _coarse_full_batch(self._cvars, imgs))
+            lambda imgs: _coarse_full_batch(self._vars_for(imgs)[0],
+                                            imgs))
 
         _unmap_nms_v = jax.vmap(functools.partial(
             _unmap_and_nms, iou_thr=final_nms_thr, max_out=max_chip_dets))
@@ -362,7 +379,7 @@ class TwoStagePipeline:
 
         self._mosaic_stage_batch = (
             lambda imgs, idx, paint, regions, hw: _mosaic_stage_batch(
-                self._mvars, imgs, idx, paint, regions, hw))
+                self._vars_for(imgs)[1], imgs, idx, paint, regions, hw))
 
         # Integrated global-local fusion: the stage-1 detections are
         # already in hand when stage 2 is dispatched, so the fusion NMS
@@ -389,7 +406,21 @@ class TwoStagePipeline:
         self._mosaic_stage_batch_fused = (
             lambda imgs, idx, paint, regions, gdets, hw:
             _mosaic_stage_batch_fused(
-                self._mvars, imgs, idx, paint, regions, gdets, hw))
+                self._vars_for(imgs)[1], imgs, idx, paint, regions,
+                gdets, hw))
+
+    def _vars_for(self, imgs):
+        """(coarse_vars, mp_vars) for the device ``imgs`` lives on —
+        replicated lazily per device in multi-chip serving mode."""
+        if self._devices is None:
+            return self._cvars, self._mvars
+        d = next(iter(imgs.devices()))
+        pair = self._vars_by_dev.get(d)
+        if pair is None:
+            pair = (jax.device_put(self._cvars, d),
+                    jax.device_put(self._mvars, d))
+            self._vars_by_dev[d] = pair
+        return pair
 
     def __call__(self, image: np.ndarray) -> dict:
         """image: (H, W, 3) uint8/float RGB in original resolution.
@@ -508,7 +539,11 @@ class TwoStagePipeline:
     def submit_batch(self, images: Sequence[np.ndarray]):
         """Streaming phase 1: upload shape-grouped chunks and enqueue
         their coarse programs.  Returns an opaque batch handle; nothing
-        blocks on device results here (JAX dispatch is asynchronous)."""
+        blocks on device results here (JAX dispatch is asynchronous).
+        In multi-chip mode (``devices=``) the whole batch lands on the
+        next device in the round-robin cycle."""
+        target = next(self._dev_cycle) if self._dev_cycle else None
+
         # shape-grouped chunks -> stacked upload + coarse batch
         by_shape: Dict[tuple, List[int]] = {}
         for i, img in enumerate(images):
@@ -522,7 +557,8 @@ class TwoStagePipeline:
                 padded = part + [part[-1]] * (b - len(part))
                 stack = np.stack([np.asarray(images[i], np.uint8)
                                   for i in padded])
-                dev = jnp.asarray(stack)            # one upload per chunk
+                dev = (jax.device_put(stack, target) if target is not None
+                       else jnp.asarray(stack))    # one upload per chunk
                 chunks.append((part, dev, self._coarse_full_batch(dev)))
         return _BatchHandle(shapes=[im.shape[:2] for im in images],
                             chunks=chunks)
@@ -553,6 +589,13 @@ class TwoStagePipeline:
         pending = h.pending   # (orig_index, future, row)
         fallbacks = h.fallbacks  # (orig_index, det dict) — no regions
         for part, dev, packed in chunks:
+            # multi-chip mode: mosaic-stage args follow the chunk's
+            # device (mixed-device jit args are an error)
+            target = (next(iter(dev.devices()))
+                      if self._devices is not None else None)
+            _put = (jnp.asarray if target is None
+                    else functools.partial(jax.device_put,
+                                           device=target))
             packed_np = np.asarray(packed)     # ONE readback transfer
             dets = unpack_detections(packed_np)
             all_boxes = dets["boxes"]
@@ -580,16 +623,15 @@ class TwoStagePipeline:
                 b = _pow2_pad(len(job_list))
                 job_list = job_list + [job_list[-1]] * (b - len(job_list))
                 rows_np = np.array([j[1] for j in job_list], np.int32)
-                rows = jnp.asarray(rows_np)
-                paints = jnp.asarray(
+                rows = _put(rows_np)
+                paints = _put(
                     self._paint_group([j[2] for j in job_list], bucket))
-                regs = jnp.asarray(
-                    np.stack([j[2] for j in job_list]))
+                regs = _put(np.stack([j[2] for j in job_list]))
                 if self.fuse_global:
                     h0, w0 = shapes[part[0]]
                     g = _scale_packed(packed_np[rows_np], w0 / cw, h0 / ch)
                     fut = self._mosaic_stage_batch_fused(
-                        dev, rows, paints, regs, jnp.asarray(g), bucket)
+                        dev, rows, paints, regs, _put(g), bucket)
                 else:
                     fut = self._mosaic_stage_batch(dev, rows, paints,
                                                    regs, bucket)
@@ -664,20 +706,26 @@ class TwoStagePipeline:
     def warmup(self, image_hw: Tuple[int, int]):
         """Compile the coarse + mosaic programs for every bucket at the
         batch sizes the chunked ``run_batch`` will hit (1 and the pow2 of
-        ``max_batch``)."""
+        ``max_batch``) — on every serving device in multi-chip mode."""
         img = np.zeros((*image_hw, 3), np.uint8)
         reg1 = regions_to_array([], self.max_regions)
-        for b in sorted({1, _pow2_pad(self.max_batch)}):
-            dev = jnp.asarray(np.stack([img] * b))
-            jax.block_until_ready(self._coarse_full_batch(dev))
-            rows = jnp.asarray(np.zeros((b,), np.int32))
-            regs = jnp.asarray(np.stack([reg1] * b))
-            for bk in self.buckets:
-                paints = jnp.asarray(self._paint_group([reg1] * b, bk))
-                if self.fuse_global:
-                    g = jnp.zeros((b, self.max_coarse, 7), jnp.float32)
-                    jax.block_until_ready(self._mosaic_stage_batch_fused(
-                        dev, rows, paints, regs, g, bk))
-                else:
-                    jax.block_until_ready(self._mosaic_stage_batch(
-                        dev, rows, paints, regs, bk))
+        for target in (self._devices or [None]):
+            _put = (jnp.asarray if target is None
+                    else functools.partial(jax.device_put,
+                                           device=target))
+            for b in sorted({1, _pow2_pad(self.max_batch)}):
+                dev = _put(np.stack([img] * b))
+                jax.block_until_ready(self._coarse_full_batch(dev))
+                rows = _put(np.zeros((b,), np.int32))
+                regs = _put(np.stack([reg1] * b))
+                for bk in self.buckets:
+                    paints = _put(self._paint_group([reg1] * b, bk))
+                    if self.fuse_global:
+                        g = _put(np.zeros((b, self.max_coarse, 7),
+                                          np.float32))
+                        jax.block_until_ready(
+                            self._mosaic_stage_batch_fused(
+                                dev, rows, paints, regs, g, bk))
+                    else:
+                        jax.block_until_ready(self._mosaic_stage_batch(
+                            dev, rows, paints, regs, bk))

@@ -378,13 +378,16 @@ class DetectionService:
                          async_batching: bool = False,
                          max_batch: int = 8,
                          batch_window_ms: float = 2.0,
-                         pipeline_depth: int = 2):
+                         pipeline_depth: int = 2,
+                         devices=None):
         """Load a ``.gtar`` archive and register its detector.
 
         ``async_batching=True`` wraps the detector in
         :class:`AsyncDetector` so concurrent ``/predictions`` requests
         are served with dynamic batching and (two-stage archives) the
-        multi-stream pipelined driver.
+        multi-stream pipelined driver.  ``devices`` (two-stage archives
+        only) round-robins request batches over several chips; pair it
+        with ``pipeline_depth > len(devices)`` so every chip stays busy.
         """
         manifest, ckpt_dir = load_archive(path)
         qkw = {}
@@ -400,7 +403,8 @@ class DetectionService:
                 manifest["mp_config_name"], ckpt_dir["mp"],
                 class_names=manifest.get("class_names"),
                 score_thr=manifest.get("score_thr"),
-                fuse_global=manifest.get("fuse_global", True), **qkw)
+                fuse_global=manifest.get("fuse_global", True),
+                devices=devices, **qkw)
         else:
             from glsdet_tpu.apis import Detector
 

@@ -147,6 +147,51 @@ class TestTwoStage:
                                            atol=1e-6)
 
 
+class TestMultiDeviceServing:
+    """devices= round-robin: request batches land on successive chips
+    (virtual 8-device CPU mesh), weights replicate lazily per device,
+    results match the single-device pipeline."""
+
+    def test_round_robin_matches_single_device(self, tiny_models,
+                                               pipeline):
+        devs = jax.devices()[:4]
+        multi = _make_pipeline(tiny_models, devices=devs)
+        rs = np.random.RandomState(7)
+        batches = [[rs.randint(0, 255, (200, 320, 3), np.uint8)
+                    for _ in range(2)] for _ in range(4)]
+        handles = [multi.submit_batch(b) for b in batches]
+        used = {next(iter(c[1].devices()))
+                for h in handles for c in h.chunks}
+        assert used == set(devs)          # one batch per device
+        outs = [multi.collect_batch(h) for h in handles]
+        assert len(multi._vars_by_dev) == 4
+        for got, imgs in zip(outs, batches):
+            want = pipeline.run_batch(imgs)
+            for a, b in zip(got, want):
+                assert a["boxes"].shape == b["boxes"].shape
+                np.testing.assert_allclose(a["boxes"], b["boxes"],
+                                           atol=1e-4)
+                np.testing.assert_allclose(a["scores"], b["scores"],
+                                           atol=1e-6)
+
+    def test_run_batch_cycles_devices(self, tiny_models):
+        devs = jax.devices()[:2]
+        multi = _make_pipeline(tiny_models, devices=devs)
+        img = np.random.RandomState(8).randint(
+            0, 255, (200, 320, 3), np.uint8)
+        multi.run_batch([img])
+        multi.run_batch([img])
+        assert len(multi._vars_by_dev) == 2
+
+    def test_devices_require_vars(self, tiny_models):
+        coarse, cvars, mp, mvars = tiny_models
+        with pytest.raises(ValueError, match="devices"):
+            TwoStagePipeline(
+                lambda im: coarse.apply(cvars, im, train=False),
+                lambda im: mp.apply(mvars, im, train=False),
+                (128, 128), devices=jax.devices()[:2])
+
+
 class TestFusedPipeline:
     """Integrated global-local fusion (merge_results.py semantics run
     inside the mosaic-stage program with the stage-1 detections)."""

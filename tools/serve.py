@@ -62,6 +62,9 @@ def main():
                    help="straggler wait window (--async-batching)")
     s.add_argument("--pipeline-depth", type=int, default=2,
                    help="batches kept in flight (--async-batching)")
+    s.add_argument("--devices", default=None,
+                   help="'all' or a count: round-robin two-stage "
+                        "request batches over several chips")
 
     args = ap.parse_args()
 
@@ -80,13 +83,22 @@ def main():
         print(f"wrote {path}")
         return
 
+    devices = None
+    if args.devices:
+        import jax
+
+        devices = (jax.devices() if args.devices == "all"
+                   else jax.devices()[:int(args.devices)])
+        if args.async_batching and args.pipeline_depth <= len(devices):
+            args.pipeline_depth = len(devices) + 1  # keep chips busy
     service = DetectionService()
     for path in sorted(glob.glob(os.path.join(args.model_store, "*.gtar"))):
         name = service.register_archive(
             path, async_batching=args.async_batching,
             max_batch=args.max_batch,
             batch_window_ms=args.batch_window_ms,
-            pipeline_depth=args.pipeline_depth)
+            pipeline_depth=args.pipeline_depth,
+            devices=devices)
         print(f"registered {name} from {path}")
     if not service.models:
         raise SystemExit(f"no .gtar archives in {args.model_store}")
