@@ -37,8 +37,18 @@ from glsdet_tpu.ufp.pallas_paint import (
     assemble_mosaic_pallas_batch,
     build_tile_tables,
 )
-from glsdet_tpu.native import unified_foreground_packing_native as \
-    unified_foreground_packing
+from glsdet_tpu.native import unified_foreground_packing_rows
+
+
+def _prefetch(arr) -> None:
+    """Start the device->host copy of a (possibly still computing) jax
+    array without blocking.  ``np.asarray`` later is the sync point; the
+    prefetch overlaps the wire time of one result with host work on
+    another (each readback on a tunneled TPU pays a ~30ms RPC floor)."""
+    try:
+        arr.copy_to_host_async()
+    except Exception:
+        pass
 
 DEFAULT_BUCKETS = (768, 1280, 1792, 2688)
 
@@ -559,7 +569,9 @@ class TwoStagePipeline:
                                   for i in padded])
                 dev = (jax.device_put(stack, target) if target is not None
                        else jnp.asarray(stack))    # one upload per chunk
-                chunks.append((part, dev, self._coarse_full_batch(dev)))
+                fut = self._coarse_full_batch(dev)
+                _prefetch(fut)   # readback wire time overlaps other work
+                chunks.append((part, dev, fut))
         return _BatchHandle(shapes=[im.shape[:2] for im in images],
                             chunks=chunks)
 
@@ -570,8 +582,9 @@ class TwoStagePipeline:
         :meth:`collect_batch`."""
         b, h0, w0 = (int(dev_stack.shape[0]), int(dev_stack.shape[1]),
                      int(dev_stack.shape[2]))
-        chunk = (list(range(b)), dev_stack,
-                 self._coarse_full_batch(dev_stack))
+        fut = self._coarse_full_batch(dev_stack)
+        _prefetch(fut)
+        chunk = (list(range(b)), dev_stack, fut)
         return _BatchHandle(shapes=[(h0, w0)] * b, chunks=[chunk])
 
     def dispatch_mosaics(self, h: "_BatchHandle"):
@@ -607,16 +620,15 @@ class TwoStagePipeline:
                 coarse_boxes = (all_boxes[row]
                                 * np.array([sx, sy, sx, sy],
                                            np.float32))[all_valid[row]]
-                regions, mw, mh = unified_foreground_packing(
-                    coarse_boxes.astype(np.float32), self.ufp_scale,
-                    (w0, h0))
-                if len(regions) == 0:
+                unmap_rows, n_reg, mw, mh = unified_foreground_packing_rows(
+                    coarse_boxes, self.ufp_scale, (w0, h0),
+                    self.max_regions)
+                if n_reg == 0:
                     if self.fuse_global:
                         fallbacks.append((i, _coarse_row_dets(
                             packed_np[row], sx, sy)))
                     continue
                 bucket = pick_bucket(mh, mw, self.buckets)
-                unmap_rows = regions_to_array(regions, self.max_regions)
                 jobs.setdefault(bucket, []).append(
                     (i, row, unmap_rows))
             for bucket, job_list in jobs.items():
@@ -635,6 +647,7 @@ class TwoStagePipeline:
                 else:
                     fut = self._mosaic_stage_batch(dev, rows, paints,
                                                    regs, bucket)
+                _prefetch(fut)
                 for slot, job in enumerate(job_list):
                     i = job[0]
                     if mid[i] is None:   # skip pow2-padding repeats
@@ -656,6 +669,8 @@ class TwoStagePipeline:
         results: List[dict] = [empty] * n
         for i, det in h.fallbacks:
             results[i] = det
+        for _, fut, _ in h.pending:   # all wire transfers in flight
+            _prefetch(fut)            # before the first blocking read
         fetched: Dict[int, dict] = {}
         for i, fut, slot in h.pending:
             if id(fut) not in fetched:

@@ -32,7 +32,7 @@ def _build() -> Optional[ctypes.CDLL]:
         if (not os.path.exists(_SO)
                 or os.path.getmtime(_SO) < os.path.getmtime(_SRC)):
             subprocess.run(
-                ["g++", "-O2", "-shared", "-fPIC", "-std=c++17",
+                ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
                  _SRC, "-o", _SO],
                 check=True, capture_output=True)
         lib = ctypes.CDLL(_SO)
@@ -43,6 +43,13 @@ def _build() -> Optional[ctypes.CDLL]:
             ctypes.c_double, ctypes.POINTER(ctypes.c_double),
             ctypes.POINTER(ctypes.c_double),
         ]
+        if hasattr(lib, "ufp_tile_tables"):
+            lib.ufp_tile_tables.restype = ctypes.c_int
+            lib.ufp_tile_tables.argtypes = [
+                ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_int,
+                ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                ctypes.POINTER(ctypes.c_int),
+            ]
         return lib
     except (subprocess.CalledProcessError, OSError):
         _build_failed = True
@@ -96,3 +103,66 @@ def unified_foreground_packing_native(
         for row in out[:r]
     ]
     return regions, float(wh[0]), float(wh[1])
+
+
+def unified_foreground_packing_rows(
+    boxes: np.ndarray, scale: float, input_shape: Sequence[float],
+    max_regions: int,
+    width_min: float = 300.0, width_max: float = 2666.0,
+) -> Tuple[np.ndarray, int, float, float]:
+    """Array fast path for the serving pipeline: UFP packing straight to
+    the padded, floored (max_regions, 7) float32 row form that
+    ``ufp.assembly.regions_to_array`` produces — skipping the per-region
+    ``Region`` object construction of the list API (hundreds of dataclass
+    allocations per dense frame on the host's hot path).
+
+    Returns ``(rows, n_regions, mosaic_w, mosaic_h)``; rows beyond
+    ``max_regions`` are truncated exactly like ``regions_to_array``.
+    Falls back to the python implementation when the library is missing.
+    """
+    lib = get_lib()
+    boxes = np.ascontiguousarray(
+        np.asarray(boxes, np.float64).reshape(-1, 4))
+    n = boxes.shape[0]
+    if lib is None:
+        from glsdet_tpu.ufp.assembly import regions_to_array
+        from glsdet_tpu.ufp.packing import unified_foreground_packing
+        regions, mw, mh = unified_foreground_packing(
+            boxes, scale, input_shape)
+        return (regions_to_array(regions, max_regions), len(regions),
+                mw, mh)
+    if n == 0:
+        return np.zeros((max_regions, 7), np.float32), 0, 0.0, 0.0
+    out = np.zeros((n, 7), np.float64)
+    wh = np.zeros((2,), np.float64)
+    r = lib.ufp_pack(
+        boxes.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), n,
+        float(scale), float(input_shape[0]), float(input_shape[1]),
+        float(width_min), float(width_max),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        wh.ctypes.data_as(ctypes.POINTER(ctypes.c_double)))
+    if r < 0:
+        raise RuntimeError("ufp_pack failed")
+    rows = np.zeros((max_regions, 7), np.float32)
+    k = min(r, max_regions)
+    rows[:k] = np.floor(out[:k])
+    return rows, r, float(wh[0]), float(wh[1])
+
+
+def build_tile_tables_native(rows: np.ndarray, out_h: int, out_w: int,
+                             tile: int, cap: int
+                             ) -> Optional[Tuple[np.ndarray, bool]]:
+    """C++ twin of ``ufp.pallas_paint.build_tile_tables`` (same table
+    layout and overflow flag).  Returns None when the library is missing
+    so the caller can use the python implementation."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "ufp_tile_tables"):
+        return None
+    rows = np.ascontiguousarray(np.asarray(rows, np.float32))
+    nty, ntx = out_h // tile, out_w // tile
+    table = np.zeros((nty, ntx, cap, 8), np.int32)
+    ovf = lib.ufp_tile_tables(
+        rows.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        rows.shape[0], out_h, out_w, tile, cap,
+        table.ctypes.data_as(ctypes.POINTER(ctypes.c_int)))
+    return table, bool(ovf)

@@ -190,7 +190,9 @@ extern "C" int ufp_pack(const double* boxes, int n, double scale,
   }
   std::vector<std::pair<double, double>> placed;
   double lo = width_min, hi = width_max;
-  strip_pack(hi, sizes, placed);
+  // (the reference also evaluates strip_pack(width_max) before the
+  // search, but the loop always runs >= once and overwrites the
+  // result — dead work, skipped here; outputs are identical)
   while (lo <= hi) {
     double mid = (lo + hi) / 2;
     double height = strip_pack(mid, sizes, placed);
@@ -217,4 +219,41 @@ extern "C" int ufp_pack(const double* boxes, int n, double scale,
   out_wh[0] = mosaic_w;
   out_wh[1] = mosaic_h;
   return r;
+}
+
+// Bin region rows into per-canvas-tile painter entry tables (the host
+// side of the pallas mosaic painter, ufp/pallas_paint.py:48 python
+// twin).  rows: (R, 7) float32 [x1, y1, w, h, nx, ny, f] with integer
+// values (f == 0 padding); table: (nty, ntx, cap, 8) int32, caller-
+// zeroed.  Returns 1 when any tile overflows cap (caller falls back to
+// the XLA painter), else 0.
+extern "C" int ufp_tile_tables(const float* rows, int n_rows, int out_h,
+                               int out_w, int tile, int cap, int* table) {
+  const int nty = out_h / tile, ntx = out_w / tile;
+  std::vector<int> counts(nty * ntx, 0);
+  int overflow = 0;
+  for (int r = 0; r < n_rows; ++r) {
+    const float* row = rows + r * 7;
+    const int x1 = (int)row[0], y1 = (int)row[1];
+    const int w = (int)row[2], h = (int)row[3];
+    const int nx = (int)row[4], ny = (int)row[5], f = (int)row[6];
+    if (f <= 0 || w <= 0 || h <= 0) continue;
+    const int j0 = std::max(nx / tile, 0), i0 = std::max(ny / tile, 0);
+    const int j1 = std::min((nx + w * f - 1) / tile, ntx - 1);
+    const int i1 = std::min((ny + h * f - 1) / tile, nty - 1);
+    for (int i = i0; i <= i1; ++i) {
+      for (int j = j0; j <= j1; ++j) {
+        int& c = counts[i * ntx + j];
+        if (c >= cap) {
+          overflow = 1;
+          continue;
+        }
+        int* e = table + (((i * ntx) + j) * cap + c) * 8;
+        e[0] = x1; e[1] = y1; e[2] = w; e[3] = h;
+        e[4] = nx; e[5] = ny; e[6] = f; e[7] = 1;
+        ++c;
+      }
+    }
+  }
+  return overflow;
 }

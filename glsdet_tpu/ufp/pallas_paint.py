@@ -60,7 +60,23 @@ def build_tile_tables(rows: np.ndarray, out_h: int, out_w: int,
 
     Returns ((out_h/t, out_w/t, cap, 8) int32 table with entries
     ``[x1, y1, w, h, nx, ny, f, 1]``, overflow flag).
+
+    Delegates to the C++ twin (native/packing.cpp: ufp_tile_tables) when
+    the library is available — this runs per frame on the serving host's
+    hot path; ``build_tile_tables_py`` is the python reference.
     """
+    from glsdet_tpu.native import build_tile_tables_native
+
+    nat = build_tile_tables_native(
+        np.asarray(rows, np.float32)[..., :7], out_h, out_w, tile, cap)
+    if nat is not None:
+        return nat
+    return build_tile_tables_py(rows, out_h, out_w, tile, cap)
+
+
+def build_tile_tables_py(rows: np.ndarray, out_h: int, out_w: int,
+                         tile: int, cap: int) -> Tuple[np.ndarray, bool]:
+    """Pure-python ``build_tile_tables`` (fallback + parity oracle)."""
     nty, ntx = out_h // tile, out_w // tile
     table = np.zeros((nty, ntx, cap, 8), np.int32)
     counts = np.zeros((nty, ntx), np.int32)

@@ -3,7 +3,12 @@
 import numpy as np
 import pytest
 
-from glsdet_tpu.native import native_available, unified_foreground_packing_native
+from glsdet_tpu.native import (
+    build_tile_tables_native,
+    native_available,
+    unified_foreground_packing_native,
+    unified_foreground_packing_rows,
+)
 from glsdet_tpu.ufp.packing import unified_foreground_packing
 
 
@@ -60,3 +65,50 @@ class TestNativePacking:
             unified_foreground_packing_native(boxes, 1.5, (1360, 765))
         t_c = time.time() - t0
         assert t_c < t_py
+
+    def test_rows_fast_path_matches_list_api(self):
+        from glsdet_tpu.ufp.assembly import regions_to_array
+
+        rs = np.random.RandomState(7)
+        for max_regions in (8, 32, 64):
+            n = rs.randint(1, 150)
+            x1 = rs.uniform(0, 1200, n)
+            y1 = rs.uniform(0, 700, n)
+            boxes = np.stack(
+                [x1, y1, x1 + rs.uniform(4, 120, n),
+                 y1 + rs.uniform(4, 120, n)], 1).astype(np.float32)
+            regions, mw, mh = unified_foreground_packing_native(
+                boxes, 1.5, (1360, 765))
+            rows, nr, rw, rh = unified_foreground_packing_rows(
+                boxes, 1.5, (1360, 765), max_regions)
+            assert nr == len(regions) and (rw, rh) == (mw, mh)
+            np.testing.assert_array_equal(
+                rows, regions_to_array(regions, max_regions))
+
+    def test_rows_fast_path_empty(self):
+        rows, nr, w, h = unified_foreground_packing_rows(
+            np.zeros((0, 4), np.float32), 1.5, (100, 100), 16)
+        assert nr == 0 and w == 0.0 and h == 0.0
+        assert rows.shape == (16, 7) and not rows.any()
+
+    def test_tile_tables_parity(self):
+        from glsdet_tpu.ufp.pallas_paint import build_tile_tables_py
+
+        rs = np.random.RandomState(3)
+        for trial in range(10):
+            r = rs.randint(0, 40)
+            rows = np.zeros((r, 7), np.float32)
+            for i in range(r):
+                w, h = rs.randint(8, 400), rs.randint(8, 400)
+                f = rs.choice([0, 1, 2, 4])
+                rows[i] = [rs.randint(0, 900), rs.randint(0, 500), w, h,
+                           rs.randint(0, 1280 - 8), rs.randint(0, 1280 - 8),
+                           f]
+            for cap in (2, 24):
+                py_t, py_ovf = build_tile_tables_py(rows, 1280, 1280,
+                                                    256, cap)
+                nat = build_tile_tables_native(rows, 1280, 1280, 256, cap)
+                assert nat is not None
+                c_t, c_ovf = nat
+                assert py_ovf == c_ovf, f"trial {trial} cap {cap}"
+                np.testing.assert_array_equal(py_t, c_t)
