@@ -26,8 +26,7 @@ def init_detector(config_name: str, checkpoint: Optional[str] = None,
     import jax.numpy as jnp
 
     from glsdet_tpu.config import apply_overrides, get_config
-    from glsdet_tpu.train.loop import (build_model, build_optimizer,
-                                       restore_checkpoint)
+    from glsdet_tpu.train.loop import build_model, build_optimizer
 
     cfg = get_config(config_name)
     if options:
@@ -41,11 +40,17 @@ def init_detector(config_name: str, checkpoint: Optional[str] = None,
     x = jnp.zeros((1, *init_hw, 3), jnp.float32)
     variables = jax.jit(lambda r, x: model.init(r, x, train=False))(rng, x)
     if checkpoint:
-        from glsdet_tpu.train.loop import make_state_template
+        from glsdet_tpu.train.loop import load_weights, make_state_template
 
         tx = build_optimizer(cfg, 1000)
         state = make_state_template(cfg, variables, tx, rng)
-        state = restore_checkpoint(checkpoint, state)
+        # weights-only shape-matched load: reads full training
+        # checkpoints AND stripped serving artifacts (ckpt_tool strip)
+        state, n_loaded, skipped = load_weights(checkpoint, state)
+        if n_loaded == 0:
+            raise ValueError(
+                f"no weight arrays in {checkpoint} match {config_name}: "
+                f"{skipped[:5]}")
         params = state.ema_params if use_ema else state.params
         variables = {"params": params, "batch_stats": state.batch_stats}
     return cfg, model, variables

@@ -61,6 +61,9 @@ class TrainConfig:
     log_interval: int = 50
     work_dir: str = "work_dirs/default"
     resume: str = ""
+    # weights-only init (mmdet load_from; shape-matched partial load).
+    # ``resume`` takes precedence when both are set.
+    load_from: str = ""
 
 
 @dataclass

@@ -138,6 +138,70 @@ def restore_checkpoint(path: str, target: TrainState) -> TrainState:
     return ckptr.restore(os.path.abspath(path), target)
 
 
+def restore_raw(path: str):
+    """Restore a checkpoint as a raw (template-free) pytree of arrays.
+
+    Entry point for checkpoint tooling (``tools/ckpt_tool.py``) and for
+    weights-only loads where the stored tree need not match the running
+    TrainState (stripped serving artifacts, other optimizers)."""
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    return ckptr.restore(os.path.abspath(path))
+
+
+# TrainState sections that hold model weights/statistics (vs. training
+# trajectory: step / opt_state / rng)
+WEIGHT_SECTIONS = ("params", "ema_params", "batch_stats", "boiw")
+
+
+def load_weights(path: str, state: TrainState):
+    """Weights-only, shape-matched partial load (mmdet ``load_from``,
+    apis/train.py:199-202, + yolox-drone's partial state-dict load by
+    shape match, train.py:139-165).
+
+    Merges ``params`` / ``ema_params`` / ``batch_stats`` / ``boiw``
+    leaves from the checkpoint into ``state`` wherever the key exists
+    and the shape matches; everything else (step, optimizer moments,
+    rng, mismatched or missing leaves) keeps the fresh-init value.  A
+    checkpoint without ``ema_params`` (stripped artifact) seeds EMA from
+    its ``params``.  Returns ``(state, n_loaded, skipped)`` where
+    ``skipped`` lists ``(key, reason)``."""
+    from flax import serialization
+    from flax.traverse_util import flatten_dict, unflatten_dict
+
+    raw = restore_raw(path)
+    if not isinstance(raw, dict):
+        raw = serialization.to_state_dict(raw)
+    if "params" not in raw:      # bare params tree artifact
+        raw = {"params": raw}
+    if "ema_params" not in raw and "params" in raw:
+        raw = dict(raw)
+        raw["ema_params"] = raw["params"]
+
+    target = serialization.to_state_dict(state)
+    flat_t = flatten_dict(target, keep_empty_nodes=True)
+    flat_r = flatten_dict(
+        {k: v for k, v in raw.items() if k in WEIGHT_SECTIONS and
+         v is not None})
+    n_loaded, skipped = 0, []
+    for key, val in flat_r.items():
+        if key not in flat_t:
+            skipped.append(("/".join(map(str, key)), "missing in model"))
+            continue
+        cur = flat_t[key]
+        val = np.asarray(val)
+        if np.shape(cur) != val.shape:
+            skipped.append(("/".join(map(str, key)),
+                            f"shape {val.shape} vs {np.shape(cur)}"))
+            continue
+        flat_t[key] = val.astype(np.asarray(cur).dtype)
+        n_loaded += 1
+    merged = unflatten_dict(flat_t)
+    return (serialization.from_state_dict(state, merged), n_loaded,
+            skipped)
+
+
 def train(cfg: Config, dataset: Optional[CocoDataset] = None,
           max_steps: Optional[int] = None,
           eval_fn: Optional[Callable] = None) -> TrainState:
@@ -179,6 +243,13 @@ def train(cfg: Config, dataset: Optional[CocoDataset] = None,
         state = restore_checkpoint(cfg.train.resume, state)
         logger.info("resumed from %s at step %d", cfg.train.resume,
                     int(state.step))
+    elif cfg.train.load_from:   # resume wins, like mmdet apis/train.py
+        state, n_loaded, skipped = load_weights(cfg.train.load_from,
+                                                state)
+        logger.info("loaded %d weight arrays from %s (%d skipped)",
+                    n_loaded, cfg.train.load_from, len(skipped))
+        for key, reason in skipped:
+            logger.info("  skipped %s: %s", key, reason)
 
     # donate the state buffers: params/opt-state/EMA update in place
     # instead of allocating a second copy every step

@@ -15,7 +15,8 @@ import numpy as np
 from glsdet_tpu.models import VISDRONE_PROXIES, YOLOXDetector
 from glsdet_tpu.train import (TrainState, init_boiw, yolox_sgd,
                               yolox_warm_cos)
-from glsdet_tpu.train.loop import restore_checkpoint, save_checkpoint
+from glsdet_tpu.train.loop import (load_weights, restore_checkpoint,
+                                   restore_raw, save_checkpoint)
 
 
 def _make_state(with_boiw=False):
@@ -72,3 +73,69 @@ class TestCheckpoint:
             lambda a, b: np.testing.assert_array_equal(
                 np.asarray(a), np.asarray(b)),
             bumped, restored.ema_params)
+
+
+class TestLoadWeights:
+    """load_from semantics: weights merge, trajectory stays fresh."""
+
+    def test_weights_load_trajectory_fresh(self):
+        state, _ = _make_state()
+        state = state.replace(
+            step=jnp.asarray(99, jnp.int32),
+            params=jax.tree.map(lambda p: p + 2.0, state.params))
+        with tempfile.TemporaryDirectory() as d:
+            path = save_checkpoint(d, state, epoch=1)
+            fresh, _ = _make_state()
+            loaded, n_loaded, skipped = load_weights(path, fresh)
+        assert n_loaded > 0 and not skipped
+        assert int(loaded.step) == 0          # trajectory NOT restored
+        jax.tree.map(
+            lambda a, b: np.testing.assert_array_equal(
+                np.asarray(a), np.asarray(b)),
+            state.params, loaded.params)
+
+    def test_shape_mismatch_skipped(self):
+        """yolox-drone train.py:139-165 partial load: mismatched heads
+        keep their fresh init, backbone weights still load."""
+        state3, _ = _make_state()   # 3 classes
+        with tempfile.TemporaryDirectory() as d:
+            path = save_checkpoint(d, state3, epoch=1)
+            rng = jax.random.PRNGKey(1)
+            model5 = YOLOXDetector(num_classes=5, phi="nano")
+            variables = model5.init(rng, jnp.zeros((1, 64, 64, 3)),
+                                    train=False)
+            tx = yolox_sgd(yolox_warm_cos(0.01, 10, 100, 10))
+            fresh = TrainState.create(variables, tx, rng)
+            loaded, n_loaded, skipped = load_weights(path, fresh)
+        assert n_loaded > 0
+        assert skipped and all("shape" in r for _, r in skipped)
+
+    def test_stripped_artifact_roundtrip(self):
+        """ckpt_tool strip -> load_from: weights-only artifacts load,
+        missing ema seeds from params."""
+        import orbax.checkpoint as ocp
+
+        state, _ = _make_state(with_boiw=True)
+        state = state.replace(
+            params=jax.tree.map(lambda p: p + 3.0, state.params))
+        with tempfile.TemporaryDirectory() as d:
+            path = save_checkpoint(d, state, epoch=1)
+            raw = restore_raw(path)
+            stripped = {k: raw[k] for k in ("params", "batch_stats",
+                                            "boiw")}
+            spath = os.path.join(d, "stripped")
+            ckptr = ocp.StandardCheckpointer()
+            ckptr.save(spath, jax.tree.map(np.asarray, stripped))
+            ckptr.wait_until_finished()
+            fresh, _ = _make_state(with_boiw=True)
+            loaded, n_loaded, skipped = load_weights(spath, fresh)
+        assert n_loaded > 0
+        jax.tree.map(
+            lambda a, b: np.testing.assert_array_equal(
+                np.asarray(a), np.asarray(b)),
+            state.params, loaded.params)
+        # EMA seeded from the stripped params, not fresh init
+        jax.tree.map(
+            lambda a, b: np.testing.assert_array_equal(
+                np.asarray(a), np.asarray(b)),
+            state.params, loaded.ema_params)

@@ -38,6 +38,9 @@ def main():
     ap.add_argument("--img-root", help="train image root")
     ap.add_argument("--work-dir")
     ap.add_argument("--resume", default="")
+    ap.add_argument("--load-from", default="",
+                    help="weights-only init checkpoint (shape-matched "
+                         "partial load; --resume restores full state)")
     ap.add_argument("--val-ann", help="validation annotation json")
     ap.add_argument("--val-img-root")
     ap.add_argument("--seed", type=int)
@@ -59,6 +62,8 @@ def main():
         cfg.train.work_dir = args.work_dir
     if args.resume:
         cfg.train.resume = args.resume
+    if args.load_from:
+        cfg.train.load_from = args.load_from
     if args.seed is not None:
         cfg.train.seed = args.seed
     apply_overrides(cfg, parse_cfg_options(args.cfg_options))
