@@ -106,6 +106,39 @@ def worker(pid: int, nproc: int) -> None:
             state.params, jnp.float32(0)))
     print(f"[{pid}] MULTIHOST_OK param_l1={pnorm:.4f}", flush=True)
 
+    # MP-Det phase: the BoIW dictionary is the one piece of *stateful*
+    # cross-host sync (reference: NCCL reduce_mean at mp_head.py:454,472
+    # + per-process buffer updates).  Here the dictionary lives in the
+    # replicated TrainState and its ring-buffer update runs inside the
+    # global-view jitted step, so every host must end with bit-identical
+    # dictionary contents — asserted by the launcher comparing the
+    # printed checksums.
+    from glsdet_tpu.models import MPDet
+    from glsdet_tpu.train import init_boiw, make_mpdet_train_step
+
+    proxies = [2, 2]
+    # fresh key: the YOLOX step donated its state (which aliased ``rng``)
+    rng2 = jax.random.PRNGKey(1)
+    mp = MPDet(num_classes=2, depth=18, proxies_list=proxies)
+    mp_vars = jax.jit(
+        lambda r: mp.init(r, jnp.zeros((1, H, W, 3)), train=False))(rng2)
+    boiw = init_boiw(rng2, num_classes=2, num_words=16, feat_channels=256,
+                     proxies_list=proxies)
+    mp_tx = yolox_sgd(yolox_warm_cos(0.01, 10, 100, 10))
+    mp_state = jax.device_put(
+        TrainState.create(mp_vars, mp_tx, rng2, boiw=boiw), repl)
+    mp_step = jax.jit(make_mpdet_train_step(mp, mp_tx, (H, W), 2, proxies),
+                      in_shardings=(repl, bs), donate_argnums=(0,))
+    for i in range(2):
+        mp_state, mp_metrics = mp_step(mp_state, global_batch(10 + i))
+        loss = float(mp_metrics["loss"])
+        assert np.isfinite(loss), f"mp step {i}: non-finite {loss}"
+        print(f"[{pid}] {MARK}_MP {i} loss={loss:.6f}", flush=True)
+    boiw_l1 = float(jnp.sum(jnp.abs(mp_state.boiw.embedding)))
+    ptr_sum = int(jnp.sum(mp_state.boiw.ptr))
+    print(f"[{pid}] MULTIHOST_MP_OK boiw_l1={boiw_l1:.4f} "
+          f"ptr_sum={ptr_sum}", flush=True)
+
 
 def launcher(nproc: int) -> int:
     env = dict(os.environ)
@@ -122,18 +155,24 @@ def launcher(nproc: int) -> int:
             text=True)
         for i in range(nproc)
     ]
-    outs = [p.communicate(timeout=600)[0] for p in procs]
+    outs = [p.communicate(timeout=900)[0] for p in procs]
     ok = True
-    losses = []
+    losses, boiw = [], []
     for i, (p, out) in enumerate(zip(procs, outs)):
         sys.stdout.write(out)
-        if p.returncode != 0 or "MULTIHOST_OK" not in out:
+        if (p.returncode != 0 or "MULTIHOST_OK" not in out
+                or "MULTIHOST_MP_OK" not in out):
             print(f"worker {i} FAILED (rc={p.returncode})")
             ok = False
         losses.append([ln.split("loss=")[1] for ln in out.splitlines()
-                       if MARK in ln])
+                       if MARK in ln])      # matches MARK and MARK_MP
+        boiw.append([ln.split("MULTIHOST_MP_OK ")[1]
+                     for ln in out.splitlines() if "MULTIHOST_MP_OK" in ln])
     if ok and len(set(map(tuple, losses))) != 1:
         print(f"worker losses diverge: {losses}")
+        ok = False
+    if ok and len(set(map(tuple, boiw))) != 1:
+        print(f"BoIW dictionary state diverges across hosts: {boiw}")
         ok = False
     print("multihost smoke:", "PASS" if ok else "FAIL")
     return 0 if ok else 1
