@@ -23,6 +23,7 @@ from glsdet_tpu.config.core import (
     apply_overrides,
     get_config,
     list_configs,
+    parse_cfg_options,
     register_config,
 )
 
@@ -35,5 +36,6 @@ __all__ = [
     "apply_overrides",
     "get_config",
     "list_configs",
+    "parse_cfg_options",
     "register_config",
 ]

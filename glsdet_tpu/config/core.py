@@ -121,6 +121,21 @@ def get_config(name: str) -> Config:
     return cfg
 
 
+def parse_cfg_options(pairs) -> Dict[str, Any]:
+    """Parse CLI ``KEY=VAL`` pairs (mmdet DictAction analog): values are
+    python literals when they parse, else raw strings."""
+    import ast
+
+    out: Dict[str, Any] = {}
+    for p in pairs or []:
+        k, _, v = p.partition("=")
+        try:
+            out[k] = ast.literal_eval(v)
+        except (ValueError, SyntaxError):
+            out[k] = v
+    return out
+
+
 def apply_overrides(cfg: Config, options: Dict[str, Any]) -> Config:
     """mmdet --cfg-options analog: dotted keys into the dataclass tree,
     e.g. {'train.base_lr': 0.02, 'data.batch_size': 16}."""

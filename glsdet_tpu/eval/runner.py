@@ -39,6 +39,8 @@ def run_eval(
     mesh=None,
     out_json: Optional[str] = None,
     format_only: bool = False,
+    show_dir: Optional[str] = None,
+    show_score_thr: float = 0.3,
 ) -> Tuple[Optional[CocoEvalResult], dict]:
     """apply_fn(variables, images) -> head outputs (pass ``variables``
     so weights stay jit arguments, not baked HLO constants); legacy
@@ -112,6 +114,30 @@ def run_eval(
         if max_images is not None and n_done >= max_images:
             break
     elapsed = time.time() - t0
+
+    if show_dir:
+        # tools/test.py --show-dir analog: annotated prediction dumps
+        import os
+
+        from PIL import Image
+
+        from glsdet_tpu.utils.visualize import draw_detections
+
+        os.makedirs(show_dir, exist_ok=True)
+        rec_by_id = {rec.img_id: rec for rec in dataset.records}
+        for img_id, (xywh, ss, ll) in dets_by_img.items():
+            rec = rec_by_id[img_id]
+            xyxy = np.concatenate([xywh[:, :2], xywh[:, :2] + xywh[:, 2:]],
+                                  axis=1)
+            drawn = draw_detections(
+                dataset.load_image(rec), xyxy, ss, ll,
+                dataset.class_names, show_score_thr)
+            stem = os.path.splitext(os.path.basename(rec.file_name))[0]
+            Image.fromarray(np.asarray(drawn, np.uint8)).save(
+                os.path.join(show_dir, f"{stem}.png"))
+        if verbose:
+            print(f"wrote {len(dets_by_img)} annotated images -> "
+                  f"{show_dir}")
 
     if out_json:
         # COCO detection-results dump (tools/test.py --format-only /

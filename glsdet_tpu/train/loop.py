@@ -121,14 +121,40 @@ def build_optimizer(cfg: Config, steps_per_epoch: int):
     raise ValueError(t.optimizer)
 
 
-def save_checkpoint(work_dir: str, state: TrainState, epoch: int):
-    import orbax.checkpoint as ocp
+# shared checkpointer so async saves can be awaited across calls
+_ckptr = None
 
+
+def _get_ckptr():
+    global _ckptr
+    if _ckptr is None:
+        import orbax.checkpoint as ocp
+
+        _ckptr = ocp.StandardCheckpointer()
+    return _ckptr
+
+
+def save_checkpoint(work_dir: str, state: TrainState, epoch: int,
+                    wait: bool = True):
+    """Write ``work_dir/epoch_{epoch}``.  ``wait=False`` returns once
+    the state is snapshotted to host memory and lets orbax serialize /
+    write to disk in the background (overlapping the next epoch's
+    compute); a subsequent save or :func:`finish_checkpoints` joins it.
+    mmcv's CheckpointHook blocks the loop for the full write."""
     path = os.path.abspath(os.path.join(work_dir, f"epoch_{epoch}"))
-    ckptr = ocp.StandardCheckpointer()
+    ckptr = _get_ckptr()
+    # np.asarray snapshot: device->host copy happens here, so the donated
+    # train-state buffers can keep mutating while the write proceeds
     ckptr.save(path, jax.tree.map(np.asarray, state), force=True)
-    ckptr.wait_until_finished()
+    if wait:
+        ckptr.wait_until_finished()
     return path
+
+
+def finish_checkpoints():
+    """Block until every in-flight async checkpoint write is durable."""
+    if _ckptr is not None:
+        _ckptr.wait_until_finished()
 
 
 def restore_checkpoint(path: str, target: TrainState) -> TrainState:
@@ -301,6 +327,7 @@ def train(cfg: Config, dataset: Optional[CocoDataset] = None,
 
         for it in range(steps_per_epoch):
             if max_steps is not None and global_step >= max_steps:
+                finish_checkpoints()
                 return state
             batch = next(loader)
             batch = {k: jnp.asarray(v) for k, v in batch.items()}
@@ -339,8 +366,12 @@ def train(cfg: Config, dataset: Optional[CocoDataset] = None,
                     f.write(json.dumps(entry) + "\n")
 
         if (epoch + 1) % cfg.train.ckpt_interval == 0:
-            save_checkpoint(cfg.train.work_dir, state, epoch + 1)
+            # async: disk write overlaps the next epoch (joined by the
+            # next save or by finish_checkpoints below)
+            save_checkpoint(cfg.train.work_dir, state, epoch + 1,
+                            wait=False)
         if eval_fn is not None:
             eval_fn(state, epoch + 1)
 
+    finish_checkpoints()
     return state

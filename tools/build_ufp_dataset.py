@@ -48,20 +48,11 @@ def main():
     from glsdet_tpu.native import unified_foreground_packing_native as \
         unified_foreground_packing
 
-    import ast
-
     rng = jax.random.PRNGKey(0)
     cfg = get_config(args.coarse_cfg)
-    from glsdet_tpu.config import apply_overrides
+    from glsdet_tpu.config import apply_overrides, parse_cfg_options
 
-    opts = {}
-    for pair in args.cfg_options or []:
-        k, _, v = pair.partition("=")
-        try:
-            opts[k] = ast.literal_eval(v)
-        except (ValueError, SyntaxError):
-            opts[k] = v
-    apply_overrides(cfg, opts)
+    apply_overrides(cfg, parse_cfg_options(args.cfg_options))
     model = build_model(cfg)
     init_hw = (min(cfg.data.img_hw[0], 256), min(cfg.data.img_hw[1], 256))
     sample = jnp.zeros((1, *init_hw, 3), jnp.float32)

@@ -86,19 +86,12 @@ def main():
     import jax.numpy as jnp
 
     from glsdet_tpu.apis import init_detector
+    from glsdet_tpu.config import parse_cfg_options
     from glsdet_tpu.data.coco import normalize
 
-    import ast
-
-    opts = {}
-    for p in args.cfg_options or []:
-        k, _, v = p.partition("=")
-        try:
-            opts[k] = ast.literal_eval(v)
-        except (ValueError, SyntaxError):
-            opts[k] = v
-    cfg, model, variables = init_detector(args.config, args.checkpoint,
-                                          options=opts)
+    cfg, model, variables = init_detector(
+        args.config, args.checkpoint,
+        options=parse_cfg_options(args.cfg_options))
     img = cv2.cvtColor(cv2.imread(args.image), cv2.COLOR_BGR2RGB)
     h, w = cfg.data.img_hw
     batch = jnp.asarray(normalize(cv2.resize(img, (w, h)))[None])

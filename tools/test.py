@@ -39,6 +39,11 @@ def main():
                          "(reference tools/test.py flag)")
     ap.add_argument("--out", default=None,
                     help="dump COCO-format detection json")
+    ap.add_argument("--show-dir", default=None,
+                    help="write annotated prediction images here "
+                         "(mmdet tools/test.py --show-dir)")
+    ap.add_argument("--show-score-thr", type=float, default=0.3)
+    ap.add_argument("--cfg-options", nargs="*", metavar="KEY=VAL")
     ap.add_argument("--format-only", action="store_true",
                     help="write --out without evaluating")
     args = ap.parse_args()
@@ -48,13 +53,15 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from glsdet_tpu.config import get_config
+    from glsdet_tpu.config import (apply_overrides, get_config,
+                                   parse_cfg_options)
     from glsdet_tpu.data.coco import CocoDataset
     from glsdet_tpu.eval.runner import run_eval
-    from glsdet_tpu.train.loop import build_model, build_optimizer, restore_checkpoint
+    from glsdet_tpu.train.loop import build_model, build_optimizer
     from glsdet_tpu.train.state import TrainState
 
     cfg = get_config(args.config)
+    apply_overrides(cfg, parse_cfg_options(args.cfg_options))
     dataset = CocoDataset(args.ann, args.img_root)
     model = build_model(cfg)
     rng = jax.random.PRNGKey(0)
@@ -64,11 +71,14 @@ def main():
         lambda r, x: model.init(r, x, train=False))(rng, sample)
 
     if args.ckpt:
-        from glsdet_tpu.train.loop import make_state_template
+        from glsdet_tpu.train.loop import load_weights, make_state_template
 
         tx = build_optimizer(cfg, 1000)
         state = make_state_template(cfg, variables, tx, rng)
-        state = restore_checkpoint(args.ckpt, state)
+        # shape-matched weights load: accepts full training checkpoints
+        # and stripped (weights-only) serving artifacts alike
+        state, n_loaded, _ = load_weights(args.ckpt, state)
+        assert n_loaded > 0, f"no matching weights in {args.ckpt}"
         params = state.ema_params if args.use_ema else state.params
         variables = {"params": params, "batch_stats": state.batch_stats}
 
@@ -119,7 +129,8 @@ def main():
         score_thr=cfg.eval.score_thr, nms_iou=cfg.eval.nms_iou,
         max_dets=cfg.eval.max_dets, max_images=args.max_images,
         variables=variables, out_json=args.out,
-        format_only=args.format_only)
+        format_only=args.format_only,
+        show_dir=args.show_dir, show_score_thr=args.show_score_thr)
 
 
 if __name__ == "__main__":

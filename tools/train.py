@@ -16,19 +16,7 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import argparse
-import ast
 import logging
-
-
-def parse_cfg_options(pairs):
-    out = {}
-    for p in pairs or []:
-        k, _, v = p.partition("=")
-        try:
-            out[k] = ast.literal_eval(v)
-        except (ValueError, SyntaxError):
-            out[k] = v
-    return out
 
 
 def main():
@@ -51,7 +39,8 @@ def main():
     logging.basicConfig(level=logging.INFO,
                         format="%(asctime)s %(levelname)s %(message)s")
 
-    from glsdet_tpu.config import apply_overrides, get_config
+    from glsdet_tpu.config import (apply_overrides, get_config,
+                                   parse_cfg_options)
 
     cfg = get_config(args.config)
     if args.ann:
