@@ -68,11 +68,12 @@ class Detector:
                  score_thr: Optional[float] = None,
                  use_ema: bool = True,
                  quant8=False,
-                 int8_scales=None):
+                 int8_scales=None,
+                 options: Optional[dict] = None):
         from glsdet_tpu.data.visdrone import VISDRONE_CLASSES
 
         cfg, model, variables = init_detector(config_name, checkpoint,
-                                              use_ema)
+                                              use_ema, options)
         self.quant8 = quant8
         self.cfg = cfg
         self.class_names = list(class_names or VISDRONE_CLASSES)

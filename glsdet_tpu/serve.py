@@ -19,11 +19,13 @@ Design notes (TPU-first):
 
 from __future__ import annotations
 
+import collections
 import io
 import json
 import os
 import queue
 import threading
+import time
 import zipfile
 from concurrent.futures import Future
 from typing import Optional, Sequence
@@ -47,7 +49,9 @@ def archive_model(config_name: str, checkpoint_dir: Optional[str],
                   mp_checkpoint_dir: Optional[str] = None,
                   fuse_global: bool = True,
                   quant8=False,
-                  int8_scales: Optional[str] = None) -> str:
+                  int8_scales: Optional[str] = None,
+                  options: Optional[dict] = None,
+                  mp_options: Optional[dict] = None) -> str:
     """Package a named config + orbax checkpoint directory into a single
     self-describing zip archive (the ``.mar`` analog).
 
@@ -76,6 +80,12 @@ def archive_model(config_name: str, checkpoint_dir: Optional[str],
         "has_checkpoint": checkpoint_dir is not None,
         "format_version": 1,
     }
+    if options:
+        # --cfg-options the model was trained with (dotted-key dict);
+        # serving replays them so non-stock shapes load correctly
+        manifest["options"] = dict(options)
+    if mp_options:
+        manifest["mp_options"] = dict(mp_options)
     if quant8:
         manifest["quant8"] = quant8
         manifest["has_int8_scales"] = int8_scales is not None
@@ -370,9 +380,15 @@ class DetectionService:
 
     def __init__(self):
         self.models = {}  # name -> (detector or AsyncDetector, manifest)
+        # serving metrics (torchserve metrics-API analog): per-model
+        # request/error counters + a latency ring for quantiles
+        self._stats = {}
+        self._stats_lock = threading.Lock()
 
     def register(self, name: str, detector, manifest: Optional[dict] = None):
         self.models[name] = (detector, manifest or {})
+        self._stats[name] = {"requests": 0, "errors": 0,
+                             "lat_ms": collections.deque(maxlen=1024)}
 
     def register_archive(self, path: str, detector_cls=None,
                          async_batching: bool = False,
@@ -404,6 +420,8 @@ class DetectionService:
                 class_names=manifest.get("class_names"),
                 score_thr=manifest.get("score_thr"),
                 fuse_global=manifest.get("fuse_global", True),
+                coarse_options=manifest.get("options"),
+                mp_options=manifest.get("mp_options"),
                 devices=devices, **qkw)
         else:
             from glsdet_tpu.apis import Detector
@@ -411,7 +429,8 @@ class DetectionService:
             detector_cls = detector_cls or Detector
             det = detector_cls(manifest["config_name"], ckpt_dir,
                                class_names=manifest.get("class_names"),
-                               score_thr=manifest.get("score_thr"), **qkw)
+                               score_thr=manifest.get("score_thr"),
+                               options=manifest.get("options"), **qkw)
         if async_batching:
             det = AsyncDetector(det, max_batch=max_batch,
                                 batch_window_ms=batch_window_ms,
@@ -421,13 +440,23 @@ class DetectionService:
 
     def predict(self, name: str, body: bytes) -> list:
         det, manifest = self.models[name]
-        image = _decode_image(body)
-        if isinstance(det, AsyncDetector):
-            # concurrent HTTP handler threads funnel into the batching
-            # worker: dynamic batching + multi-stream pipelining
-            out = det.submit(image).result()
-        else:
-            out = det.detect(image)
+        t0 = time.time()
+        try:
+            image = _decode_image(body)
+            if isinstance(det, AsyncDetector):
+                # concurrent HTTP handler threads funnel into the
+                # batching worker: dynamic batching + pipelining
+                out = det.submit(image).result()
+            else:
+                out = det.detect(image)
+        except Exception:
+            with self._stats_lock:
+                self._stats[name]["errors"] += 1
+            raise
+        with self._stats_lock:
+            st = self._stats[name]
+            st["requests"] += 1
+            st["lat_ms"].append((time.time() - t0) * 1e3)
         names = getattr(det, "class_names", None)
         results = []
         for box, score, label in zip(out["boxes"], out["scores"],
@@ -442,6 +471,36 @@ class DetectionService:
             })
         return results
 
+    def metrics_text(self) -> str:
+        """Prometheus text exposition (the torchserve ``/metrics`` API
+        analog): per-model request/error counters, latency quantiles
+        over the last 1024 requests, async queue depth."""
+        lines = [
+            "# TYPE glsdet_requests_total counter",
+            "# TYPE glsdet_errors_total counter",
+            "# TYPE glsdet_request_latency_ms summary",
+            "# TYPE glsdet_queue_depth gauge",
+        ]
+        with self._stats_lock:
+            snap = {n: (s["requests"], s["errors"], list(s["lat_ms"]))
+                    for n, s in self._stats.items()}
+        for name in sorted(snap):
+            req, err, lat = snap[name]
+            lines.append(f'glsdet_requests_total{{model="{name}"}} {req}')
+            lines.append(f'glsdet_errors_total{{model="{name}"}} {err}')
+            if lat:
+                arr = np.sort(np.asarray(lat))
+                for q in (0.5, 0.9, 0.99):
+                    v = float(arr[min(int(q * len(arr)), len(arr) - 1)])
+                    lines.append(
+                        f'glsdet_request_latency_ms{{model="{name}",'
+                        f'quantile="{q}"}} {v:.3f}')
+            det = self.models[name][0]
+            if isinstance(det, AsyncDetector):
+                lines.append(f'glsdet_queue_depth{{model="{name}"}} '
+                             f'{det._q.qsize()}')
+        return "\n".join(lines) + "\n"
+
 
 def make_server(service: DetectionService, host: str = "127.0.0.1",
                 port: int = 8080):
@@ -450,6 +509,7 @@ def make_server(service: DetectionService, host: str = "127.0.0.1",
 
     - ``GET /ping`` -> {"status": "Healthy"}
     - ``GET /models`` -> registered model list
+    - ``GET /metrics`` -> Prometheus text (requests/errors/latency/queue)
     - ``POST /predictions/<model>`` with image bytes -> detection JSON
     """
     from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
@@ -471,6 +531,14 @@ def make_server(service: DetectionService, host: str = "127.0.0.1",
                 self._send(200, {"status": "Healthy"})
             elif self.path == "/models":
                 self._send(200, {"models": sorted(service.models)})
+            elif self.path == "/metrics":
+                data = service.metrics_text().encode()
+                self.send_response(200)
+                self.send_header("Content-Type",
+                                 "text/plain; version=0.0.4")
+                self.send_header("Content-Length", str(len(data)))
+                self.end_headers()
+                self.wfile.write(data)
             else:
                 self._send(404, {"error": f"unknown path {self.path}"})
 

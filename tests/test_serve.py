@@ -142,6 +142,36 @@ class TestServer:
             out = json.loads(r.read())
         assert out[0]["bbox"] == [1.0, 2.0, 31.0, 23.0]
 
+    def test_metrics_endpoint(self, server):
+        import base64
+
+        img = np.full((20, 30, 3), 128, np.uint8)
+        body = json.dumps({
+            "image": base64.b64encode(img.tobytes()).decode(),
+            "shape": [20, 30, 3], "dtype": "uint8",
+        }).encode()
+        for _ in range(3):
+            req = urllib.request.Request(f"{server}/predictions/stub",
+                                         data=body, method="POST")
+            urllib.request.urlopen(req, timeout=10).read()
+        with urllib.request.urlopen(f"{server}/metrics", timeout=10) as r:
+            assert r.status == 200
+            assert "text/plain" in r.headers["Content-Type"]
+            text = r.read().decode()
+        assert 'glsdet_requests_total{model="stub"} 3' in text
+        assert 'glsdet_errors_total{model="stub"} 0' in text
+        assert 'quantile="0.5"' in text
+
+    def test_metrics_counts_errors(self, server):
+        req = urllib.request.Request(f"{server}/predictions/stub",
+                                     data=b"not-an-image", method="POST")
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(req, timeout=10)
+        assert ei.value.code == 500
+        with urllib.request.urlopen(f"{server}/metrics", timeout=10) as r:
+            text = r.read().decode()
+        assert 'glsdet_errors_total{model="stub"} 1' in text
+
     def test_unknown_model_404(self, server):
         req = urllib.request.Request(f"{server}/predictions/nope",
                                      data=b"x", method="POST")

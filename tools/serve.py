@@ -46,6 +46,12 @@ def main():
                    help="saved-scales json (ops/quant_static.save_scales "
                         "/ the CLIs' --int8-scales) to embed so serving "
                         "never re-calibrates")
+    a.add_argument("--cfg-options", nargs="*", metavar="KEY=VAL",
+                   help="config overrides the model was trained with; "
+                        "embedded in the manifest and replayed at serve "
+                        "time")
+    a.add_argument("--mp-cfg-options", nargs="*", metavar="KEY=VAL",
+                   help="stage-2 config overrides (two-stage archives)")
 
     s = sub.add_parser("serve", help="serve archives over HTTP")
     s.add_argument("--model-store", required=True,
@@ -72,6 +78,8 @@ def main():
                                   make_server)
 
     if args.cmd == "archive":
+        from glsdet_tpu.config import parse_cfg_options
+
         quant8 = {"static": "static", "dynamic": True}.get(args.int8, False)
         path = archive_model(args.config, args.checkpoint, args.output,
                              model_name=args.model_name,
@@ -79,7 +87,10 @@ def main():
                              mp_config=args.mp_config,
                              mp_checkpoint_dir=args.mp_checkpoint,
                              fuse_global=not args.no_fuse_global,
-                             quant8=quant8, int8_scales=args.int8_scales)
+                             quant8=quant8, int8_scales=args.int8_scales,
+                             options=parse_cfg_options(args.cfg_options),
+                             mp_options=parse_cfg_options(
+                                 args.mp_cfg_options))
         print(f"wrote {path}")
         return
 
