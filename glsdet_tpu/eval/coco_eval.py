@@ -213,7 +213,9 @@ class CocoEvaluator:
             valid = s[s > -1]
             return float(np.mean(valid)) if valid.size else -1.0
 
-        md_lo, md_mid, md_hi = (self.max_dets + self.max_dets[:2])[:3]
+        # AR rows want three det caps; repeat the last when fewer given
+        md_lo, md_mid, md_hi = (
+            self.max_dets + (self.max_dets[-1],) * 2)[:3]
         stats = np.array([
             _summ(True),
             _summ(True, iou=0.5),

@@ -144,12 +144,17 @@ def run_eval(
         # --out analog): submission format without running the evaluator
         import json
 
+        # contiguous label -> the dataset's own COCO category id (our
+        # VisDrone converter writes 0-based ids per the reference's
+        # cls-1 mapping; stock COCO is 1-based — don't assume either)
+        cat_ids = getattr(dataset, "cat_ids", None)
         dump = []
         for img_id, (xywh, ss, ll) in dets_by_img.items():
             for box, sc, lb in zip(xywh, ss, ll):
                 dump.append({
                     "image_id": int(img_id),
-                    "category_id": int(lb) + 1,
+                    "category_id": (int(cat_ids[int(lb)]) if cat_ids
+                                    else int(lb) + 1),
                     "bbox": [round(float(v), 2) for v in box],
                     "score": round(float(sc), 5),
                 })
