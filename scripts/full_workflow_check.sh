@@ -77,4 +77,27 @@ python tools/ufpmp_det_eval.py \
   --second-options model.depth=18 model.dtype=float32 \
   2>&1 | tail -20
 
+echo "=== stage 5: tooling sweep (ckpt/predict/offline-eval/robustness) ==="
+COARSE_OPTS="model.phi=nano model.dtype=float32 model.num_classes=10 data.img_hw=(256,256)"
+python tools/ckpt_tool.py inspect "$WD/coarse/epoch_60" | head -4
+python tools/ckpt_tool.py strip "$WD/coarse/epoch_60" "$WD/coarse/stripped"
+python tools/predict.py predict "$WD/images/0001.jpg" \
+  --config coarse_det --checkpoint "$WD/coarse/stripped" \
+  --output "$WD/predict_out.png" --draw-thr 0.05 \
+  --cfg-options $COARSE_OPTS \
+  && test -f "$WD/predict_out.png"
+python tools/test.py coarse_det --ckpt "$WD/coarse/stripped" \
+  --ann "$WD/train.json" --img-root "$WD/images" --max-images 8 \
+  --out "$WD/coarse_dets.json" --show-dir "$WD/show" \
+  --cfg-options $COARSE_OPTS eval.score_thr=0.05 | tail -3
+test -n "$(ls "$WD/show")"
+python tools/eval_metric.py "$WD/coarse_dets.json" --ann "$WD/train.json" | head -2
+python tools/analyze_results.py "$WD/coarse_dets.json" --ann "$WD/train.json" \
+  --img-root "$WD/images" --out-dir "$WD/analysis" --topk 2 | tail -1
+python tools/test_robustness.py coarse_det --ckpt "$WD/coarse/stripped" \
+  --ann "$WD/train.json" --img-root "$WD/images" --max-images 8 \
+  --corruptions contrast --severities 3 \
+  --cfg-options $COARSE_OPTS eval.score_thr=0.05 | tail -3
+python tools/summary.py coarse_det --shape 256 256 --depth 1 | tail -2
+
 echo "WORKFLOW CHECK COMPLETE"

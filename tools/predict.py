@@ -26,13 +26,18 @@ IMG_EXTS = (".jpg", ".jpeg", ".png", ".bmp", ".tif", ".tiff", ".webp")
 def build_detector(args):
     from glsdet_tpu.apis import Detector, TwoStageDetector
 
+    from glsdet_tpu.config import parse_cfg_options
+
+    opts = parse_cfg_options(args.cfg_options)
     if args.mp_config:
         return TwoStageDetector(
             args.config, args.checkpoint,
             mp_config=args.mp_config, mp_checkpoint=args.mp_checkpoint,
-            score_thr=args.score_thr)
+            score_thr=args.score_thr,
+            coarse_options=opts,
+            mp_options=parse_cfg_options(args.mp_cfg_options))
     return Detector(args.config, args.checkpoint,
-                    score_thr=args.score_thr)
+                    score_thr=args.score_thr, options=opts)
 
 
 def annotate(det, image, score_thr):
@@ -153,6 +158,9 @@ def main():
     ap.add_argument("--video-fps", type=float, default=None)
     ap.add_argument("--max-frames", type=int, default=0,
                     help="video mode: stop after N frames (0 = all)")
+    ap.add_argument("--cfg-options", nargs="*", metavar="KEY=VAL")
+    ap.add_argument("--mp-cfg-options", nargs="*", metavar="KEY=VAL",
+                    help="stage-2 overrides (with --mp-config)")
     args = ap.parse_args()
     if args.mode != "video" and not args.input:
         ap.error(f"mode {args.mode} requires an input path")
