@@ -22,9 +22,13 @@ implementation with identical semantics lives in ``glsdet_tpu/native``
 for zero-Python-overhead dataset builds.
 
 Unlike the reference, region identity is tracked by index through the
-packing instead of re-matching rectangles by (w, h) afterwards (which is
-ambiguous under duplicate sizes); placements are identical, bookkeeping is
-deterministic.
+packing instead of re-matching rectangles by (w, h) afterwards.  The
+reference's re-match loop (unified_foreground_packing.py:163-177) lacks a
+break, so duplicate-size regions all collapse onto the first matching
+rectangle's slot and overlap in the mosaic; index tracking keeps each
+region in its own strip-pack slot.  For distinct sizes (the generic
+case) layouts are bit-identical — verified directly against the
+reference implementation in tests/test_reference_parity.py.
 """
 
 from __future__ import annotations
