@@ -116,3 +116,41 @@ def make_batch(samples: Sequence[dict]) -> dict:
         k: np.stack([s[k] for s in samples], axis=0)
         for k in samples[0]
     }
+
+
+def images_to_coco(img_dir: str, out_json: str = "",
+                   class_names: Sequence[str] = (),
+                   exts: Sequence[str] = (".jpg", ".jpeg", ".png", ".bmp"),
+                   read_sizes: bool = True) -> dict:
+    """Annotation-less COCO json from a directory of images.
+
+    Behavioral reference: ``yolox-ufp/tools/dataset_converters/
+    images2coco.py`` — wraps unlabeled images so inference/test tooling
+    (tools/test.py --format-only, browse_dataset) can run on them.
+    ``read_sizes=False`` skips decoding (width/height set to 0).
+    """
+    files = sorted(f for f in os.listdir(img_dir)
+                   if os.path.splitext(f)[1].lower() in exts)
+    images = []
+    for i, name in enumerate(files, start=1):
+        w = h = 0
+        if read_sizes:
+            import cv2
+
+            img = cv2.imread(os.path.join(img_dir, name))
+            if img is not None:
+                h, w = img.shape[:2]
+        images.append({"id": i, "file_name": name,
+                       "width": w, "height": h})
+    coco = {
+        "images": images,
+        "annotations": [],
+        "categories": [{"id": i + 1, "name": n}
+                       for i, n in enumerate(class_names)],
+    }
+    if out_json:
+        os.makedirs(os.path.dirname(os.path.abspath(out_json)),
+                    exist_ok=True)
+        with open(out_json, "w") as f:
+            json.dump(coco, f)
+    return coco

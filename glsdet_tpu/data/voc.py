@@ -99,6 +99,67 @@ def voc_to_coco(voc_root: str, out_json: str,
     return coco
 
 
+def coco_to_voc(coco: dict, dst_root: str, split: str = "train",
+                database: str = "glsdet") -> int:
+    """Write a VOC2007-layout dataset skeleton from a COCO dict.
+
+    Behavioral reference: ``yolox-drone/tools/basetools/
+    format_converter.py`` (annotation -> VOC xml templates) +
+    ``init_datasets.py`` (VOC2007 directory skeleton with
+    Annotations/ ImageSets/Main/ JPEGImages/).  Images themselves are
+    not copied — ``JPEGImages/`` is created for the caller to populate
+    (the reference copies from a hardcoded source dir).
+
+    Returns the number of xml files written.
+    """
+    sec = os.path.join(dst_root, "VOC2007")
+    ann_dir = os.path.join(sec, "Annotations")
+    set_dir = os.path.join(sec, "ImageSets", "Main")
+    img_dir = os.path.join(sec, "JPEGImages")
+    for d in (ann_dir, set_dir, img_dir):
+        os.makedirs(d, exist_ok=True)
+
+    names = {c["id"]: c["name"] for c in coco.get("categories", [])}
+    by_img = {}
+    for a in coco.get("annotations", []):
+        by_img.setdefault(a["image_id"], []).append(a)
+
+    stems = []
+    for img in coco.get("images", []):
+        stem = os.path.splitext(os.path.basename(img["file_name"]))[0]
+        stems.append(stem)
+        root = ET.Element("annotation")
+        ET.SubElement(root, "folder").text = "VOC2007"
+        ET.SubElement(root, "filename").text = os.path.basename(
+            img["file_name"])
+        src = ET.SubElement(root, "source")
+        ET.SubElement(src, "database").text = database
+        size = ET.SubElement(root, "size")
+        ET.SubElement(size, "width").text = str(img.get("width", 0))
+        ET.SubElement(size, "height").text = str(img.get("height", 0))
+        ET.SubElement(size, "depth").text = "3"
+        ET.SubElement(root, "segmented").text = "0"
+        for a in by_img.get(img["id"], []):
+            x, y, w, h = a["bbox"]
+            obj = ET.SubElement(root, "object")
+            ET.SubElement(obj, "name").text = names.get(
+                a["category_id"], str(a["category_id"]))
+            ET.SubElement(obj, "pose").text = "Unspecified"
+            ET.SubElement(obj, "truncated").text = "0"
+            ET.SubElement(obj, "difficult").text = str(
+                int(a.get("iscrowd", 0)))
+            bb = ET.SubElement(obj, "bndbox")
+            ET.SubElement(bb, "xmin").text = str(int(round(x)))
+            ET.SubElement(bb, "ymin").text = str(int(round(y)))
+            ET.SubElement(bb, "xmax").text = str(int(round(x + w)))
+            ET.SubElement(bb, "ymax").text = str(int(round(y + h)))
+        ET.ElementTree(root).write(os.path.join(ann_dir, stem + ".xml"))
+
+    with open(os.path.join(set_dir, f"{split}.txt"), "w") as f:
+        f.write("\n".join(stems) + ("\n" if stems else ""))
+    return len(stems)
+
+
 def voc_to_txt_lines(voc_root: str, class_names: Sequence[str],
                      split: str = "train",
                      image_dir: str = "JPEGImages") -> List[str]:

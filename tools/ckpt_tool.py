@@ -14,6 +14,8 @@ this framework's orbax checkpoints (TrainState pytrees):
   and ``apis.init_detector``).
 - ``swap-ema <src> <dst>``: exchange params <-> ema_params (serve the
   raw weights, or continue training from the EMA point).
+- ``publish <src> <dst>``: strip + rename to ``<dst>-<sha256[:8]>``
+  (tools/model_converters/publish_model.py analog).
 """
 
 from __future__ import annotations
@@ -85,6 +87,45 @@ def cmd_strip(args, raw):
           f"({size / 1e6:.2f}M params, {nbytes / 1e6:.1f} MB)")
 
 
+def cmd_publish(args, raw):
+    """Weights-only artifact with a content-hash-stamped name.
+
+    The ``tools/model_converters/publish_model.py`` analog: strip the
+    optimizer state, save, then append ``-<sha256[:8]>`` to the
+    directory name so published checkpoints are content-addressed.
+    """
+    import hashlib
+
+    keep = {"params", "batch_stats", "boiw"}
+    if args.keep_ema:
+        keep.add("ema_params")
+    from flax.traverse_util import flatten_dict
+
+    out = {k: v for k, v in raw.items() if k in keep and v is not None}
+    dst = args.dst.rstrip("/")
+    _save(dst, out)
+
+    # hash the pytree (key paths + dtypes + shapes + bytes), not the
+    # serialized files: orbax metadata embeds timestamps/paths, which
+    # would break content addressing
+    h = hashlib.sha256()
+    for key, val in sorted(flatten_dict(out).items()):
+        val = np.asarray(val)
+        h.update("/".join(map(str, key)).encode())
+        h.update(str(val.dtype).encode())
+        h.update(str(val.shape).encode())
+        h.update(np.ascontiguousarray(val).tobytes())
+    final = f"{dst}-{h.hexdigest()[:8]}"
+    if os.path.exists(final):
+        import shutil
+
+        shutil.rmtree(final)
+    os.rename(dst, final)
+    n, size, nbytes = _section_stats(out)
+    print(f"{args.src} -> {final}: {sorted(out)} "
+          f"({size / 1e6:.2f}M params, {nbytes / 1e6:.1f} MB)")
+
+
 def cmd_swap_ema(args, raw):
     if "ema_params" not in raw:
         raise SystemExit(f"{args.src} has no ema_params section")
@@ -114,6 +155,12 @@ def main():
     p.add_argument("--keep-ema", action=argparse.BooleanOptionalAction,
                    default=True)
 
+    p = sub.add_parser("publish")
+    p.add_argument("src")
+    p.add_argument("dst")
+    p.add_argument("--keep-ema", action=argparse.BooleanOptionalAction,
+                   default=True)
+
     p = sub.add_parser("swap-ema")
     p.add_argument("src")
     p.add_argument("dst")
@@ -128,7 +175,8 @@ def main():
     if not isinstance(raw, dict):
         raw = serialization.to_state_dict(raw)
     {"inspect": cmd_inspect, "restamp": cmd_restamp,
-     "strip": cmd_strip, "swap-ema": cmd_swap_ema}[args.cmd](args, raw)
+     "strip": cmd_strip, "publish": cmd_publish,
+     "swap-ema": cmd_swap_ema}[args.cmd](args, raw)
 
 
 if __name__ == "__main__":

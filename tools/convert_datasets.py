@@ -7,6 +7,10 @@ SURVEY.md §0).
 
     python tools/convert_datasets.py visdrone <root> <out.json>
     python tools/convert_datasets.py uavdt <root> <out.json> --split test
+    python tools/convert_datasets.py images <img_dir> <out.json> \\
+        --classes visdrone          # images2coco.py analog (no annos)
+    python tools/convert_datasets.py coco2voc <ann.json> <dst_root>  \\
+        # basetools format_converter/init_datasets analog (VOC skeleton)
 """
 
 from __future__ import annotations
@@ -21,9 +25,10 @@ import argparse
 
 def main():
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("dataset", choices=["visdrone", "uavdt", "voc"])
-    ap.add_argument("root")
-    ap.add_argument("out_json")
+    ap.add_argument("dataset", choices=["visdrone", "uavdt", "voc",
+                                        "images", "coco2voc"])
+    ap.add_argument("root", help="dataset root (coco2voc: input json)")
+    ap.add_argument("out_json", help="output json (coco2voc: dst root)")
     ap.add_argument("--split", default="train",
                     choices=["train", "val", "test", "trainval"])
     ap.add_argument("--image-dir", default="images")
@@ -33,6 +38,28 @@ def main():
                          "comma-separated class list")
     args = ap.parse_args()
 
+    if args.dataset == "coco2voc":
+        import json
+
+        from glsdet_tpu.data.voc import coco_to_voc
+
+        with open(args.root) as f:
+            coco = json.load(f)
+        n = coco_to_voc(coco, args.out_json, split=args.split)
+        print(f"{n} xml annotations -> {args.out_json}/VOC2007")
+        return
+    if args.dataset == "images":
+        from glsdet_tpu.data.coco import images_to_coco
+        from glsdet_tpu.data.uavdt import UAVDT_CLASSES
+        from glsdet_tpu.data.visdrone import VISDRONE_CLASSES
+
+        names = {"visdrone": VISDRONE_CLASSES,
+                 "uavdt": UAVDT_CLASSES}.get(
+                     args.classes, tuple(args.classes.split(",")))
+        coco = images_to_coco(args.root, args.out_json, names)
+        print(f"{len(coco['images'])} images (no annotations) "
+              f"-> {args.out_json}")
+        return
     if args.dataset == "voc":
         from glsdet_tpu.data.uavdt import UAVDT_CLASSES
         from glsdet_tpu.data.visdrone import VISDRONE_CLASSES

@@ -19,6 +19,47 @@ import glob
 import os
 
 
+def _client(args):
+    """POST an image to a running server and print the detections.
+
+    Mirrors ``tools/deployment/test_torchserver.py`` (which posts an
+    image to torchserve and compares against local inference) minus the
+    local-model comparison; with ``--repeat`` it doubles as a latency
+    probe against the live endpoint.
+    """
+    import json
+    import time
+    import urllib.request
+
+    base = args.url.rstrip("/")
+    with urllib.request.urlopen(base + "/ping", timeout=10) as r:
+        print("ping:", r.read().decode().strip())
+    model = args.model
+    if model is None:
+        with urllib.request.urlopen(base + "/models", timeout=10) as r:
+            models = json.loads(r.read().decode())["models"]
+        if not models:
+            raise SystemExit("server has no registered models")
+        model = models[0]
+    with open(args.image, "rb") as f:
+        payload = f.read()
+
+    url = f"{base}/predictions/{model}"
+    times, result = [], None
+    for _ in range(max(1, args.repeat)):
+        req = urllib.request.Request(
+            url, data=payload,
+            headers={"Content-Type": "application/octet-stream"})
+        t0 = time.perf_counter()
+        with urllib.request.urlopen(req, timeout=120) as r:
+            result = json.loads(r.read().decode())
+        times.append(time.perf_counter() - t0)
+    dets = result if isinstance(result, list) else [result]
+    print(f"{model}: {len(dets)} detections "
+          f"(latency {min(times) * 1e3:.1f} ms best of {len(times)})")
+    print(json.dumps(dets[:10], indent=2))
+
+
 def main():
     ap = argparse.ArgumentParser(description=__doc__)
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -72,7 +113,20 @@ def main():
                    help="'all' or a count: round-robin two-stage "
                         "request batches over several chips")
 
+    c = sub.add_parser("client", help="exercise a running server "
+                       "(tools/deployment/test_torchserver.py analog)")
+    c.add_argument("image", help="image file to POST")
+    c.add_argument("--model", default=None,
+                   help="model name (default: first of GET /models)")
+    c.add_argument("--url", default="http://127.0.0.1:8080")
+    c.add_argument("--repeat", type=int, default=1,
+                   help="POST the image N times and report latency")
+
     args = ap.parse_args()
+
+    if args.cmd == "client":
+        _client(args)
+        return
 
     from glsdet_tpu.serve import (DetectionService, archive_model,
                                   make_server)
