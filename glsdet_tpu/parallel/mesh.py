@@ -64,6 +64,37 @@ def init_distributed(coordinator_address: Optional[str] = None,
     jax.distributed.initialize(**kwargs)
 
 
+def maybe_init_distributed(coordinator_address: Optional[str] = None,
+                           num_processes: Optional[int] = None,
+                           process_id: Optional[int] = None) -> bool:
+    """CLI/env-driven multi-host init; no-op when nothing is configured.
+
+    Resolution order per field: explicit argument, then
+    ``GLSDET_COORDINATOR`` / ``GLSDET_NUM_PROCESSES`` /
+    ``GLSDET_PROCESS_ID`` env (set by scripts/dist_train.sh, the
+    torch.distributed.launch analog), then SLURM step env
+    (``SLURM_NTASKS`` / ``SLURM_PROCID``, scripts/slurm_train.sh —
+    mirrors the reference's tools/slurm_train.sh srun launch).  Returns
+    True when jax.distributed was initialized.
+    """
+    import os
+
+    coordinator_address = (coordinator_address
+                           or os.environ.get("GLSDET_COORDINATOR"))
+    if num_processes is None:
+        env = os.environ.get("GLSDET_NUM_PROCESSES",
+                             os.environ.get("SLURM_NTASKS"))
+        num_processes = int(env) if env else None
+    if process_id is None:
+        env = os.environ.get("GLSDET_PROCESS_ID",
+                             os.environ.get("SLURM_PROCID"))
+        process_id = int(env) if env else None
+    if coordinator_address is None and num_processes is None:
+        return False
+    init_distributed(coordinator_address, num_processes, process_id)
+    return True
+
+
 def multiscale_size(step: int, sizes, interval: int = 10,
                     seed: int = 42):
     """Deterministic multi-scale schedule.

@@ -239,6 +239,40 @@ def train(cfg: Config, dataset: Optional[CocoDataset] = None,
     log_path = os.path.join(cfg.train.work_dir, "train.log.json")
     rng = jax.random.PRNGKey(cfg.train.seed)
 
+    # ── parallel layout ──────────────────────────────────────────────
+    # cfg.data.batch_size is the GLOBAL batch.  Single process: shard it
+    # over the largest device prefix that divides it (1 device = the
+    # unsharded fast path, identical to before).  Multi-process (the
+    # dist_train.sh / DDP analog): every process loads its 1/n_proc
+    # slice via DistributedGroupSampler and the slices are assembled
+    # into one global array per step — the reference's
+    # MMDistributedDataParallel data path (mmdet/apis/train.py:113-121)
+    # as a global-view jit.
+    n_proc = jax.process_count()
+    is_main = jax.process_index() == 0
+    if n_proc > 1:
+        if cfg.data.batch_size % (n_proc * jax.local_device_count()):
+            raise ValueError(
+                f"global batch {cfg.data.batch_size} not divisible by "
+                f"{n_proc} processes x {jax.local_device_count()} "
+                "local devices")
+        n_use = len(jax.devices())
+    else:
+        n_use = len(jax.devices())
+        while cfg.data.batch_size % n_use:
+            n_use -= 1
+    mesh = None
+    if n_use > 1 or n_proc > 1:
+        from glsdet_tpu.parallel.mesh import data_mesh
+
+        mesh = data_mesh(None if n_proc > 1 else n_use)
+        batch_sh = jax.sharding.NamedSharding(
+            mesh, jax.sharding.PartitionSpec("data"))
+        repl_sh = jax.sharding.NamedSharding(
+            mesh, jax.sharding.PartitionSpec())
+        logger.info("data-parallel mesh: %d devices, %d processes",
+                    n_use, n_proc)
+
     if dataset is None:
         dataset = CocoDataset(cfg.data.ann_file, cfg.data.img_root,
                               filter_empty=True)
@@ -264,6 +298,8 @@ def train(cfg: Config, dataset: Optional[CocoDataset] = None,
         boiw = init_boiw(rng, cfg.model.num_classes, cfg.model.num_words,
                          cfg.model.feat_channels, cfg.model.proxies_list)
     state = TrainState.create(variables, tx, rng, boiw=boiw)
+    if mesh is not None:
+        state = jax.device_put(state, repl_sh)
 
     if cfg.train.resume:
         state = restore_checkpoint(cfg.train.resume, state)
@@ -276,6 +312,8 @@ def train(cfg: Config, dataset: Optional[CocoDataset] = None,
                     n_loaded, cfg.train.load_from, len(skipped))
         for key, reason in skipped:
             logger.info("  skipped %s: %s", key, reason)
+    if mesh is not None:   # restored/loaded leaves back onto the mesh
+        state = jax.device_put(state, repl_sh)
 
     # donate the state buffers: params/opt-state/EMA update in place
     # instead of allocating a second copy every step
@@ -300,9 +338,29 @@ def train(cfg: Config, dataset: Optional[CocoDataset] = None,
             model, tx, cfg.data.img_hw, use_l1=True, strides=strides,
             normalize=True), donate_argnums=(0,))
 
-    loader = train_loader(pipeline, cfg.data.batch_size,
-                          seed=cfg.train.seed,
-                          num_threads=cfg.data.num_workers)
+    local_batch = cfg.data.batch_size // n_proc
+    sampler = None
+    if n_proc > 1:
+        from glsdet_tpu.data.loader import DistributedGroupSampler
+
+        sampler = DistributedGroupSampler(
+            dataset, local_batch, num_replicas=n_proc,
+            rank=jax.process_index(), seed=cfg.train.seed)
+    loader = train_loader(pipeline, local_batch,
+                          seed=cfg.train.seed + jax.process_index(),
+                          num_threads=cfg.data.num_workers,
+                          sampler=sampler)
+
+    def put_batch(batch):
+        if n_proc > 1:
+            return {
+                k: jax.make_array_from_process_local_data(
+                    batch_sh, v, (cfg.data.batch_size, *v.shape[1:]))
+                for k, v in batch.items()
+            }
+        if mesh is not None:
+            return jax.device_put(batch, batch_sh)
+        return {k: jnp.asarray(v) for k, v in batch.items()}
 
     start_epoch = int(state.step) // steps_per_epoch
     global_step = int(state.step)
@@ -330,8 +388,7 @@ def train(cfg: Config, dataset: Optional[CocoDataset] = None,
                 finish_checkpoints()
                 return state
             batch = next(loader)
-            batch = {k: jnp.asarray(v) for k, v in batch.items()}
-            state, metrics = fn(state, batch)
+            state, metrics = fn(state, put_batch(batch))
             global_step += 1
 
             # bound in-flight async work: without a periodic real sync the
@@ -362,15 +419,18 @@ def train(cfg: Config, dataset: Optional[CocoDataset] = None,
                          "iter": it + 1, "step": global_step,
                          "time": round(dt, 4), **vals}
                 logger.info("%s", entry)
-                with open(log_path, "a") as f:
-                    f.write(json.dumps(entry) + "\n")
+                if is_main:
+                    with open(log_path, "a") as f:
+                        f.write(json.dumps(entry) + "\n")
 
-        if (epoch + 1) % cfg.train.ckpt_interval == 0:
+        # state is replicated, so process 0 alone writes checkpoints and
+        # runs the eval hook (the reference gates these on rank 0 too)
+        if is_main and (epoch + 1) % cfg.train.ckpt_interval == 0:
             # async: disk write overlaps the next epoch (joined by the
             # next save or by finish_checkpoints below)
             save_checkpoint(cfg.train.work_dir, state, epoch + 1,
                             wait=False)
-        if eval_fn is not None:
+        if eval_fn is not None and is_main:
             eval_fn(state, epoch + 1)
 
     finish_checkpoints()

@@ -120,3 +120,59 @@ def test_multihost_two_process_smoke():
         env=env, capture_output=True, text=True, timeout=570)
     assert r.returncode == 0, r.stdout[-3000:] + r.stderr[-2000:]
     assert "multihost smoke: PASS" in r.stdout
+
+
+def test_train_loop_uses_data_mesh(tmp_path):
+    """train() shards the global batch over the device mesh.
+
+    The production training path (tools/train.py -> loop.train) must
+    run data-parallel over all local devices when the global batch
+    divides — the MMDataParallel analog (mmdet/apis/train.py:123-124),
+    validated here on the virtual 8-device CPU mesh.
+    """
+    import json
+
+    import cv2
+    import numpy as np
+
+    from glsdet_tpu.config import apply_overrides, get_config
+    from glsdet_tpu.train.loop import train
+
+    img_dir = tmp_path / "images"
+    img_dir.mkdir()
+    rs = np.random.RandomState(0)
+    images, annotations = [], []
+    for i in range(8):
+        img = rs.randint(0, 255, (64, 64, 3), np.uint8)
+        cv2.imwrite(str(img_dir / f"{i}.jpg"), img)
+        images.append({"id": i + 1, "file_name": f"{i}.jpg",
+                       "width": 64, "height": 64})
+        annotations.append({
+            "id": i + 1, "image_id": i + 1, "category_id": 1,
+            "bbox": [8, 8, 24, 24], "area": 576, "iscrowd": 0})
+    ann = tmp_path / "train.json"
+    ann.write_text(json.dumps({
+        "images": images, "annotations": annotations,
+        "categories": [{"id": 1, "name": "car"}]}))
+
+    cfg = get_config("coarse_det")
+    apply_overrides(cfg, {
+        "model.phi": "nano", "model.dtype": "float32",
+        "model.num_classes": 1,
+        "data.ann_file": str(ann), "data.img_root": str(img_dir),
+        "data.img_hw": (64, 64), "data.batch_size": 8,
+        "data.max_gt": 4, "data.mosaic": False, "data.mixup": False,
+        "data.hsv": False, "data.flip_prob": 0.0, "data.num_workers": 2,
+        "train.epochs": 2, "train.ckpt_interval": 100,
+        "train.log_interval": 1,
+        "train.work_dir": str(tmp_path / "wd"),
+    })
+    state = train(cfg, max_steps=2)
+
+    import jax
+
+    assert int(state.step) == 2
+    # the returned state lives on the 8-device mesh, replicated
+    leaf = jax.tree_util.tree_leaves(state.params)[0]
+    assert len(leaf.sharding.device_set) == len(jax.devices())
+    assert leaf.sharding.is_fully_replicated

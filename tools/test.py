@@ -46,9 +46,21 @@ def main():
     ap.add_argument("--cfg-options", nargs="*", metavar="KEY=VAL")
     ap.add_argument("--format-only", action="store_true",
                     help="write --out without evaluating")
+    ap.add_argument("--dist-coordinator", default=None,
+                    metavar="HOST:PORT",
+                    help="multi-host coordinator (dist_test.sh analog; "
+                         "defaults from GLSDET_COORDINATOR / SLURM env)")
+    ap.add_argument("--dist-num-processes", type=int, default=None)
+    ap.add_argument("--dist-process-id", type=int, default=None)
     args = ap.parse_args()
     if args.format_only and not args.out:
         ap.error("--format-only requires --out")
+
+    from glsdet_tpu.parallel.mesh import maybe_init_distributed
+
+    dist = maybe_init_distributed(args.dist_coordinator,
+                                  args.dist_num_processes,
+                                  args.dist_process_id)
 
     import jax
     import jax.numpy as jnp
@@ -131,6 +143,9 @@ def main():
         variables=variables, out_json=args.out,
         format_only=args.format_only,
         show_dir=args.show_dir, show_score_thr=args.show_score_thr)
+
+    if dist:
+        jax.distributed.shutdown()
 
 
 if __name__ == "__main__":

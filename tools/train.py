@@ -34,10 +34,23 @@ def main():
     ap.add_argument("--seed", type=int)
     ap.add_argument("--max-steps", type=int, help="truncate (smoke tests)")
     ap.add_argument("--cfg-options", nargs="*", metavar="KEY=VAL")
+    ap.add_argument("--dist-coordinator", default=None,
+                    metavar="HOST:PORT",
+                    help="multi-host coordinator address "
+                         "(tools/dist_train.sh --launcher analog; "
+                         "defaults from GLSDET_COORDINATOR / SLURM env)")
+    ap.add_argument("--dist-num-processes", type=int, default=None)
+    ap.add_argument("--dist-process-id", type=int, default=None)
     args = ap.parse_args()
 
     logging.basicConfig(level=logging.INFO,
                         format="%(asctime)s %(levelname)s %(message)s")
+
+    from glsdet_tpu.parallel.mesh import maybe_init_distributed
+
+    dist = maybe_init_distributed(args.dist_coordinator,
+                                  args.dist_num_processes,
+                                  args.dist_process_id)
 
     from glsdet_tpu.config import (apply_overrides, get_config,
                                    parse_cfg_options)
@@ -85,6 +98,13 @@ def main():
             print(f"epoch {epoch}: AP={res.ap:.4f} AP50={res.ap50:.4f}")
 
     train(cfg, max_steps=args.max_steps, eval_fn=eval_fn)
+
+    if dist:
+        # barrier before exit: without it the coordinator (process 0)
+        # can vanish while other ranks still poll job state (GRPC noise)
+        import jax
+
+        jax.distributed.shutdown()
 
 
 if __name__ == "__main__":
