@@ -80,7 +80,12 @@ def main():
             lambda v, images: coarse.apply(v, images, train=False),
             lambda v, images: mp.apply(v, images, train=False),
             coarse_hw,
-            mosaic_buckets=(1280,),
+            # this load's mosaics pack to ~980-1065 px (max_coarse_dets
+            # 200-box frames); the 1152 model bucket covers them with no
+            # clipping while running MP-Det on 0.81x the pixels of the
+            # old 1280 bucket (painting stays tile-aligned at 1280 and
+            # crops — see eval/two_stage.py: paint_hw_for)
+            mosaic_buckets=(1152,),
             coarse_score_thr=1e-4,
             coarse_vars=cvars, mp_vars=mvars,
             max_batch=32,

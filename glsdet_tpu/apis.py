@@ -311,6 +311,7 @@ class TwoStageDetector:
             ufp_scale=c_cfg.eval.ufp_scale,
             mosaic_buckets=c_cfg.eval.mosaic_buckets,
             max_regions=c_cfg.eval.max_regions,
+            bucket_policy=getattr(c_cfg.eval, "bucket_policy", "image"),
             coarse_score_thr=c_cfg.eval.coarse_score_thr,
             final_nms_thr=c_cfg.eval.chip_nms_iou,
             max_batch=max_batch,

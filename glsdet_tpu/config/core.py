@@ -77,8 +77,15 @@ class EvalConfig:
     chip_nms_iou: float = 0.6
     fusion_nms_iou: float = 0.65
     coarse_score_thr: float = 0.3
-    mosaic_buckets: Tuple[int, ...] = (768, 1280, 1792, 2688)
+    # model-canvas buckets (128-multiples; painting alignment is
+    # handled separately — eval/two_stage.py: paint_hw_for)
+    mosaic_buckets: Tuple[int, ...] = (768, 1024, 1152, 1280, 1536,
+                                       1792, 2688)
     max_regions: int = 32
+    # "image" (smallest covering bucket per image) or "chunk-max" (one
+    # mosaic group per chunk at the largest needed bucket — avoids pow2
+    # padding waste in chunked/staged serving)
+    bucket_policy: str = "image"
 
 
 @dataclass

@@ -50,7 +50,12 @@ def _prefetch(arr) -> None:
     except Exception:
         pass
 
-DEFAULT_BUCKETS = (768, 1280, 1792, 2688)
+# Model-canvas buckets: multiples of 128 (the coarsest pyramid stride,
+# and the painter's planar lane width).  MP-Det forward cost scales with
+# bucket area, so the ladder is denser around the common VisDrone
+# packing sizes (~1000-1400 px); painting alignment is handled
+# separately (paint_hw_for), so buckets need not be 256-multiples.
+DEFAULT_BUCKETS = (768, 1024, 1152, 1280, 1536, 1792, 2688)
 
 
 def pick_bucket(h: float, w: float, buckets: Sequence[int]) -> int:
@@ -69,6 +74,24 @@ def paint_tile(out_hw: int) -> int:
     256 balances per-row HBM traffic (~tile^2) against the extra rows
     that splitting large chips produces (split_rows_for_tile)."""
     return min(256, out_hw) // 4 * 4
+
+
+def paint_hw_for(hw: int) -> int:
+    """Painting canvas size for a model bucket ``hw``: the next
+    ``paint_tile`` multiple.
+
+    The pallas painter owns aligned (256, 256) canvas tiles, so painting
+    happens at the next 256-multiple and the canvas is cropped back to
+    ``hw`` before the normalize + MP-Det chain (the crop fuses into the
+    normalize read).  This decouples the MODEL canvas — whose area sets
+    the dominant MP-Det forward cost and only needs 128-alignment for
+    the stride-128 pyramid level and the painter's planar lane layout —
+    from the PAINT canvas alignment.  A 1152 bucket therefore runs
+    MP-Det on 0.81x the pixels of the 1280 bucket while still painting
+    with the fast tile-owning kernel (previously any bucket not
+    divisible by 256 fell back to the ~4x slower XLA scan painter)."""
+    t = paint_tile(hw)
+    return -(-hw // t) * t
 
 
 def pack_detections(boxes, scores, labels, valid) -> jnp.ndarray:
@@ -164,6 +187,21 @@ def _unmap_and_nms(det_boxes, det_scores, det_labels, det_valid, regions,
             labels[idx], out_valid)
 
 
+def _collapse_jobs_to_max_bucket(jobs: Dict[int, list]) -> Dict[int, list]:
+    """The ``bucket_policy="chunk-max"`` collapse: all of a chunk's
+    mosaic jobs run at the largest needed bucket, so the chunk stays ONE
+    pow2-padded group (a dense bucket ladder would otherwise fragment a
+    32-image chunk into e.g. 20@1024 + 12@1152 -> padded to 32 + 16
+    mosaic slots).  Job tuples are untouched; collection is keyed by the
+    original image index, so order within the group is free."""
+    if len(jobs) <= 1:
+        return jobs
+    merged: List[tuple] = []
+    for bk in sorted(jobs):
+        merged.extend(jobs[bk])
+    return {max(jobs): merged}
+
+
 class _BatchHandle:
     """In-flight batch state for the streaming submit/dispatch/collect
     protocol (one ``run_batch`` split into its three phases so a server
@@ -202,7 +240,8 @@ class TwoStagePipeline:
                  paint_table_cap: int = 24,
                  quant8=False,
                  act_scales=None,
-                 devices=None):
+                 devices=None,
+                 bucket_policy: str = "image"):
         """Two call conventions:
 
         - coarse_apply(variables, images) with ``coarse_vars`` given
@@ -254,6 +293,15 @@ class TwoStagePipeline:
         self.ufp_scale = ufp_scale
         self.max_regions = max_regions
         self.buckets = tuple(mosaic_buckets)
+        if bucket_policy not in ("image", "chunk-max"):
+            raise ValueError(f"bucket_policy {bucket_policy!r}: expected "
+                             "'image' or 'chunk-max'")
+        # "image": smallest covering bucket per image (minimal canvas,
+        # but a chunk spanning adjacent buckets splits into several
+        # pow2-padded mosaic groups).  "chunk-max": one group per chunk
+        # at the largest needed bucket — no padding waste; the right
+        # choice for chunked/staged serving with a dense bucket ladder.
+        self.bucket_policy = bucket_policy
         self.coarse_score_thr = coarse_score_thr
         self.chip_score_thr = chip_score_thr
         self.final_nms_thr = final_nms_thr
@@ -356,15 +404,22 @@ class TwoStagePipeline:
             # idx: (b,) int32 rows of the chunk to assemble; paint:
             # (b*P, 8) flat tile-split painter rows (8th col = slot in
             # ``idx``) — XLA scan painter — OR (b, NT, NT, K, 8) int32
-            # per-tile tables for the pallas painter.
+            # per-tile tables for the pallas painter.  Painting happens
+            # at the tile-aligned ``paint_hw_for(hw)`` canvas and crops
+            # back to the (model) bucket — see paint_hw_for.
             sel = imgs[idx]
+            ph = paint_hw_for(hw)
             if paint.ndim == 5:
-                return assemble_mosaic_pallas_batch(
-                    sel, paint, hw, hw, tile=paint_tile(hw),
+                canv = assemble_mosaic_pallas_batch(
+                    sel, paint, ph, ph, tile=paint_tile(hw),
                     dtype=mosaic_dtype)
-            return assemble_mosaic_tiled_batch(
-                sel, paint, hw, hw, tile=paint_tile(hw),
-                dtype=mosaic_dtype)
+            else:
+                canv = assemble_mosaic_tiled_batch(
+                    sel, paint, ph, ph, tile=paint_tile(hw),
+                    dtype=mosaic_dtype)
+            if ph != hw:
+                canv = canv[:, :hw, :hw, :]
+            return canv
 
         @functools.partial(jax.jit, static_argnames=("hw",))
         def _mosaic_inputs(imgs, idx, paint, hw):
@@ -502,14 +557,18 @@ class TwoStagePipeline:
         """Painter payload for one mosaic group: (b, NT, NT, cap, 8)
         int32 per-tile tables (pallas kernel) or (b*P, 8) float32 flat
         split rows (XLA scan painter).  The stage-2 program dispatches
-        on the payload rank.  Falls back to the XLA painter when any
-        image overflows the per-tile entry cap (pathologically dense
-        packings) or the bucket is not tile-divisible."""
+        on the payload rank.  Tables are built at the tile-aligned
+        ``paint_hw_for(bucket)`` paint canvas (every bucket paints with
+        the pallas kernel; the canvas is cropped to the bucket before
+        the model).  Falls back to the XLA painter only when an image
+        overflows the per-tile entry cap (pathologically dense
+        packings)."""
         t = paint_tile(bucket)
-        if self.painter == "pallas" and bucket % t == 0:
+        ph = paint_hw_for(bucket)
+        if self.painter == "pallas":
             tbls = []
             for u in unmap_list:
-                tb, ovf = build_tile_tables(u, bucket, bucket, t,
+                tb, ovf = build_tile_tables(u, ph, ph, t,
                                             self.paint_cap)
                 if ovf:
                     break
@@ -631,6 +690,8 @@ class TwoStagePipeline:
                 bucket = pick_bucket(mh, mw, self.buckets)
                 jobs.setdefault(bucket, []).append(
                     (i, row, unmap_rows))
+            if self.bucket_policy == "chunk-max":
+                jobs = _collapse_jobs_to_max_bucket(jobs)
             for bucket, job_list in jobs.items():
                 b = _pow2_pad(len(job_list))
                 job_list = job_list + [job_list[-1]] * (b - len(job_list))

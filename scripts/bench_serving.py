@@ -95,7 +95,7 @@ def main():
         return TwoStagePipeline(
             lambda v, im: coarse.apply(v, im, train=False),
             lambda v, im: mp.apply(v, im, train=False),
-            coarse_hw, mosaic_buckets=(1280,), coarse_score_thr=1e-4,
+            coarse_hw, mosaic_buckets=(1152,), coarse_score_thr=1e-4,
             coarse_vars=cvars, mp_vars=mvars, max_batch=args.batch,
             quant8=q, act_scales=s)
 

@@ -26,10 +26,11 @@ def tiny_models():
 
 def _make_pipeline(tiny_models, **kw):
     coarse, cvars, mp, mvars = tiny_models
+    kw.setdefault("mosaic_buckets", (256, 512))
     return TwoStagePipeline(
         lambda v, im: coarse.apply(v, im, train=False),
         lambda v, im: mp.apply(v, im, train=False),
-        (128, 128), mosaic_buckets=(256, 512),
+        (128, 128),
         coarse_score_thr=1e-4, max_regions=16,
         coarse_vars=cvars, mp_vars=mvars, **kw)
 
@@ -277,3 +278,69 @@ class TestFusedPipeline:
         assert len(d["boxes"]) == 1
         np.testing.assert_allclose(d["boxes"][0], [20, 10, 60, 20])
         assert d["labels"][0] == 2
+
+
+class TestPaintCropBuckets:
+    """Model-canvas buckets decoupled from paint alignment
+    (two_stage.paint_hw_for): a bucket that is not a paint-tile multiple
+    paints at the next 256-multiple and crops before the model."""
+
+    def test_paint_hw_for(self):
+        from glsdet_tpu.eval.two_stage import paint_hw_for
+        assert paint_hw_for(512) == 512      # already aligned
+        assert paint_hw_for(384) == 512      # crop path
+        assert paint_hw_for(1152) == 1280
+        assert paint_hw_for(2688) == 2816
+        assert paint_hw_for(192) == 192      # tile == bucket below 256
+
+    def test_cropped_bucket_canvas_matches_aligned(self, tiny_models,
+                                                   pipeline):
+        # the 384-bucket model input must equal the top-left 384^2 crop
+        # of the 512-bucket model input (same paint rows, same frames)
+        rs = np.random.RandomState(3)
+        imgs = jnp.asarray(rs.randint(0, 255, (2, 200, 320, 3), np.uint8))
+        u = np.zeros((pipeline.max_regions, 7), np.float32)
+        u[0] = [10, 20, 100, 80, 5, 9, 2]    # x1 y1 w h nx ny f
+        u[1] = [150, 40, 60, 50, 210, 170, 1]
+        idx = jnp.asarray(np.array([0, 1], np.int32))
+        paint384 = jnp.asarray(pipeline._paint_group([u, u], 384))
+        paint512 = jnp.asarray(pipeline._paint_group([u, u], 512))
+        m384 = np.asarray(pipeline._mosaic_inputs_j(imgs, idx,
+                                                    paint384, 384))
+        m512 = np.asarray(pipeline._mosaic_inputs_j(imgs, idx,
+                                                    paint512, 512))
+        assert m384.shape[1:3] == (384, 384)
+        np.testing.assert_array_equal(m384, m512[:, :384, :384, :])
+
+    def test_nonaligned_bucket_end_to_end(self, tiny_models):
+        pipe = _make_pipeline(tiny_models, mosaic_buckets=(384,))
+        img = np.random.RandomState(11).randint(
+            0, 255, (200, 320, 3), np.uint8)
+        out = pipe(img)
+        assert set(out) == {"boxes", "scores", "labels"}
+
+
+class TestChunkMaxPolicy:
+    def test_collapse(self):
+        from glsdet_tpu.eval.two_stage import _collapse_jobs_to_max_bucket
+
+        jobs = {256: [("a",), ("b",)], 512: [("c",)]}
+        out = _collapse_jobs_to_max_bucket(jobs)
+        assert list(out) == [512]
+        assert sorted(j[0] for j in out[512]) == ["a", "b", "c"]
+        one = {512: [("c",)]}
+        assert _collapse_jobs_to_max_bucket(one) is one
+
+    def test_policy_end_to_end(self, tiny_models):
+        pipe = _make_pipeline(tiny_models, bucket_policy="chunk-max")
+        rs = np.random.RandomState(5)
+        imgs = [rs.randint(0, 255, (200, 320, 3), np.uint8)
+                for _ in range(3)]
+        out = pipe.run_batch(imgs)
+        assert len(out) == 3
+        for d in out:
+            assert set(d) == {"boxes", "scores", "labels"}
+
+    def test_bad_policy_rejected(self, tiny_models):
+        with pytest.raises(ValueError):
+            _make_pipeline(tiny_models, bucket_policy="nope")
