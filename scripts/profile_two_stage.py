@@ -23,6 +23,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=4)
     ap.add_argument("--iters", type=int, default=12)
+    ap.add_argument("--bucket", type=int, default=1152,
+                help="model-canvas bucket for the mosaic-stage programs")
     ap.add_argument("--int8", action="store_true",
                     help="profile the static-int8 serving configuration "
                          "(calibrates on the sample frames first)")
@@ -65,7 +67,7 @@ def main():
     def make_pipe(q=False, s=None):
         return TwoStagePipeline(
             coarse_apply, mp_apply,
-            coarse_hw, mosaic_buckets=(1280,), coarse_score_thr=1e-4,
+            coarse_hw, mosaic_buckets=(args.bucket,), coarse_score_thr=1e-4,
             coarse_vars=cvars, mp_vars=mvars, max_batch=args.batch,
             quant8=q, act_scales=s)
 
@@ -138,26 +140,26 @@ def main():
     regs = jnp.asarray(unmap_np)
     # the ACTIVE painter's payload (pallas tile tables on TPU, flat
     # split rows otherwise)
-    paints = jnp.asarray(pipe._paint_group(list(unmap_np), 1280))
+    paints = jnp.asarray(pipe._paint_group(list(unmap_np), args.bucket))
     print(f"# painter: {pipe.painter} payload ndim {paints.ndim}",
           file=sys.stderr, flush=True)
-    sync(pipe._mosaic_stage_batch(dev_stack, rows, paints, regs, 1280))
+    sync(pipe._mosaic_stage_batch(dev_stack, rows, paints, regs, args.bucket))
     ts = []
     for _ in range(args.iters):
         t0 = time.time()
-        sync(pipe._mosaic_stage_batch(dev_stack, rows, paints, regs, 1280))
+        sync(pipe._mosaic_stage_batch(dev_stack, rows, paints, regs, args.bucket))
         ts.append(time.time() - t0)
     t_mosaic = min(ts)
-    log(f"mosaic program @1280: {t_mosaic*1e3:8.1f} ms / {B} imgs "
+    log(f"mosaic program @{args.bucket}: {t_mosaic*1e3:8.1f} ms / {B} imgs "
         f"({t_mosaic/B*1e3:.1f} ms/img)")
 
-    # MP-Det forward alone at 1280 (no assembly/postprocess)
+    # MP-Det forward alone at the bucket (no assembly/postprocess)
     @jax.jit
     def _mp_fwd_sum(v, x):
         cls, reg = mp_apply(v, x)
         return sum(c.astype(jnp.float32).sum() for c in cls)
 
-    x1280 = jnp.zeros((B, 1280, 1280, 3), jnp.float32)
+    x1280 = jnp.zeros((B, args.bucket, args.bucket, 3), jnp.float32)
     float(_mp_fwd_sum(mvars, x1280))
     ts = []
     for _ in range(args.iters):
@@ -165,7 +167,7 @@ def main():
         float(_mp_fwd_sum(mvars, x1280))
         ts.append(time.time() - t0)
     t_mp = min(ts)
-    log(f"MP-Det fwd @1280:     {t_mp*1e3:8.1f} ms / {B} imgs "
+    log(f"MP-Det fwd @{args.bucket}:     {t_mp*1e3:8.1f} ms / {B} imgs "
         f"({t_mp/B*1e3:.1f} ms/img)")
 
     # coarse YOLOX-s forward alone at 640
@@ -193,14 +195,18 @@ def main():
     def _assemble_batch(im, rg):
         import jax.numpy as jnp
         from glsdet_tpu.ufp.pallas_paint import assemble_mosaic_pallas_batch
+        from glsdet_tpu.eval.two_stage import paint_hw_for
+        bk = args.bucket
+        ph = paint_hw_for(bk)
         if rg.ndim == 5:
             canv = assemble_mosaic_pallas_batch(
-                im, rg, 1280, 1280, tile=paint_tile(1280),
+                im, rg, ph, ph, tile=paint_tile(bk),
                 dtype=jnp.bfloat16)
         else:
             canv = assemble_mosaic_tiled_batch(
-                im, rg, 1280, 1280, tile=paint_tile(1280),
+                im, rg, ph, ph, tile=paint_tile(bk),
                 dtype=jnp.bfloat16)
+        canv = canv[:, :bk, :bk, :]
         mean = jnp.asarray([123.675, 116.28, 103.53], jnp.float32)
         std = jnp.asarray([58.395, 57.12, 57.375], jnp.float32)
         return ((canv - mean.astype(jnp.bfloat16))
@@ -220,7 +226,7 @@ def main():
         return min(ts)
 
     t_asm = timeit_scalar(_assemble_batch, dev_stack, paints)
-    log(f"  assembly @1280:     {t_asm*1e3:8.1f} ms / {B} imgs")
+    log(f"  assembly @{args.bucket}:     {t_asm*1e3:8.1f} ms / {B} imgs")
 
     mosaics = jax.jit(_assemble_batch)(dev_stack, paints)
     t_fwd = timeit_scalar(
@@ -230,12 +236,12 @@ def main():
     cls_out, reg_out = jax.jit(
         lambda v, x: mp.apply(v, x, train=False))(mvars, mosaics)
     t_post = timeit_scalar(lambda c, r: gfl_postprocess(
-        c, r, (1280, 1280), score_thr=pipe.chip_score_thr,
+        c, r, (args.bucket, args.bucket), score_thr=pipe.chip_score_thr,
         max_dets=pipe.max_chip), cls_out, reg_out)
     log(f"  gfl_postprocess:    {t_post*1e3:8.1f} ms / {B} imgs")
 
     mp_dets = jax.jit(lambda c, r: gfl_postprocess(
-        c, r, (1280, 1280), score_thr=pipe.chip_score_thr,
+        c, r, (args.bucket, args.bucket), score_thr=pipe.chip_score_thr,
         max_dets=pipe.max_chip))(cls_out, reg_out)
     t_unmap = timeit_scalar(
         lambda b, s, l, v, r: jax.vmap(

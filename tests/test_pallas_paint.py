@@ -170,3 +170,33 @@ class TestPallasPainter:
         # interior-exact up to bf16 rounding; ring pixels may bleed
         inner = np.abs(got[0, 12:168, 12:168] - ref[0, 12:168, 12:168])
         assert inner.max() <= 1.01
+
+
+class TestPaintAtAlignedCanvasThenCrop:
+    """The serving pipeline paints at paint_hw_for(bucket) (a tile
+    multiple) and crops to the model bucket (two_stage.paint_hw_for).
+    The kernel itself always sees an aligned canvas; this checks the
+    crop composition equals painting content directly: a 192-bucket
+    mosaic painted on a 256 canvas, cropped, must match the oracle at
+    192 interior-exactly."""
+
+    def test_crop_matches_oracle(self):
+        from glsdet_tpu.ufp.assembly import assemble_mosaic
+
+        imgs = _rand_images(1, 150, 150, seed=7)
+        rows = np.concatenate([np.array([
+            [5, 5, 60, 60, 8, 8, 2],       # -> (8,8)..(128,128)
+            [80, 20, 40, 50, 130, 100, 1],  # -> within 192
+            np.zeros(7)], np.float32)])
+        rows = rows.reshape(3, 7)
+        tbl, ovf = build_tile_tables(rows, OUT, OUT, TILE, CAP)
+        assert not ovf
+        painted = np.asarray(assemble_mosaic_pallas_batch(
+            jnp.asarray(imgs), jnp.asarray(tbl[None]), OUT, OUT,
+            tile=TILE, dtype=jnp.float32, interpret=True))
+        crop = painted[:, :192, :192, :]
+        oracle = np.asarray(assemble_mosaic(
+            jnp.asarray(imgs[0]), jnp.asarray(rows), 192, 192))
+        ring = _ring_masks([rows], 192)[0]
+        bad = np.abs(crop[0] - oracle).max(-1) > 1e-3
+        assert not (bad & ~ring).any()
