@@ -22,6 +22,8 @@ from collections import deque
 
 import numpy as np
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 
 def log(msg):
     print(f"# {time.strftime('%H:%M:%S')} {msg}", file=sys.stderr,
