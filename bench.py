@@ -81,11 +81,13 @@ def main():
             lambda v, images: mp.apply(v, images, train=False),
             coarse_hw,
             # this load's mosaics pack to ~980-1065 px (max_coarse_dets
-            # 200-box frames); the 1152 model bucket covers them with no
-            # clipping while running MP-Det on 0.81x the pixels of the
-            # old 1280 bucket (painting stays tile-aligned at 1280 and
-            # crops — see eval/two_stage.py: paint_hw_for)
-            mosaic_buckets=(1152,),
+            # 200-box frames).  bucket-fit packing packs INTO the
+            # ladder (pack_regions_fit): ~31/32 dense frames fit the
+            # 1024 bucket directly (0.79x the 1152 pixels MP-Det ran on
+            # when the square-ish reference layout was bucketed up);
+            # the rare straggler runs at 1152.
+            mosaic_buckets=(1024, 1152),
+            pack_mode="bucket-fit",
             coarse_score_thr=1e-4,
             coarse_vars=cvars, mp_vars=mvars,
             max_batch=32,

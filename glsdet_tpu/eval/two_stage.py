@@ -37,7 +37,10 @@ from glsdet_tpu.ufp.pallas_paint import (
     assemble_mosaic_pallas_batch,
     build_tile_tables,
 )
-from glsdet_tpu.native import unified_foreground_packing_rows
+from glsdet_tpu.native import (
+    unified_foreground_packing_rows,
+    unified_foreground_packing_rows_fit,
+)
 
 
 def _prefetch(arr) -> None:
@@ -241,7 +244,8 @@ class TwoStagePipeline:
                  quant8=False,
                  act_scales=None,
                  devices=None,
-                 bucket_policy: str = "image"):
+                 bucket_policy: str = "image",
+                 pack_mode: str = "square"):
         """Two call conventions:
 
         - coarse_apply(variables, images) with ``coarse_vars`` given
@@ -302,6 +306,16 @@ class TwoStagePipeline:
         # at the largest needed bucket — no padding waste; the right
         # choice for chunked/staged serving with a dense bucket ladder.
         self.bucket_policy = bucket_policy
+        if pack_mode not in ("square", "bucket-fit"):
+            raise ValueError(f"pack_mode {pack_mode!r}: expected "
+                             "'square' or 'bucket-fit'")
+        # "square": the reference's width binary search targeting a
+        # near-square mosaic, bucketed afterwards (bit-parity layouts).
+        # "bucket-fit": pack directly at each ladder width and take the
+        # smallest bucket the regions fit — same crops/factors, only
+        # placements differ; dense loads drop a whole bucket size
+        # (ufp/packing.py pack_regions_fit).
+        self.pack_mode = pack_mode
         self.coarse_score_thr = coarse_score_thr
         self.chip_score_thr = chip_score_thr
         self.final_nms_thr = final_nms_thr
@@ -679,15 +693,24 @@ class TwoStagePipeline:
                 coarse_boxes = (all_boxes[row]
                                 * np.array([sx, sy, sx, sy],
                                            np.float32))[all_valid[row]]
-                unmap_rows, n_reg, mw, mh = unified_foreground_packing_rows(
-                    coarse_boxes, self.ufp_scale, (w0, h0),
-                    self.max_regions)
+                if self.pack_mode == "bucket-fit":
+                    (unmap_rows, n_reg, mw, mh,
+                     fit_bucket) = unified_foreground_packing_rows_fit(
+                        coarse_boxes, self.ufp_scale, (w0, h0),
+                        self.max_regions, self.buckets)
+                else:
+                    unmap_rows, n_reg, mw, mh = (
+                        unified_foreground_packing_rows(
+                            coarse_boxes, self.ufp_scale, (w0, h0),
+                            self.max_regions))
+                    fit_bucket = None
                 if n_reg == 0:
                     if self.fuse_global:
                         fallbacks.append((i, _coarse_row_dets(
                             packed_np[row], sx, sy)))
                     continue
-                bucket = pick_bucket(mh, mw, self.buckets)
+                bucket = (fit_bucket if fit_bucket is not None
+                          else pick_bucket(mh, mw, self.buckets))
                 jobs.setdefault(bucket, []).append(
                     (i, row, unmap_rows))
             if self.bucket_policy == "chunk-max":

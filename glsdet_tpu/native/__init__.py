@@ -43,6 +43,16 @@ def _build() -> Optional[ctypes.CDLL]:
             ctypes.c_double, ctypes.POINTER(ctypes.c_double),
             ctypes.POINTER(ctypes.c_double),
         ]
+        if hasattr(lib, "ufp_pack_fit"):
+            lib.ufp_pack_fit.restype = ctypes.c_int
+            lib.ufp_pack_fit.argtypes = [
+                ctypes.POINTER(ctypes.c_double), ctypes.c_int,
+                ctypes.c_double, ctypes.c_double, ctypes.c_double,
+                ctypes.POINTER(ctypes.c_double), ctypes.c_int,
+                ctypes.POINTER(ctypes.c_double),
+                ctypes.POINTER(ctypes.c_double),
+                ctypes.POINTER(ctypes.c_double),
+            ]
         if hasattr(lib, "ufp_tile_tables"):
             lib.ufp_tile_tables.restype = ctypes.c_int
             lib.ufp_tile_tables.argtypes = [
@@ -147,6 +157,52 @@ def unified_foreground_packing_rows(
     k = min(r, max_regions)
     rows[:k] = np.floor(out[:k])
     return rows, r, float(wh[0]), float(wh[1])
+
+
+def unified_foreground_packing_rows_fit(
+    boxes: np.ndarray, scale: float, input_shape: Sequence[float],
+    max_regions: int, buckets: Sequence[float],
+) -> Tuple[np.ndarray, int, float, float, Optional[int]]:
+    """Bucket-fit twin of :func:`unified_foreground_packing_rows`
+    (packing.py pack_regions_fit semantics): packs directly into the
+    serving canvas ladder and returns the chosen bucket.
+
+    Returns ``(rows, n_regions, mosaic_w, mosaic_h, bucket)``;
+    ``bucket`` is None when no ladder entry fit (reference-pack layout,
+    caller buckets it as usual).  Falls back to the python
+    implementation when the library is missing or stale.
+    """
+    lib = get_lib()
+    boxes = np.ascontiguousarray(
+        np.asarray(boxes, np.float64).reshape(-1, 4))
+    n = boxes.shape[0]
+    if lib is None or not hasattr(lib, "ufp_pack_fit"):
+        from glsdet_tpu.ufp.assembly import regions_to_array
+        from glsdet_tpu.ufp.packing import unified_foreground_packing_fit
+        regions, mw, mh, bucket = unified_foreground_packing_fit(
+            boxes, scale, input_shape, buckets)
+        return (regions_to_array(regions, max_regions), len(regions),
+                mw, mh, bucket)
+    if n == 0:
+        return np.zeros((max_regions, 7), np.float32), 0, 0.0, 0.0, None
+    bkt = np.ascontiguousarray(np.asarray(buckets, np.float64))
+    out = np.zeros((n, 7), np.float64)
+    wh = np.zeros((2,), np.float64)
+    chosen = np.zeros((1,), np.float64)
+    r = lib.ufp_pack_fit(
+        boxes.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), n,
+        float(scale), float(input_shape[0]), float(input_shape[1]),
+        bkt.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), len(bkt),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        wh.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        chosen.ctypes.data_as(ctypes.POINTER(ctypes.c_double)))
+    if r < 0:
+        raise RuntimeError("ufp_pack_fit failed")
+    rows = np.zeros((max_regions, 7), np.float32)
+    k = min(r, max_regions)
+    rows[:k] = np.floor(out[:k])
+    bucket = int(chosen[0]) if chosen[0] > 0 else None
+    return rows, r, float(wh[0]), float(wh[1]), bucket
 
 
 def build_tile_tables_native(rows: np.ndarray, out_h: int, out_w: int,

@@ -95,16 +95,29 @@ struct Packer {
   }
 };
 
+// Placement-order keys for strip_pack (descending; stable on index to
+// match python sorted()).  Mirrors packing.py _SORT_KEYS.
+enum SortKey { kByWidth = 0, kByHeight = 1, kByArea = 2, kByPerim = 3 };
+
+double sort_value(const std::pair<double, double>& s, SortKey key) {
+  switch (key) {
+    case kByWidth: return s.first;
+    case kByHeight: return s.second;
+    case kByArea: return s.first * s.second;
+    default: return s.first + s.second;
+  }
+}
+
 double strip_pack(double width,
                   const std::vector<std::pair<double, double>>& sizes,
-                  std::vector<std::pair<double, double>>& placed) {
+                  std::vector<std::pair<double, double>>& placed,
+                  SortKey key = kByHeight) {
   int n = static_cast<int>(sizes.size());
   placed.assign(n, {0.0, 0.0});
   std::vector<int> pending(n);
   for (int i = 0; i < n; ++i) pending[i] = i;
-  // sort by height descending, stable on index (python sorted() is stable)
   std::stable_sort(pending.begin(), pending.end(), [&](int a, int b) {
-    return sizes[a].second > sizes[b].second;
+    return sort_value(sizes[a], key) > sort_value(sizes[b], key);
   });
   Packer packer{sizes, placed, pending};
   double strip_h = 0.0;
@@ -119,17 +132,10 @@ double strip_pack(double width,
   return strip_h;
 }
 
-}  // namespace
-
-extern "C" int ufp_pack(const double* boxes, int n, double scale,
-                        double img_w, double img_h, double width_min,
-                        double width_max, double* out_regions,
-                        double* out_wh) {
-  if (n <= 0) {
-    out_wh[0] = out_wh[1] = 0.0;
-    return 0;
-  }
-
+// 1-3) expand -> greedy merge -> factor: the shared UFP front half.
+void ufp_regions(const double* boxes, int n, double scale, double img_w,
+                 double img_h, std::vector<Box>& regions,
+                 std::vector<int>& factors) {
   // 1) expand about centers, clip to [0, dim-1]
   std::vector<Box> scaled(n);
   std::vector<double> area_sum(n), count(n, 1.0);
@@ -171,8 +177,6 @@ extern "C" int ufp_pack(const double* boxes, int n, double scale,
   }
 
   // 3) factor from mean absorbed area
-  std::vector<Box> regions;
-  std::vector<int> factors;
   for (int i = 0; i < n; ++i) {
     if (!alive[i]) continue;
     double mean_area = area_sum[i] / count[i];
@@ -180,28 +184,24 @@ extern "C" int ufp_pack(const double* boxes, int n, double scale,
     regions.push_back(scaled[i]);
     factors.push_back(f);
   }
+}
 
-  // 4) binary-search width, strip pack (matches python float midpoints)
-  int r = static_cast<int>(regions.size());
-  std::vector<std::pair<double, double>> sizes(r);
-  for (int i = 0; i < r; ++i) {
+std::vector<std::pair<double, double>> region_sizes(
+    const std::vector<Box>& regions, const std::vector<int>& factors) {
+  std::vector<std::pair<double, double>> sizes(regions.size());
+  for (size_t i = 0; i < regions.size(); ++i) {
     sizes[i] = {(regions[i].x2 - regions[i].x1) * factors[i],
                 (regions[i].y2 - regions[i].y1) * factors[i]};
   }
-  std::vector<std::pair<double, double>> placed;
-  double lo = width_min, hi = width_max;
-  // (the reference also evaluates strip_pack(width_max) before the
-  // search, but the loop always runs >= once and overwrites the
-  // result — dead work, skipped here; outputs are identical)
-  while (lo <= hi) {
-    double mid = (lo + hi) / 2;
-    double height = strip_pack(mid, sizes, placed);
-    if (height > mid)
-      lo = mid + 1;
-    else
-      hi = mid - 1;
-  }
+  return sizes;
+}
 
+int emit_regions(const std::vector<Box>& regions,
+                 const std::vector<int>& factors,
+                 const std::vector<std::pair<double, double>>& sizes,
+                 const std::vector<std::pair<double, double>>& placed,
+                 double* out_regions, double* out_wh) {
+  int r = static_cast<int>(regions.size());
   double mosaic_w = 0.0, mosaic_h = 0.0;
   for (int i = 0; i < r; ++i) {
     double rw = sizes[i].first, rh = sizes[i].second;
@@ -219,6 +219,88 @@ extern "C" int ufp_pack(const double* boxes, int n, double scale,
   out_wh[0] = mosaic_w;
   out_wh[1] = mosaic_h;
   return r;
+}
+
+// Reference packing back half: binary-search width, strip pack
+// (matches python float midpoints).
+void pack_reference(const std::vector<std::pair<double, double>>& sizes,
+                    double width_min, double width_max,
+                    std::vector<std::pair<double, double>>& placed) {
+  double lo = width_min, hi = width_max;
+  // (the reference also evaluates strip_pack(width_max) before the
+  // search, but the loop always runs >= once and overwrites the
+  // result — dead work, skipped here; outputs are identical)
+  while (lo <= hi) {
+    double mid = (lo + hi) / 2;
+    double height = strip_pack(mid, sizes, placed);
+    if (height > mid)
+      lo = mid + 1;
+    else
+      hi = mid - 1;
+  }
+}
+
+}  // namespace
+
+extern "C" int ufp_pack(const double* boxes, int n, double scale,
+                        double img_w, double img_h, double width_min,
+                        double width_max, double* out_regions,
+                        double* out_wh) {
+  if (n <= 0) {
+    out_wh[0] = out_wh[1] = 0.0;
+    return 0;
+  }
+  std::vector<Box> regions;
+  std::vector<int> factors;
+  ufp_regions(boxes, n, scale, img_w, img_h, regions, factors);
+  auto sizes = region_sizes(regions, factors);
+  std::vector<std::pair<double, double>> placed;
+  pack_reference(sizes, width_min, width_max, placed);
+  return emit_regions(regions, factors, sizes, placed, out_regions, out_wh);
+}
+
+// Bucket-fit packing (packing.py pack_regions_fit twin): pack at each
+// candidate square bucket width (ascending; 4 placement orders per
+// bucket) and keep the first layout that fits the bucket in both
+// dimensions.  Falls back to the reference binary search when nothing
+// fits; *out_bucket is then -1 and the caller buckets the layout as
+// usual.  Rationale: the serving canvas is a square bucket whose AREA
+// sets the MP-Det forward cost, so packing into the ladder beats
+// packing square-ish and rounding up.
+extern "C" int ufp_pack_fit(const double* boxes, int n, double scale,
+                            double img_w, double img_h,
+                            const double* buckets, int n_buckets,
+                            double* out_regions, double* out_wh,
+                            double* out_bucket) {
+  *out_bucket = -1.0;
+  if (n <= 0) {
+    out_wh[0] = out_wh[1] = 0.0;
+    return 0;
+  }
+  std::vector<Box> regions;
+  std::vector<int> factors;
+  ufp_regions(boxes, n, scale, img_w, img_h, regions, factors);
+  auto sizes = region_sizes(regions, factors);
+  std::vector<std::pair<double, double>> placed;
+  // FIT_SORT_ORDERS: height, area, perim, width
+  const SortKey orders[4] = {kByHeight, kByArea, kByPerim, kByWidth};
+  for (int bi = 0; bi < n_buckets; ++bi) {
+    double b = buckets[bi];
+    for (SortKey key : orders) {
+      double height = strip_pack(b, sizes, placed, key);
+      if (height > b) continue;
+      double width = 0.0;
+      for (size_t i = 0; i < sizes.size(); ++i)
+        width = std::max(width, placed[i].first + sizes[i].first);
+      if (width <= b) {
+        *out_bucket = b;
+        return emit_regions(regions, factors, sizes, placed, out_regions,
+                            out_wh);
+      }
+    }
+  }
+  pack_reference(sizes, 300.0, 2666.0, placed);
+  return emit_regions(regions, factors, sizes, placed, out_regions, out_wh);
 }
 
 // Bin region rows into per-canvas-tile painter entry tables (the host

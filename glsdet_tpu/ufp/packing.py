@@ -34,7 +34,7 @@ reference implementation in tests/test_reference_parity.py.
 from __future__ import annotations
 
 import dataclasses
-from typing import List, Sequence, Tuple
+from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -195,6 +195,14 @@ def _fill_hole(x: float, y: float, w: float, h: float, sizes,
             _fill_hole(x + rw, y, w - rw, h, sizes, pending, placed)
 
 
+_SORT_KEYS = {
+    "width": lambda s: -s[0],
+    "height": lambda s: -s[1],
+    "area": lambda s: -(s[0] * s[1]),
+    "perim": lambda s: -(s[0] + s[1]),
+}
+
+
 def strip_pack(width: float, sizes: Sequence[Sequence[float]],
                sort_by: str = "width"):
     """PH strip packing, no rotation, guillotine cuts.
@@ -202,16 +210,17 @@ def strip_pack(width: float, sizes: Sequence[Sequence[float]],
     Args:
         width: strip width.
         sizes: [(w, h), ...] rectangle sizes.
-        sort_by: 'width' or 'height' — which dimension orders placement.
+        sort_by: 'width' | 'height' | 'area' | 'perim' — descending
+            placement order (ties broken by index, stable).
 
     Returns:
         (total_height, positions) where positions[i] = (x, y) bottom-left
         placement of sizes[i].
     """
-    order_key = 0 if sort_by == "width" else 1
+    key = _SORT_KEYS[sort_by]
     n = len(sizes)
     placed = [None] * n
-    pending = sorted(range(n), key=lambda i: -sizes[i][order_key])
+    pending = sorted(range(n), key=lambda i: key(sizes[i]))
     strip_h = 0.0
     while pending:
         idx = pending.pop(0)
@@ -262,6 +271,82 @@ def pack_regions(regions: np.ndarray, factors: np.ndarray,
             new_x=float(px), new_y=float(py),
             scale_factor=int(factors[i])))
     return out, mosaic_w, mosaic_h
+
+
+# Sort orders tried per bucket by the bucket-fit packer, cheapest-win
+# first.  "height" is the reference's order (pack_regions); the others
+# rescue near-full layouts where one order fragments the strip.
+FIT_SORT_ORDERS = ("height", "area", "perim", "width")
+
+
+def pack_regions_fit(regions: np.ndarray, factors: np.ndarray,
+                     buckets: Sequence[float],
+                     sort_orders: Sequence[str] = FIT_SORT_ORDERS,
+                     ) -> Tuple[List[Region], float, float, Optional[int]]:
+    """Bucket-fit strip packing: pack INTO the serving canvas ladder.
+
+    The reference's width binary search (pack_regions) targets a
+    near-square mosaic, but the serving pipeline then rounds the mosaic
+    up to a square model-canvas bucket whose area sets the dominant
+    MP-Det forward cost.  Packing directly at each candidate bucket
+    width (ascending; several placement orders per bucket) finds the
+    smallest bucket the regions actually fit, instead of the smallest
+    bucket covering the square-ish layout — on dense VisDrone-like
+    loads this moves most frames one bucket down (1152 -> 1024, 0.79x
+    the stage-2 pixels).
+
+    Pure layout change: region crops/factors are identical to the
+    reference path; only (new_x, new_y) placements differ.
+
+    Returns (regions, mosaic_w, mosaic_h, bucket) — ``bucket`` is the
+    chosen ladder entry, or None when nothing fit (the layout then
+    comes from the reference binary search and the caller buckets it
+    as usual).
+    """
+    sizes = [((r[2] - r[0]) * f, (r[3] - r[1]) * f)
+             for r, f in zip(regions, factors)]
+    if not sizes:
+        return [], 0.0, 0.0, None
+
+    def _emit(placed):
+        out: List[Region] = []
+        mw = mh = 0.0
+        for i, ((rw, rh), (px, py)) in enumerate(zip(sizes, placed)):
+            mw = max(mw, px + rw)
+            mh = max(mh, py + rh)
+            out.append(Region(
+                x1=float(regions[i][0]), y1=float(regions[i][1]),
+                w=float(regions[i][2] - regions[i][0]),
+                h=float(regions[i][3] - regions[i][1]),
+                new_x=float(px), new_y=float(py),
+                scale_factor=int(factors[i])))
+        return out, mw, mh
+
+    for b in buckets:
+        for order in sort_orders:
+            height, placed = strip_pack(float(b), sizes, sort_by=order)
+            if height > b:
+                continue
+            width = max(p[0] + s[0] for p, s in zip(placed, sizes))
+            if width <= b:
+                out, mw, mh = _emit(placed)
+                return out, mw, mh, int(b)
+
+    out, mw, mh = pack_regions(regions, factors)
+    return out, mw, mh, None
+
+
+def unified_foreground_packing_fit(
+        boxes: np.ndarray, scale: float, input_shape: Sequence[float],
+        buckets: Sequence[float],
+) -> Tuple[List[Region], float, float, Optional[int]]:
+    """Full UFP with bucket-fit packing (see pack_regions_fit)."""
+    boxes = np.asarray(boxes, dtype=np.float64).reshape(-1, 4)
+    if boxes.shape[0] == 0:
+        return [], 0.0, 0.0, None
+    scaled = scale_boxes(boxes, scale, input_shape)
+    regions, factors = foreground_regions(boxes, scaled)
+    return pack_regions_fit(regions, factors, buckets)
 
 
 def unified_foreground_packing(boxes: np.ndarray, scale: float,

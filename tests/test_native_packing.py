@@ -8,8 +8,10 @@ from glsdet_tpu.native import (
     native_available,
     unified_foreground_packing_native,
     unified_foreground_packing_rows,
+    unified_foreground_packing_rows_fit,
 )
-from glsdet_tpu.ufp.packing import unified_foreground_packing
+from glsdet_tpu.ufp.packing import (
+    unified_foreground_packing, unified_foreground_packing_fit)
 
 
 @pytest.mark.skipif(not native_available(), reason="no C++ toolchain")
@@ -36,6 +38,41 @@ class TestNativePacking:
         r, w, h = unified_foreground_packing_native(
             np.zeros((0, 4)), 1.5, (100, 100))
         assert r == [] and w == 0.0 and h == 0.0
+
+    def test_bucket_fit_bitwise_parity_random(self):
+        from glsdet_tpu.ufp.assembly import regions_to_array
+
+        buckets = (768.0, 1024.0, 1152.0, 1280.0, 1536.0, 2688.0)
+        rs = np.random.RandomState(7)
+        chosen = []
+        for trial in range(20):
+            n = rs.randint(1, 150)
+            x1 = rs.uniform(0, 1200, n)
+            y1 = rs.uniform(0, 700, n)
+            w = rs.uniform(4, 150, n)
+            h = rs.uniform(4, 150, n)
+            boxes = np.stack([x1, y1, x1 + w, y1 + h], 1)
+            py_r, py_w, py_h, py_b = unified_foreground_packing_fit(
+                boxes, 1.5, (1360, 765), buckets)
+            rows, n_reg, c_w, c_h, c_b = unified_foreground_packing_rows_fit(
+                boxes, 1.5, (1360, 765), 64, buckets)
+            assert py_b == c_b and len(py_r) == n_reg, f"trial {trial}"
+            assert py_w == c_w and py_h == c_h
+            np.testing.assert_array_equal(
+                rows, regions_to_array(py_r, 64))
+            chosen.append(py_b)
+        assert any(b is not None for b in chosen)
+
+    def test_bucket_fit_fallback_no_fit(self):
+        # ladder smaller than the biggest region -> reference layout,
+        # bucket None, identical to the square-pack rows
+        boxes = np.array([[0.0, 0, 500, 400], [600, 100, 1100, 500]])
+        rows, n_reg, w, h, b = unified_foreground_packing_rows_fit(
+            boxes, 1.5, (1360, 765), 8, (64.0, 128.0))
+        ref_rows, ref_n, rw, rh = unified_foreground_packing_rows(
+            boxes, 1.5, (1360, 765), 8)
+        assert b is None and n_reg == ref_n and (w, h) == (rw, rh)
+        np.testing.assert_array_equal(rows, ref_rows)
 
     def test_scale_2_dataset_build_variant(self):
         boxes = np.array([[10.0, 10, 40, 40], [300, 300, 360, 340]])

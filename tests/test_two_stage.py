@@ -344,3 +344,37 @@ class TestChunkMaxPolicy:
     def test_bad_policy_rejected(self, tiny_models):
         with pytest.raises(ValueError):
             _make_pipeline(tiny_models, bucket_policy="nope")
+
+
+class TestBucketFitPackMode:
+    def test_end_to_end_detections_valid(self, tiny_models):
+        pipe = _make_pipeline(tiny_models, pack_mode="bucket-fit")
+        rs = np.random.RandomState(6)
+        imgs = [rs.randint(0, 255, (200, 320, 3), np.uint8)
+                for _ in range(4)]
+        out = pipe.run_batch(imgs)
+        assert len(out) == 4
+        for d, img in zip(out, imgs):
+            assert set(d) == {"boxes", "scores", "labels"}
+            if len(d["boxes"]):
+                # unmapped boxes land in original image coordinates
+                assert float(d["boxes"].min()) >= -1.0
+                assert float(d["boxes"][:, 2].max()) <= img.shape[1] + 1
+
+    def test_same_detection_multiset_as_square(self, tiny_models):
+        # packing layout must not change WHAT is detected, only where
+        # chips sit in the mosaic: same chips -> same per-chip dets ->
+        # same unmapped boxes (up to ordering).  Single region per
+        # image keeps the layout trivially identical; multi-region
+        # loads are covered by the geometry tests in test_ufp.py.
+        sq = _make_pipeline(tiny_models, pack_mode="square")
+        bf = _make_pipeline(tiny_models, pack_mode="bucket-fit")
+        rs = np.random.RandomState(7)
+        img = np.zeros((200, 320, 3), np.uint8)
+        img[40:120, 60:180] = rs.randint(0, 255, (80, 120, 3), np.uint8)
+        a, b = sq(img), bf(img)
+        assert len(a["boxes"]) == len(b["boxes"])
+
+    def test_bad_pack_mode_rejected(self, tiny_models):
+        with pytest.raises(ValueError):
+            _make_pipeline(tiny_models, pack_mode="nope")

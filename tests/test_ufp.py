@@ -4,8 +4,8 @@ import numpy as np
 import jax.numpy as jnp
 
 from glsdet_tpu.ufp.packing import (
-    foreground_regions, pack_regions, scale_boxes, strip_pack,
-    unified_foreground_packing)
+    foreground_regions, pack_regions, pack_regions_fit, scale_boxes,
+    strip_pack, unified_foreground_packing, unified_foreground_packing_fit)
 from glsdet_tpu.ufp.assembly import (
     assemble_mosaic, chip_boxes_from_regions, regions_to_array,
     unmap_chip_detections)
@@ -90,6 +90,78 @@ def test_ufp_end_to_end_regions_cover_inputs():
     # strip test; here just sanity-check the mosaic isn't degenerate).
     area = sum(r.w * r.scale_factor * r.h * r.scale_factor for r in regions)
     assert area <= mw * mh + 1e-6
+
+
+def _assert_layout_valid(out, bound_w, bound_h):
+    rects = []
+    for r in out:
+        x2 = r.new_x + r.w * r.scale_factor
+        y2 = r.new_y + r.h * r.scale_factor
+        assert r.new_x >= 0 and r.new_y >= 0
+        assert x2 <= bound_w + 1e-9 and y2 <= bound_h + 1e-9
+        rects.append((r.new_x, r.new_y, x2, y2))
+    for i in range(len(rects)):
+        for j in range(i + 1, len(rects)):
+            a, b = rects[i], rects[j]
+            ix = min(a[2], b[2]) - max(a[0], b[0])
+            iy = min(a[3], b[3]) - max(a[1], b[1])
+            assert ix <= 1e-9 or iy <= 1e-9, (i, j, a, b)
+
+
+def test_pack_regions_fit_fits_ladder_and_keeps_crops():
+    rng = np.random.RandomState(3)
+    for trial in range(5):
+        regions = []
+        for _ in range(40):
+            x, y = rng.randint(0, 1200, 2)
+            w, h = rng.randint(20, 160, 2)
+            regions.append([x, y, x + w, y + h])
+        regions = np.asarray(regions, np.float64)
+        factors = rng.choice([1, 2, 4], 40).astype(np.int64)
+        buckets = (768, 1024, 1152, 1280, 1536, 2688)
+        out, mw, mh, bucket = pack_regions_fit(regions, factors, buckets)
+        assert bucket in buckets
+        assert mw <= bucket + 1e-9 and mh <= bucket + 1e-9
+        _assert_layout_valid(out, bucket, bucket)
+        # crops/factors identical to the reference pack (layout-only change)
+        ref, _, _ = pack_regions(regions, factors)
+        for a, b in zip(out, ref):
+            assert (a.x1, a.y1, a.w, a.h, a.scale_factor) == \
+                   (b.x1, b.y1, b.w, b.h, b.scale_factor), trial
+
+
+def test_pack_regions_fit_fallback_matches_reference():
+    rng = np.random.RandomState(4)
+    regions = []
+    for _ in range(20):
+        x, y = rng.randint(0, 600, 2)
+        w, h = rng.randint(50, 300, 2)
+        regions.append([x, y, x + w, y + h])
+    regions = np.asarray(regions, np.float64)
+    factors = np.full(20, 2, np.int64)
+    # ladder far too small -> no fit -> exact reference layout
+    out, mw, mh, bucket = pack_regions_fit(regions, factors, (64, 128))
+    ref, rw, rh = pack_regions(regions, factors)
+    assert bucket is None and (mw, mh) == (rw, rh)
+    assert [r.as_row() for r in out] == [r.as_row() for r in ref]
+
+
+def test_ufp_fit_end_to_end():
+    rng = np.random.RandomState(5)
+    n = 60
+    xy = rng.uniform(0, 1200, (n, 2))
+    wh = rng.uniform(10, 90, (n, 2))
+    boxes = np.concatenate([xy, xy + wh], axis=1)
+    buckets = (768, 1024, 1152, 1280, 1536, 2688)
+    regions, mw, mh, bucket = unified_foreground_packing_fit(
+        boxes, 1.5, (1400, 1400), buckets)
+    ref_regions, ref_w, ref_h = unified_foreground_packing(
+        boxes, 1.5, (1400, 1400))
+    assert len(regions) == len(ref_regions)
+    if bucket is not None:
+        from glsdet_tpu.eval.two_stage import pick_bucket
+        assert bucket <= pick_bucket(ref_h, ref_w, buckets)
+        _assert_layout_valid(regions, bucket, bucket)
 
 
 def test_ufp_empty_input():
