@@ -86,6 +86,10 @@ class EvalConfig:
     # mosaic group per chunk at the largest needed bucket — avoids pow2
     # padding waste in chunked/staged serving)
     bucket_policy: str = "image"
+    # "square" (reference layout: width binary search, bucketed after)
+    # or "bucket-fit" (pack directly into the bucket ladder — smaller
+    # model canvases on dense loads; layout-only change)
+    pack_mode: str = "square"
 
 
 @dataclass

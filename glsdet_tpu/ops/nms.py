@@ -164,13 +164,26 @@ def multiclass_nms(mlvl_boxes: jnp.ndarray, mlvl_scores: jnp.ndarray,
         labels, (max_per_img,) validity mask.  Ranked by score descending.
     """
     n, c = mlvl_scores.shape
-    boxes = jnp.repeat(mlvl_boxes, c, axis=0)            # (N*C, 4)
-    scores = mlvl_scores.reshape(-1)                     # (N*C,)
-    labels = jnp.tile(jnp.arange(c), (n,))               # (N*C,)
-    scores = jnp.where(scores > score_thr, scores, NEG_INF)
+    scores2d = jnp.where(mlvl_scores > score_thr, mlvl_scores, NEG_INF)
+    budget = min(n * c, 4 * max_per_img if max_per_img > 0 else n * c)
+
+    # Anchor prefilter: any (anchor, class) pair in the global top-K
+    # has an anchor whose max class score is >= that pair's score, so
+    # the top-K anchors by max score contain every top-K pair — taking
+    # top-K anchors first is EXACTLY equivalent to top-K over all N*C
+    # pairs, and shrinks the expensive top_k from N*C rows to N
+    # (84k -> 8.4k for the 640^2 YOLOX decode).
+    if n > budget:
+        a_idx = jax.lax.top_k(scores2d.max(axis=1), budget)[1]
+        scores2d = scores2d[a_idx]
+        mlvl_boxes = mlvl_boxes[a_idx]
+        n = budget
+
+    boxes = jnp.repeat(mlvl_boxes, c, axis=0)            # (n*C, 4)
+    scores = scores2d.reshape(-1)                        # (n*C,)
+    labels = jnp.tile(jnp.arange(c), (n,))               # (n*C,)
 
     # Cap candidates to a fixed budget before the O(K^2) IoU matrix.
-    budget = min(boxes.shape[0], 4 * max_per_img if max_per_img > 0 else n * c)
     top_scores, top_idx = jax.lax.top_k(scores, budget)
     top_boxes = boxes[top_idx]
     top_labels = labels[top_idx]

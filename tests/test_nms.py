@@ -107,6 +107,41 @@ def test_multiclass_nms_fixed_shape_and_jit():
     assert np.all(osc[~ov] == 0.0)
 
 
+def test_multiclass_nms_anchor_prefilter_exact():
+    # The top-budget anchor prefilter (n > 4*max_per_img path) must be
+    # EXACTLY equivalent to top-k over all (anchor, class) pairs: any
+    # pair in the global top-K implies >= its score for its anchor's
+    # max, so the top-K anchors contain every top-K pair.
+    rng = np.random.RandomState(11)
+    n, c, cap = 3000, 10, 50   # n >> 4*cap -> prefilter active
+    boxes = jnp.asarray(random_dets(rng, n)[:, :4])
+    scores = jnp.asarray(rng.uniform(0, 1, (n, c)).astype(np.float32))
+    ob, osc, ol, ov = N.multiclass_nms(boxes, scores, 0.05, 0.6, cap)
+
+    # unfiltered oracle: same algorithm with the candidate budget
+    # selected over the full N*C pair list
+    budget = 4 * cap
+    pair_scores = np.where(np.asarray(scores) > 0.05,
+                           np.asarray(scores), N.NEG_INF).reshape(-1)
+    pair_boxes = np.repeat(np.asarray(boxes), c, axis=0)
+    pair_labels = np.tile(np.arange(c), n)
+    order = np.argsort(-pair_scores, kind="stable")[:budget]
+    keep, _ = N.batched_nms(jnp.asarray(pair_boxes[order]),
+                            jnp.asarray(pair_scores[order]),
+                            jnp.asarray(pair_labels[order]), 0.6)
+    kept = np.where(np.asarray(keep), pair_scores[order], N.NEG_INF)
+    top = np.argsort(-kept, kind="stable")[:cap]
+    want_scores = np.where(kept[top] > N.NEG_INF / 2, kept[top], 0.0)
+    want_boxes = pair_boxes[order][top]
+    want_labels = pair_labels[order][top]
+
+    ov = np.asarray(ov)
+    np.testing.assert_allclose(np.asarray(osc), want_scores, rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(ol)[ov], want_labels[ov])
+    np.testing.assert_allclose(np.asarray(ob)[ov], want_boxes[ov],
+                               rtol=1e-6)
+
+
 def test_soft_nms_decays_overlaps():
     boxes = jnp.asarray([[0.0, 0, 10, 10], [1, 1, 11, 11], [50, 50, 60, 60]])
     scores = jnp.asarray([0.9, 0.8, 0.7])

@@ -112,6 +112,7 @@ def main():
             mosaic_buckets=c_cfg.eval.mosaic_buckets,
             max_regions=c_cfg.eval.max_regions,
             bucket_policy=getattr(c_cfg.eval, "bucket_policy", "image"),
+            pack_mode=getattr(c_cfg.eval, "pack_mode", "square"),
             coarse_score_thr=c_cfg.eval.coarse_score_thr,
             final_nms_thr=c_cfg.eval.chip_nms_iou,
             fuse_global=args.fuse_global,
