@@ -90,16 +90,24 @@ def main():
             pack_mode="bucket-fit",
             coarse_score_thr=1e-4,
             coarse_vars=cvars, mp_vars=mvars,
-            max_batch=32,
+            max_batch=bench_batch,
             quant8=q,
             act_scales=act_scales,
         )
 
+    # chunk width. The fwd-only microbench said b64 is only ~3% beyond
+    # b32, but END-TO-END the pipeline pays a ~30ms tunnel RPC floor on
+    # each of its per-chunk dispatches/readbacks, so wider chunks keep
+    # winning: 173.8 (b32) -> 197.7 (b64) -> 227.6 (b128) img/s.
+    # b256 does not compile (21.0G > 15.75G HBM: the mosaic+MP-Det
+    # program's canvas/activation temporaries), so 128 is the widest
+    # per-chip chunk; sweep via GLSDET_BENCH_BATCH.
+    bench_batch = int(os.environ.get("GLSDET_BENCH_BATCH", "128"))
     pipe = make_pipe(False if quant8 == "static" else quant8)
 
     rs = np.random.RandomState(0)
     frames = []
-    for _ in range(32):
+    for _ in range(bench_batch):
         img = rs.randint(0, 255, (765, 1360, 3), np.uint8)
         frames.append(img)
 
