@@ -93,6 +93,11 @@ def main():
             max_batch=bench_batch,
             quant8=q,
             act_scales=act_scales,
+            # chunks wider than scan_width run as a lax.scan over
+            # scan_width-wide groups inside one program: one
+            # dispatch/readback RPC per chunk with live activations
+            # bounded to one group (a flat b256 program OOMs at 21G)
+            scan_width=scan_width,
         )
 
     # chunk width. The fwd-only microbench said b64 is only ~3% beyond
@@ -103,6 +108,7 @@ def main():
     # program's canvas/activation temporaries), so 128 is the widest
     # per-chip chunk; sweep via GLSDET_BENCH_BATCH.
     bench_batch = int(os.environ.get("GLSDET_BENCH_BATCH", "128"))
+    scan_width = int(os.environ.get("GLSDET_SCAN_WIDTH", "128")) or None
     pipe = make_pipe(False if quant8 == "static" else quant8)
 
     rs = np.random.RandomState(0)

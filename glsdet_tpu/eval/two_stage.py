@@ -245,7 +245,8 @@ class TwoStagePipeline:
                  act_scales=None,
                  devices=None,
                  bucket_policy: str = "image",
-                 pack_mode: str = "square"):
+                 pack_mode: str = "square",
+                 scan_width: Optional[int] = None):
         """Two call conventions:
 
         - coarse_apply(variables, images) with ``coarse_vars`` given
@@ -316,6 +317,15 @@ class TwoStagePipeline:
         # placements differ; dense loads drop a whole bucket size
         # (ufp/packing.py pack_regions_fit).
         self.pack_mode = pack_mode
+        # scan_width: cap on the per-iteration width of the stage
+        # programs.  Chunks wider than this run as a lax.scan over
+        # scan_width-wide groups INSIDE one jitted program: one
+        # dispatch/readback RPC for the whole chunk (the tunnel's ~30ms
+        # per-RPC floor is paid once) while live activation memory stays
+        # bounded by one group — b256 as a flat program needs 21G of
+        # HBM (>15.75G on v5e) but scans fine at 2x128.
+        self.scan_width = int(scan_width) if scan_width else None
+        scan_width = self.scan_width
         self.coarse_score_thr = coarse_score_thr
         self.chip_score_thr = chip_score_thr
         self.final_nms_thr = final_nms_thr
@@ -365,12 +375,31 @@ class TwoStagePipeline:
         # model-input capture for int8 calibration (device-resident)
         self._coarse_inputs_j = jax.jit(_coarse_preproc)
 
-        @jax.jit
-        def _coarse_full_batch(variables, imgs):
-            # imgs: (B, H, W, 3) uint8 — ONE stacked upload + ONE dispatch
-            # for the whole chunk (a tunneled TPU pays per-RPC overhead,
-            # so B frames per round trip is ~B-fold fewer stalls), and
-            # ONE packed output array (one readback transfer).
+        def _scan_groups(fn, parts):
+            # Run ``fn(*group)`` over pre-grouped (g, width, ...) parts
+            # inside ONE program: a lax.scan bounds live activations to
+            # one group while the whole chunk still costs a single
+            # dispatch/readback RPC on the tunnel.
+            _, out = jax.lax.scan(lambda c, x: (c, fn(*x)), None, parts)
+            return out.reshape(out.shape[0] * out.shape[1],
+                               *out.shape[2:])
+
+        def _group(x, width):
+            return x.reshape(x.shape[0] // width, width, *x.shape[1:])
+
+        def _group_paint(paint, b, width):
+            # pallas per-tile tables are per-job: clean group reshape.
+            # The flat XLA painter payload is (b*P, 8) with the job slot
+            # in col 7; slots are contiguous per group, so the in-group
+            # slot is slot % width.
+            if paint.ndim == 5:
+                return _group(paint, width)
+            rows_per_group = paint.shape[0] // b * width
+            local = paint.at[:, 7].set(jnp.mod(paint[:, 7], width))
+            return local.reshape(b // width, rows_per_group,
+                                 paint.shape[1])
+
+        def _coarse_packed(variables, imgs):
             images = _coarse_preproc(imgs)
             out = (coarse_apply(variables, images)
                    if variables is not None else coarse_apply(images))
@@ -380,6 +409,20 @@ class TwoStagePipeline:
                 max_dets=max_coarse_dets)
             return pack_detections(d["boxes"], d["scores"], d["labels"],
                                    d["valid"])
+
+        @jax.jit
+        def _coarse_full_batch(variables, imgs):
+            # imgs: (B, H, W, 3) uint8 — ONE stacked upload + ONE dispatch
+            # for the whole chunk (a tunneled TPU pays per-RPC overhead,
+            # so B frames per round trip is ~B-fold fewer stalls), and
+            # ONE packed output array (one readback transfer).  Chunks
+            # wider than ``scan_width`` scan over groups (see ctor).
+            b = imgs.shape[0]
+            if scan_width and b > scan_width and b % scan_width == 0:
+                return _scan_groups(
+                    lambda im: _coarse_packed(variables, im),
+                    (_group(imgs, scan_width),))
+            return _coarse_packed(variables, imgs)
 
         self._coarse_full_batch = (
             lambda imgs: _coarse_full_batch(self._vars_for(imgs)[0],
@@ -450,11 +493,28 @@ class TwoStagePipeline:
             canv = _canvas(imgs, idx, paint, hw)
             return _stage2_rest(variables, canv, regions, hw)
 
-        @functools.partial(jax.jit, static_argnames=("hw",))
-        def _mosaic_stage_batch(variables, imgs, idx, paint, regions, hw):
+        def _stage2_packed(variables, imgs, idx, paint, regions, hw):
             ob, osc, ol, ov = _stage2_core(variables, imgs, idx, paint,
                                            regions, hw)
             return pack_detections(ob, osc, ol, ov)
+
+        def _stage2_scannable(paint, b):
+            return (scan_width and b > scan_width
+                    and b % scan_width == 0
+                    and (paint.ndim == 5 or paint.shape[0] % b == 0))
+
+        @functools.partial(jax.jit, static_argnames=("hw",))
+        def _mosaic_stage_batch(variables, imgs, idx, paint, regions, hw):
+            b = idx.shape[0]
+            if _stage2_scannable(paint, b):
+                return _scan_groups(
+                    lambda i, p, r: _stage2_packed(variables, imgs, i, p,
+                                                   r, hw),
+                    (_group(idx, scan_width),
+                     _group_paint(paint, b, scan_width),
+                     _group(regions, scan_width)))
+            return _stage2_packed(variables, imgs, idx, paint, regions,
+                                  hw)
 
         self._mosaic_stage_batch = (
             lambda imgs, idx, paint, regions, hw: _mosaic_stage_batch(
@@ -471,16 +531,30 @@ class TwoStagePipeline:
         _fuse_v = jax.vmap(functools.partial(
             _fuse_packed, iou_thr=fusion_nms_thr, max_out=max_chip_dets))
 
+        def _stage2_packed_fused(variables, imgs, idx, paint, regions,
+                                 gdets, hw):
+            ob, osc, ol, ov = _stage2_core(variables, imgs, idx, paint,
+                                           regions, hw)
+            fb, fs, fl, fv = _fuse_v(gdets, ob, osc, ol, ov)
+            return pack_detections(fb, fs, fl, fv)
+
         @functools.partial(jax.jit, static_argnames=("hw",))
         def _mosaic_stage_batch_fused(variables, imgs, idx, paint,
                                       regions, gdets, hw):
             # gdets: (b, Kg, 7) packed coarse detections in ORIGINAL
             # image coordinates (host scales them from the coarse-input
             # frame before upload — a few KB).
-            ob, osc, ol, ov = _stage2_core(variables, imgs, idx, paint,
-                                           regions, hw)
-            fb, fs, fl, fv = _fuse_v(gdets, ob, osc, ol, ov)
-            return pack_detections(fb, fs, fl, fv)
+            b = idx.shape[0]
+            if _stage2_scannable(paint, b):
+                return _scan_groups(
+                    lambda i, p, r, g: _stage2_packed_fused(
+                        variables, imgs, i, p, r, g, hw),
+                    (_group(idx, scan_width),
+                     _group_paint(paint, b, scan_width),
+                     _group(regions, scan_width),
+                     _group(gdets, scan_width)))
+            return _stage2_packed_fused(variables, imgs, idx, paint,
+                                        regions, gdets, hw)
 
         self._mosaic_stage_batch_fused = (
             lambda imgs, idx, paint, regions, gdets, hw:

@@ -378,3 +378,47 @@ class TestBucketFitPackMode:
     def test_bad_pack_mode_rejected(self, tiny_models):
         with pytest.raises(ValueError):
             _make_pipeline(tiny_models, pack_mode="nope")
+
+
+class TestScanWidth:
+    """Chunks wider than scan_width run as a lax.scan over groups inside
+    one program (one dispatch RPC, bounded activation memory).  The
+    scanned programs must produce exactly what the flat ones do."""
+
+    def _frames(self, n=4, seed=11):
+        rs = np.random.RandomState(seed)
+        return [rs.randint(0, 255, (200, 320, 3), np.uint8)
+                for _ in range(n)]
+
+    def _assert_same(self, ref, got):
+        assert len(ref) == len(got)
+        # a trivially-empty comparison would prove nothing
+        assert sum(len(r["boxes"]) for r in ref) > 0
+        for a, b in zip(ref, got):
+            assert len(a["boxes"]) == len(b["boxes"])
+            np.testing.assert_allclose(a["boxes"], b["boxes"],
+                                       rtol=1e-5, atol=1e-4)
+            np.testing.assert_allclose(a["scores"], b["scores"],
+                                       rtol=1e-5, atol=1e-5)
+            np.testing.assert_array_equal(a["labels"], b["labels"])
+
+    def test_scanned_matches_flat(self, tiny_models, pipeline):
+        scan_pipe = _make_pipeline(tiny_models, scan_width=2)
+        frames = self._frames()
+        self._assert_same(pipeline.run_batch(frames),
+                          scan_pipe.run_batch(frames))
+
+    def test_scanned_fused_matches_flat(self, tiny_models,
+                                        fused_pipeline):
+        scan_pipe = _make_pipeline(tiny_models, fuse_global=True,
+                                   scan_width=2)
+        frames = self._frames(seed=12)
+        self._assert_same(fused_pipeline.run_batch(frames),
+                          scan_pipe.run_batch(frames))
+
+    def test_non_divisible_chunk_falls_through(self, tiny_models):
+        # width 3 never divides the pow2-padded chunk widths -> the
+        # flat programs run; results must still be valid
+        pipe = _make_pipeline(tiny_models, scan_width=3)
+        out = pipe.run_batch(self._frames(seed=13))
+        assert len(out) == 4
