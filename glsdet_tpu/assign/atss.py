@@ -74,11 +74,14 @@ def atss_assign(
         cand = cand.at[:, start:start + n].set(level_mask)
         start += n
 
-    # adaptive threshold from candidate IoUs
+    # adaptive threshold from candidate IoUs.  The reference takes torch
+    # ``.std(0)`` (atss_assigner.py:134) which is the UNBIASED estimator,
+    # so the masked variance divides by (n-1), not n.
     cand_f = cand.astype(iou_mat.dtype)
     n_cand = jnp.maximum(cand_f.sum(axis=1), 1.0)
     mean = (iou_mat * cand_f).sum(axis=1) / n_cand
-    var = ((iou_mat - mean[:, None]) ** 2 * cand_f).sum(axis=1) / n_cand
+    var = (((iou_mat - mean[:, None]) ** 2 * cand_f).sum(axis=1)
+           / jnp.maximum(n_cand - 1.0, 1.0))
     thr = mean + jnp.sqrt(var)  # (G,)
 
     # center-inside-gt check (margin 0.01)

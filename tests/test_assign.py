@@ -65,6 +65,126 @@ class TestATSS:
         assert np.all(got[fg] == want[fg])
 
 
+def _atss_oracle(anchors, num_level_anchors, gt_boxes, gt_labels,
+                 num_classes, topk=9):
+    """Torch oracle mirroring the reference ATSS assigner semantics
+    (atss_assigner.py:100-160): per-level topk by center distance,
+    threshold = mean + UNBIASED std (torch .std(0)) of candidate IoUs,
+    center-inside-gt margin 0.01, conflicts to the max-IoU GT.
+    """
+    import torch
+
+    anchors = torch.as_tensor(anchors, dtype=torch.float64)
+    gt_boxes = torch.as_tensor(gt_boxes, dtype=torch.float64)
+    num_gt, num_anchor = gt_boxes.shape[0], anchors.shape[0]
+    from glsdet_tpu.ops.boxes import pairwise_iou
+    overlaps = torch.as_tensor(np.asarray(pairwise_iou(
+        jnp.asarray(np.asarray(gt_boxes)), jnp.asarray(np.asarray(anchors)))
+    ).T, dtype=torch.float64)  # (A, G)
+
+    gt_pts = (gt_boxes[:, :2] + gt_boxes[:, 2:]) / 2.0
+    an_pts = (anchors[:, :2] + anchors[:, 2:]) / 2.0
+    distances = (an_pts[:, None, :] - gt_pts[None, :, :]).pow(2).sum(-1).sqrt()
+
+    candidate_idxs = []
+    start = 0
+    for n in num_level_anchors:
+        k = min(topk, n)
+        _, idx = distances[start:start + n, :].topk(k, dim=0, largest=False)
+        candidate_idxs.append(idx + start)
+        start += n
+    candidate_idxs = torch.cat(candidate_idxs, dim=0)  # (K, G)
+
+    cand_overlaps = overlaps[candidate_idxs, torch.arange(num_gt)]
+    thr = cand_overlaps.mean(0) + cand_overlaps.std(0)
+    is_pos = cand_overlaps >= thr[None, :]
+
+    l_ = an_pts[candidate_idxs, 0] - gt_boxes[None, :, 0]
+    t_ = an_pts[candidate_idxs, 1] - gt_boxes[None, :, 1]
+    r_ = gt_boxes[None, :, 2] - an_pts[candidate_idxs, 0]
+    b_ = gt_boxes[None, :, 3] - an_pts[candidate_idxs, 1]
+    inside = torch.stack([l_, t_, r_, b_], dim=1).min(dim=1)[0] > 0.01
+    is_pos = is_pos & inside
+
+    INF = 10 ** 8
+    overlaps_inf = torch.full_like(overlaps, -INF)
+    for g in range(num_gt):
+        sel = candidate_idxs[:, g][is_pos[:, g]]
+        overlaps_inf[sel, g] = overlaps[sel, g]
+    max_ov, argmax_ov = overlaps_inf.max(dim=1)
+    assigned = torch.where(max_ov > -INF / 2, argmax_ov,
+                           torch.full_like(argmax_ov, -1))
+    labels = np.where(assigned.numpy() >= 0,
+                      np.asarray(gt_labels)[assigned.clamp(min=0).numpy()],
+                      num_classes)
+    return assigned.numpy(), labels, thr.numpy()
+
+
+class TestATSSReferenceParity:
+    """Randomized parity vs a torch oracle of atss_assigner.py numerics.
+
+    Catches the biased/unbiased std distinction (torch .std(0) is n-1):
+    with topk=9 the correction shifts thresholds ~6%, flipping anchors
+    near the adaptive threshold.
+    """
+
+    @pytest.mark.parametrize("seed", range(6))
+    def test_randomized_parity(self, seed):
+        rng = np.random.RandomState(seed)
+        anchors, counts = grid_anchors((64, 64), [8, 16, 32],
+                                       octave_base_scale=4)
+        g = rng.randint(1, 7)
+        cxy = rng.uniform(8, 56, (g, 2))
+        wh = rng.uniform(6, 48, (g, 2))
+        boxes = np.concatenate([cxy - wh / 2, cxy + wh / 2], -1)
+        boxes = np.clip(boxes, 0, 64).astype(np.float32)
+        labels = rng.randint(0, 10, (g,))
+
+        gt_boxes, gt_labels, gt_valid = _pad_gts(boxes, labels)
+        res = atss_assign(jnp.asarray(anchors), counts, gt_boxes, gt_labels,
+                          gt_valid, num_classes=10)
+        want_assigned, want_labels, _ = _atss_oracle(
+            anchors, counts, boxes, labels, num_classes=10)
+        np.testing.assert_array_equal(np.asarray(res.assigned_gt),
+                                      want_assigned)
+        np.testing.assert_array_equal(np.asarray(res.labels), want_labels)
+
+    def test_threshold_matches_unbiased_std(self):
+        # direct numeric check of the mean + std(n-1) threshold on a fixture
+        anchors, counts = grid_anchors((32, 32), [8, 16],
+                                       octave_base_scale=4)
+        boxes = np.array([[4.0, 4.0, 28.0, 28.0]], np.float32)
+        _, _, thr = _atss_oracle(anchors, counts, boxes, [0], num_classes=10)
+
+        from glsdet_tpu.ops.boxes import pairwise_iou
+        iou = np.asarray(pairwise_iou(jnp.asarray(boxes),
+                                      jnp.asarray(anchors)))[0]
+        gt_c = np.array([16.0, 16.0])
+        an_c = (anchors[:, :2] + anchors[:, 2:]) / 2
+        d = np.linalg.norm(an_c - gt_c, axis=1)
+        cand = []
+        start = 0
+        for n in counts:
+            k = min(9, n)
+            cand.extend(start + np.argsort(d[start:start + n])[:k])
+            start += n
+        cand_iou = iou[np.asarray(cand)]
+        want = cand_iou.mean() + cand_iou.std(ddof=1)
+        np.testing.assert_allclose(thr[0], want, rtol=1e-6)
+
+        gt_boxes, gt_labels, gt_valid = _pad_gts(boxes, [0])
+        res = atss_assign(jnp.asarray(anchors), counts, gt_boxes,
+                          gt_labels, gt_valid, num_classes=10)
+        got_fg = np.asarray(res.assigned_gt) >= 0
+        inside = np.minimum.reduce([
+            an_c[:, 0] - boxes[0, 0], an_c[:, 1] - boxes[0, 1],
+            boxes[0, 2] - an_c[:, 0], boxes[0, 3] - an_c[:, 1]]) > 0.01
+        want_fg = np.zeros(len(anchors), bool)
+        want_fg[np.asarray(cand)] = cand_iou >= want
+        want_fg &= inside
+        np.testing.assert_array_equal(got_fg, want_fg)
+
+
 class TestSimOTA:
     def _run(self, gt, labels, seed=0, a_hw=(64, 64)):
         centers, strides, _ = grid_points(a_hw, [8, 16, 32])
