@@ -76,18 +76,23 @@ class CocoEvaluator:
 
     def __init__(self, num_classes: int,
                  max_dets: Sequence[int] = (10, 100, 500),
-                 iou_thrs: np.ndarray = IOU_THRS):
+                 iou_thrs: np.ndarray = IOU_THRS,
+                 area_rngs: Optional[Dict[str, Tuple[float, float]]] = None):
         self.num_classes = num_classes
         self.max_dets = tuple(sorted(max_dets))
         self.iou_thrs = np.asarray(iou_thrs)
+        # standard COCO ranges by default; the drone reference overrides
+        # these (yolox-drone/models/core/cocoeval.py:510 widens "medium"
+        # to [32^2, 1e10] and empties "large")
+        self.area_rngs = dict(area_rngs) if area_rngs else dict(AREA_RNGS)
 
     def evaluate(self, gts: dict, dets: dict) -> CocoEvalResult:
         T = len(self.iou_thrs)
         R = len(REC_THRS)
         K = self.num_classes
-        A = len(AREA_RNGS)
+        A = len(self.area_rngs)
         M = len(self.max_dets)
-        area_keys = list(AREA_RNGS)
+        area_keys = list(self.area_rngs)
         img_ids = sorted(gts.keys())
         max_det_cap = self.max_dets[-1]
 
@@ -117,14 +122,18 @@ class CocoEvaluator:
                 per_img.append((gb, db, ds, ious))
 
             for a, ak in enumerate(area_keys):
-                lo, hi = AREA_RNGS[ak]
+                lo, hi = self.area_rngs[ak]
                 for m, md in enumerate(self.max_dets):
                     # build global det list with match flags per iou thr
                     all_scores, all_matched, all_ignored = [], [], []
                     npig = 0
                     for gb, db, ds, ious in per_img:
                         g_area = gb[:, 2] * gb[:, 3]
-                        g_ignore = (g_area < lo) | (g_area >= hi)
+                        # coco protocol: in-range is lo <= area <= hi
+                        # (inclusive upper — cocoeval.py:251 uses  > hi),
+                        # so an exactly-32^2 gt counts in BOTH small
+                        # and medium ranges
+                        g_ignore = (g_area < lo) | (g_area > hi)
                         npig += int((~g_ignore).sum())
                         db_m, ds_m = db[:md], ds[:md]
                         iou_m = ious[:md]
@@ -160,7 +169,7 @@ class CocoEvaluator:
                         # unmatched dets in ignored area range are ignored
                         d_area = db_m[:, 2] * db_m[:, 3] if nd else \
                             np.zeros((0,))
-                        d_out = (d_area < lo) | (d_area >= hi)
+                        d_out = (d_area < lo) | (d_area > hi)
                         dt_ignore |= (~dt_match) & d_out[None, :]
                         all_scores.append(ds_m)
                         all_matched.append(dt_match)
@@ -199,7 +208,13 @@ class CocoEvaluator:
 
         def _summ(ap=True, iou=None, area="all", md=None):
             aind = area_keys.index(area)
-            mind = self.max_dets.index(md if md else self.max_dets[-1])
+            md = md if md else self.max_dets[-1]
+            if md not in self.max_dets:
+                # pycocotools quirk: _summarize(1) hard-codes maxDets=100
+                # (cocoeval.py:427,460), so stats[0] is -1 whenever 100
+                # is not among params.maxDets
+                return -1.0
+            mind = self.max_dets.index(md)
             if ap:
                 s = precision
                 if iou is not None:
@@ -217,7 +232,9 @@ class CocoEvaluator:
         md_lo, md_mid, md_hi = (
             self.max_dets + (self.max_dets[-1],) * 2)[:3]
         stats = np.array([
-            _summ(True),
+            # headline AP row is AP@maxDets=100 in the coco protocol
+            # (NOT the largest cap — see _summ's quirk note)
+            _summ(True, md=100),
             _summ(True, iou=0.5),
             _summ(True, iou=0.75),
             _summ(True, area="small"),
