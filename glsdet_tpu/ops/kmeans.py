@@ -38,23 +38,26 @@ def _one_run(key, data_n, k, num_iters):
     first = data_n[jax.random.randint(sub, (), 0, n)]
     centers0 = jnp.zeros((k, data_n.shape[1]), data_n.dtype).at[0].set(first)
     _, centers = jax.lax.fori_loop(1, k, seed_body, (key, centers0))
+    return _lloyd_from(data_n, centers, k, num_iters)
+
+
+def _lloyd_from(data_n, centers, k, num_iters):
+    """Lloyd iterations from given (k, d) centers (no seeding)."""
 
     def lloyd(_, centers):
-        sims = data_n @ centers.T                       # (n, k)
-        assign = jnp.argmax(sims, axis=1)               # (n,)
-        onehot = jax.nn.one_hot(assign, k, dtype=data_n.dtype)  # (n, k)
-        counts = onehot.sum(axis=0)                     # (k,)
-        sums = onehot.T @ data_n                        # (k, d)
+        sims = data_n @ centers.T
+        assign = jnp.argmax(sims, axis=1)
+        onehot = jax.nn.one_hot(assign, k, dtype=data_n.dtype)
+        counts = onehot.sum(axis=0)
+        sums = onehot.T @ data_n
         new = jnp.where(counts[:, None] > 0,
                         sums / jnp.maximum(counts[:, None], 1.0), centers)
-        # avoid_empty_clusters: an empty cluster grabs the point farthest
-        # from its current assignment set.
         best_sim = jnp.max(sims, axis=1)
         worst = jnp.argmin(best_sim)
         new = jnp.where((counts[:, None] == 0), data_n[worst][None, :], new)
         return _normalize(new)
 
-    centers = jax.lax.fori_loop(0, num_iters, lloyd, centers)
+    centers = jax.lax.fori_loop(0, num_iters, lloyd, _normalize(centers))
     sims = data_n @ centers.T
     assign = jnp.argmax(sims, axis=1)
     inertia = jnp.sum(1.0 - jnp.max(sims, axis=1))
@@ -62,15 +65,28 @@ def _one_run(key, data_n, k, num_iters):
 
 
 def cosine_kmeans(key: jax.Array, data: jnp.ndarray, k: int,
-                  num_iters: int = 20, restarts: int = 8):
+                  num_iters: int = 20, restarts: int = 8,
+                  init_centers: jnp.ndarray | None = None):
     """Cluster rows of ``data`` into ``k`` groups by cosine distance.
 
     Returns (centers (k, d), assignments (n,), inertia scalar) of the best
     restart.  ``restarts`` mirrors the reference's ``repeats=25`` (kept
     smaller — each restart vmaps, and the downstream use only needs the
     cluster-size histogram).
+
+    ``init_centers`` (k, d) runs ONE deterministic Lloyd pass from the
+    given centers instead of seeded restarts — the analog of nltk's
+    ``initial_means`` (which likewise forces ``repeats=1``); used for
+    warm starts across OT-hook invocations and for parity testing.
+    Note nltk's ``avoid_empty_clusters`` centroid is the damped mean
+    ``(old + sum(cluster)) / (1 + n)``; its fixed points coincide with
+    the plain Lloyd mean used here, so converged assignments agree even
+    though trajectories differ.
     """
     data_n = _normalize(data.astype(jnp.float32))
+    if init_centers is not None:
+        return _lloyd_from(data_n, init_centers.astype(jnp.float32),
+                           k, num_iters)
     keys = jax.random.split(key, restarts)
     centers, assigns, inertias = jax.vmap(
         lambda kk: _one_run(kk, data_n, k, num_iters))(keys)
