@@ -104,11 +104,15 @@ def main():
     # b32, but END-TO-END the pipeline pays a ~30ms tunnel RPC floor on
     # each of its per-chunk dispatches/readbacks, so wider chunks keep
     # winning: 173.8 (b32) -> 197.7 (b64) -> 227.6 (b128) img/s.
-    # b256 does not compile (21.0G > 15.75G HBM: the mosaic+MP-Det
-    # program's canvas/activation temporaries), so 128 is the widest
-    # per-chip chunk; sweep via GLSDET_BENCH_BATCH.
+    # b256 OOMs only as a FLAT program (21.0G > 15.75G HBM: the
+    # mosaic+MP-Det canvas/activation temporaries); chunks wider than
+    # GLSDET_SCAN_WIDTH run as in-program lax.scan groups of that width
+    # instead, so e.g. GLSDET_BENCH_BATCH=256 runs as 2x128 scanned
+    # groups in one dispatch. Sweep width via GLSDET_BENCH_BATCH and
+    # the per-group cap via GLSDET_SCAN_WIDTH (empty/0 disables
+    # scanning, i.e. flat programs only).
     bench_batch = int(os.environ.get("GLSDET_BENCH_BATCH", "128"))
-    scan_width = int(os.environ.get("GLSDET_SCAN_WIDTH", "128")) or None
+    scan_width = int(os.environ.get("GLSDET_SCAN_WIDTH") or "128") or None
     pipe = make_pipe(False if quant8 == "static" else quant8)
 
     rs = np.random.RandomState(0)

@@ -59,6 +59,16 @@ class TrainConfig:
     emd_start_epoch: int = 2
     ckpt_interval: int = 1
     log_interval: int = 50
+    # two-phase frozen-backbone recipe (yolox-drone train.py:196-262:
+    # Freeze_Epoch phase with Freeze_lr/Freeze_batch_size and
+    # backbone.requires_grad=False, then a fresh optimizer unfrozen).
+    # freeze_epochs=0 disables; 0-valued lr/batch fall back to
+    # base_lr / data.batch_size.  Sections are top-level param
+    # collections (optax.multi_transform set_to_zero partition).
+    freeze_epochs: int = 0
+    freeze_lr: float = 0.0
+    freeze_batch_size: int = 0
+    freeze_sections: Tuple[str, ...] = ("backbone",)
     work_dir: str = "work_dirs/default"
     resume: str = ""
     # weights-only init (mmdet load_from; shape-matched partial load).

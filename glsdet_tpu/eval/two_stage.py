@@ -324,6 +324,9 @@ class TwoStagePipeline:
         # per-RPC floor is paid once) while live activation memory stays
         # bounded by one group — b256 as a flat program needs 21G of
         # HBM (>15.75G on v5e) but scans fine at 2x128.
+        if scan_width is not None and int(scan_width) < 1:
+            raise ValueError(f"scan_width {scan_width!r}: expected a "
+                             "positive int or None")
         self.scan_width = int(scan_width) if scan_width else None
         scan_width = self.scan_width
         self.coarse_score_thr = coarse_score_thr
@@ -357,6 +360,11 @@ class TwoStagePipeline:
             p = "pallas" if jax.default_backend() == "tpu" else "xla"
         self.painter = p
         self.paint_cap = int(paint_table_cap)
+        # painter="pallas" off-TPU (explicit opt-in only — "auto" never
+        # picks it there) runs the kernel in pallas interpret mode so the
+        # table-driven paths stay testable on CPU.
+        paint_interpret = (self.painter == "pallas"
+                           and jax.default_backend() != "tpu")
 
         def _coarse_preproc(imgs):
             # Resize + normalize run in ``mosaic_dtype`` (bfloat16 by
@@ -469,7 +477,7 @@ class TwoStagePipeline:
             if paint.ndim == 5:
                 canv = assemble_mosaic_pallas_batch(
                     sel, paint, ph, ph, tile=paint_tile(hw),
-                    dtype=mosaic_dtype)
+                    dtype=mosaic_dtype, interpret=paint_interpret)
             else:
                 canv = assemble_mosaic_tiled_batch(
                     sel, paint, ph, ph, tile=paint_tile(hw),

@@ -422,3 +422,25 @@ class TestScanWidth:
         pipe = _make_pipeline(tiny_models, scan_width=3)
         out = pipe.run_batch(self._frames(seed=13))
         assert len(out) == 4
+
+    def test_scanned_pallas_tables_match_flat(self, tiny_models,
+                                              pipeline):
+        # The pallas painter's (b, NT, NT, K, 8) tables take the
+        # ndim==5 branch of the scan grouping (clean reshape, no slot
+        # relabeling) and run pallas_call inside lax.scan.  Off-TPU the
+        # kernel runs in interpret mode (explicit painter="pallas"
+        # opt-in), so this covers the TPU bench configuration's code
+        # path on CPU.  Flat-pallas is the reference (painter-vs-painter
+        # parity lives in test_pallas_paint.py; here only the scan
+        # grouping is under test, so the painter must be held fixed).
+        flat_pipe = _make_pipeline(tiny_models, painter="pallas",
+                                   scan_width=None)
+        scan_pipe = _make_pipeline(tiny_models, painter="pallas",
+                                   scan_width=2)
+        frames = self._frames(seed=14)
+        self._assert_same(flat_pipe.run_batch(frames),
+                          scan_pipe.run_batch(frames))
+
+    def test_bad_scan_width_rejected(self, tiny_models):
+        with pytest.raises(ValueError):
+            _make_pipeline(tiny_models, scan_width=-2)
