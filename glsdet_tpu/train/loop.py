@@ -25,7 +25,7 @@ import json
 import logging
 import os
 import time
-from typing import Callable, Optional
+from typing import Callable, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -98,27 +98,49 @@ def make_state_template(cfg: Config, variables, tx, rng):
     return TrainState.create(variables, tx, rng, boiw=boiw)
 
 
-def build_optimizer(cfg: Config, steps_per_epoch: int):
+def build_optimizer(cfg: Config, steps_per_epoch: int,
+                    frozen_sections: Tuple[str, ...] = ()):
     t = cfg.train
     total = t.epochs * steps_per_epoch
     if t.optimizer == "yolox_sgd":
         sched = schedules.yolox_warm_cos(
             t.base_lr, t.warmup_epochs * steps_per_epoch, total,
             t.num_last_epochs * steps_per_epoch, t.min_lr_ratio)
-        return schedules.yolox_sgd(sched, weight_decay=t.weight_decay)
-    if t.optimizer == "mp_sgd":
+        tx = schedules.yolox_sgd(sched, weight_decay=t.weight_decay)
+    elif t.optimizer == "mp_sgd":
         sched = schedules.schedule_1x(t.base_lr, steps_per_epoch)
-        return schedules.mp_det_sgd(
+        tx = schedules.mp_det_sgd(
             sched, weight_decay=t.weight_decay,
             grad_clip=t.grad_clip or 35.0)
-    if t.optimizer == "adam_step":
+    elif t.optimizer == "adam_step":
         import optax
 
         sched = schedules.epoch_step_decay(t.base_lr, steps_per_epoch)
-        return optax.chain(
+        tx = optax.chain(
             optax.add_decayed_weights(t.weight_decay),
             optax.adam(sched))
-    raise ValueError(t.optimizer)
+    else:
+        raise ValueError(t.optimizer)
+    return freeze_sections(tx, frozen_sections) if frozen_sections else tx
+
+
+def freeze_sections(tx, sections: Tuple[str, ...]):
+    """Partition the optimizer so top-level param sections in
+    ``sections`` receive zero updates (the functional analog of
+    yolox-drone's ``model.backbone.parameters() requires_grad=False``,
+    train.py:228-230: frozen params get neither gradient steps nor
+    weight decay, while batch statistics still update in the forward)."""
+    import optax
+    from flax import traverse_util
+
+    def label(params):
+        flat = traverse_util.flatten_dict(params)
+        labels = {k: ("frozen" if k[0] in sections else "train")
+                  for k in flat}
+        return traverse_util.unflatten_dict(labels)
+
+    return optax.multi_transform(
+        {"train": tx, "frozen": optax.set_to_zero()}, label)
 
 
 # shared checkpointer so async saves can be awaited across calls
@@ -234,7 +256,76 @@ def train(cfg: Config, dataset: Optional[CocoDataset] = None,
     """Run the full training schedule. ``max_steps`` truncates for tests.
 
     eval_fn(state, epoch) is the EvalHook analog, called per epoch.
+
+    ``cfg.train.freeze_epochs > 0`` selects the two-phase frozen-backbone
+    recipe (yolox-drone train.py:196-262): phase 1 trains
+    ``freeze_epochs`` epochs at ``freeze_lr`` / ``freeze_batch_size``
+    with ``freeze_sections`` params frozen, then phase 2 rebuilds a
+    fresh optimizer (like the reference's new ``optim.Adam`` per phase)
+    and trains the remaining epochs unfrozen at ``base_lr`` /
+    ``data.batch_size``.  Checkpoint/eval epoch numbering is continuous
+    across phases.
     """
+    if cfg.train.freeze_epochs > 0:
+        return _train_two_phase(cfg, dataset, max_steps, eval_fn)
+    return _train_run(cfg, dataset, max_steps, eval_fn)
+
+
+def _train_two_phase(cfg: Config, dataset, max_steps, eval_fn):
+    import copy
+
+    t = cfg.train
+    if t.resume:
+        raise ValueError(
+            "resume with freeze_epochs is ambiguous (which phase?): "
+            "resume the unfrozen phase explicitly with freeze_epochs=0, "
+            "the reduced epoch count and resume=<ckpt> (the reference's "
+            "manual Init_Epoch), or restart the two-phase run with "
+            "load_from.")
+    if t.freeze_epochs >= t.epochs:
+        raise ValueError(f"freeze_epochs {t.freeze_epochs} must be < "
+                         f"epochs {t.epochs}")
+
+    p1 = copy.deepcopy(cfg)
+    p1.train.epochs = t.freeze_epochs
+    if t.freeze_lr:
+        p1.train.base_lr = t.freeze_lr
+    if t.freeze_batch_size:
+        p1.data.batch_size = t.freeze_batch_size
+    # the no-aug+L1 tail belongs to the END of the overall schedule
+    p1.train.num_last_epochs = 0
+    logger.info("freeze phase: %d epochs, lr %g, batch %d, frozen %s",
+                p1.train.epochs, p1.train.base_lr, p1.data.batch_size,
+                t.freeze_sections)
+    state = _train_run(p1, dataset, max_steps, eval_fn,
+                       frozen_sections=tuple(t.freeze_sections))
+
+    used = int(state.step)
+    if max_steps is not None and used >= max_steps:
+        return state
+
+    p2 = copy.deepcopy(cfg)
+    p2.train.epochs = t.epochs - t.freeze_epochs
+    p2.train.load_from = ""     # weights carry over in memory
+    logger.info("unfreeze phase: %d epochs, lr %g, batch %d",
+                p2.train.epochs, p2.train.base_lr, p2.data.batch_size)
+    return _train_run(p2, dataset,
+                      None if max_steps is None else max_steps - used,
+                      eval_fn, carry_state=state,
+                      epoch_offset=t.freeze_epochs)
+
+
+def _train_run(cfg: Config, dataset: Optional[CocoDataset] = None,
+               max_steps: Optional[int] = None,
+               eval_fn: Optional[Callable] = None,
+               frozen_sections: Tuple[str, ...] = (),
+               carry_state: Optional[TrainState] = None,
+               epoch_offset: int = 0) -> TrainState:
+    """One optimizer lifetime (both single-phase training and each phase
+    of the freeze/unfreeze recipe).  ``carry_state`` seeds weights
+    (params / batch_stats / EMA / BoIW / rng) from a previous phase into
+    a fresh optimizer; ``epoch_offset`` keeps checkpoint, log and eval
+    epoch numbering continuous across phases."""
     os.makedirs(cfg.train.work_dir, exist_ok=True)
     log_path = os.path.join(cfg.train.work_dir, "train.log.json")
     rng = jax.random.PRNGKey(cfg.train.seed)
@@ -284,7 +375,8 @@ def train(cfg: Config, dataset: Optional[CocoDataset] = None,
     steps_per_epoch = max(len(dataset) // cfg.data.batch_size, 1)
 
     model = build_model(cfg)
-    tx = build_optimizer(cfg, steps_per_epoch)
+    tx = build_optimizer(cfg, steps_per_epoch,
+                         frozen_sections=frozen_sections)
 
     # jitted init at a small spatial size: eager init is thousands of
     # tiny dispatches (minutes on a remote-tunnel TPU); shapes are
@@ -298,6 +390,17 @@ def train(cfg: Config, dataset: Optional[CocoDataset] = None,
         boiw = init_boiw(rng, cfg.model.num_classes, cfg.model.num_words,
                          cfg.model.feat_channels, cfg.model.proxies_list)
     state = TrainState.create(variables, tx, rng, boiw=boiw)
+    if carry_state is not None:
+        # phase handoff: weights/statistics continue, the optimizer
+        # trajectory does not (fresh moments + schedule, like the
+        # reference's per-phase optim.Adam); step stays 0 so the new
+        # schedule starts at its own warmup
+        state = state.replace(
+            params=carry_state.params,
+            batch_stats=carry_state.batch_stats,
+            ema_params=carry_state.ema_params,
+            boiw=carry_state.boiw,
+            rng=carry_state.rng)
     if mesh is not None:
         state = jax.device_put(state, repl_sh)
 
@@ -371,6 +474,10 @@ def train(cfg: Config, dataset: Optional[CocoDataset] = None,
         lambda b, k: update_ot(b, k, cfg.model.proxies_list))
 
     for epoch in range(start_epoch, cfg.train.epochs):
+        # epoch-indexed hooks run on the GLOBAL epoch so schedules stay
+        # continuous across freeze/unfreeze phases (epoch_offset=0 in
+        # single-phase runs)
+        gepoch = epoch + epoch_offset
         last_phase = epoch >= cfg.train.epochs - cfg.train.num_last_epochs
         if last_phase:
             pipeline.disable_aug()
@@ -378,10 +485,10 @@ def train(cfg: Config, dataset: Optional[CocoDataset] = None,
 
         # OT hook: beta switch at emd_start_epoch (mpdet only)
         if (cfg.model.family == "mpdet"
-                and epoch == cfg.train.emd_start_epoch
+                and gepoch == cfg.train.emd_start_epoch
                 and state.boiw is not None):
             state = state.replace(boiw=enable_emd_training(state.boiw))
-            logger.info("epoch %d: enabled emd training (beta=1)", epoch)
+            logger.info("epoch %d: enabled emd training (beta=1)", gepoch)
 
         for it in range(steps_per_epoch):
             if max_steps is not None and global_step >= max_steps:
@@ -400,7 +507,7 @@ def train(cfg: Config, dataset: Optional[CocoDataset] = None,
 
             # OT hook: update_ot every ot_interval while epoch < stop
             if (cfg.model.family == "mpdet"
-                    and epoch < cfg.train.ot_stop_epoch
+                    and gepoch < cfg.train.ot_stop_epoch
                     and global_step % cfg.train.ot_interval == 0):
                 key = jax.random.PRNGKey(int(ot_rng.randint(2 ** 31)))
                 state = state.replace(
@@ -415,7 +522,7 @@ def train(cfg: Config, dataset: Optional[CocoDataset] = None,
                         f"non-finite loss at step {global_step}: {vals}")
                 dt = (time.time() - t_iter) / cfg.train.log_interval
                 t_iter = time.time()
-                entry = {"mode": "train", "epoch": epoch + 1,
+                entry = {"mode": "train", "epoch": gepoch + 1,
                          "iter": it + 1, "step": global_step,
                          "time": round(dt, 4), **vals}
                 logger.info("%s", entry)
@@ -425,13 +532,13 @@ def train(cfg: Config, dataset: Optional[CocoDataset] = None,
 
         # state is replicated, so process 0 alone writes checkpoints and
         # runs the eval hook (the reference gates these on rank 0 too)
-        if is_main and (epoch + 1) % cfg.train.ckpt_interval == 0:
+        if is_main and (gepoch + 1) % cfg.train.ckpt_interval == 0:
             # async: disk write overlaps the next epoch (joined by the
             # next save or by finish_checkpoints below)
-            save_checkpoint(cfg.train.work_dir, state, epoch + 1,
+            save_checkpoint(cfg.train.work_dir, state, gepoch + 1,
                             wait=False)
         if eval_fn is not None and is_main:
-            eval_fn(state, epoch + 1)
+            eval_fn(state, gepoch + 1)
 
     finish_checkpoints()
     return state
