@@ -33,6 +33,12 @@ class GFLTargets(NamedTuple):
     labels: jnp.ndarray        # (B, A) int32; num_classes = bg
     bbox_targets: jnp.ndarray  # (B, A, 4) xyxy image coords
     pos_mask: jnp.ndarray      # (B, A) bool
+    # per-anchor cls weight (mmdet label_weights: 1.0 for every
+    # assigned pos/neg anchor, 0.0 for ignored ones — ATSS here has no
+    # ignore path yet, so gfl_targets emits all-ones; kept explicit so
+    # ignore-weighting flows through QFL and the BoIW contrastive loss
+    # when added, gfl_head.py:520-534 / mp_head.py:272-305)
+    label_weights: jnp.ndarray  # (B, A) float32
 
 
 def gfl_targets(anchors: jnp.ndarray, num_level_anchors: Sequence[int],
@@ -50,7 +56,8 @@ def gfl_targets(anchors: jnp.ndarray, num_level_anchors: Sequence[int],
         return res.labels, tgt, pos
 
     labels, tgts, pos = jax.vmap(single)(gt_boxes, gt_labels, gt_valid)
-    return GFLTargets(labels, tgts, pos)
+    return GFLTargets(labels, tgts, pos,
+                      jnp.ones(labels.shape, jnp.float32))
 
 
 class GFLLossOut(NamedTuple):
@@ -122,11 +129,13 @@ def gfl_loss(
     dfl_w = jnp.repeat(weight.reshape(-1), 4) / 4.0
     loss_dfl = loss_dfl_weight * jnp.sum(dfl * dfl_w) / avg_factor
 
-    # QFL over all anchors
+    # QFL over all anchors, weighted per anchor (label_weights is 1.0
+    # everywhere until an ignore path sets zeros — gfl_head.py:520-534)
     qfl = quality_focal_loss(
         cls_scores.reshape(-1, c), targets.labels.reshape(-1),
         quality.reshape(-1), num_classes)
-    loss_cls = jnp.sum(qfl) / num_total_samples
+    loss_cls = jnp.sum(
+        qfl * targets.label_weights.reshape(-1)) / num_total_samples
 
     total = loss_cls + loss_bbox + loss_dfl
     return GFLLossOut(total, loss_cls, loss_bbox, loss_dfl,

@@ -100,13 +100,16 @@ def ot_proxy_loss(features: jnp.ndarray, labels: jnp.ndarray,
         col_ok = col_ok.at[c, :nprox].set(True)
 
     def one(cost_c, ut_c, valid_c):
-        # The plan is a constant under differentiation (envelope theorem
-        # at the entropic-OT optimum; JAX cannot reverse-differentiate
-        # the while_loop anyway — the reference backprops the unrolled
-        # torch loop, which converges to the same gradient).
-        plan = jax.lax.stop_gradient(
-            sinkhorn(cost_c, target_marginal=ut_c, reg=reg,
-                     num_iters=num_iters, row_mask=valid_c))
+        # Backprop THROUGH the scaling iterations (differentiable scan),
+        # matching the reference's torch loop (mp_head.py:156-182).  The
+        # plan is NOT a constant under differentiation: the envelope
+        # theorem applies to the full entropic objective <P,C> + reg*H,
+        # not to <P,C> alone — d<P*(C),C>/dC = P* + <dP*/dC, C>, and the
+        # second term measures ~30% of the first on small fixtures
+        # (tests/test_sinkhorn_grad.py, central finite differences).
+        plan = sinkhorn(cost_c, target_marginal=ut_c, reg=reg,
+                        num_iters=num_iters, row_mask=valid_c,
+                        differentiable=True)
         has_pos = jnp.any(valid_c)
         return jnp.where(has_pos, jnp.sum(plan * cost_c), 0.0)
 
@@ -157,7 +160,8 @@ def mp_loss(
 
     beta = boiw.beta
     loss_emb = beta * contrastive_loss(
-        feat_flat, labels_flat, boiw.embedding, gfl.num_total_samples)
+        feat_flat, labels_flat, boiw.embedding, gfl.num_total_samples,
+        weights=targets.label_weights.reshape(-1))
     loss_op = beta * ot_proxy_loss(
         feat_flat, labels_flat, proxies.astype(jnp.float32),
         boiw.proxies_prob, proxies_list)
