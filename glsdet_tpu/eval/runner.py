@@ -187,3 +187,125 @@ def run_eval(
         print(summarize(result, dataset.class_names))
         print(stats)
     return result, stats
+
+
+def run_eval_tta(
+    dataset: CocoDataset,
+    apply_fn: Callable,
+    family: str,
+    img_hw: Tuple[int, int],
+    num_classes: int,
+    tta_scales: Tuple[float, ...] = (1.0,),
+    tta_flip: bool = True,
+    score_thr: float = 0.01,
+    nms_iou: float = 0.65,
+    max_dets: int = 100,
+    max_images: Optional[int] = None,
+    verbose: bool = True,
+    variables=None,
+    strides=None,
+    out_json: Optional[str] = None,
+    format_only: bool = False,
+) -> Tuple[Optional[CocoEvalResult], dict]:
+    """Multi-scale + flip TTA eval (MultiScaleFlipAug semantics,
+    test_time_aug.py:11 + the aug_test merge).
+
+    Every augmented variant is letterboxed to the SAME fixed ``img_hw``
+    model canvas, so all scales and flips share ONE compiled program —
+    a TTA "scale" changes how much of the canvas the image occupies
+    (exactly what resizing before the reference's Resize(keep_ratio)
+    step does), never the traced shapes.  Per-variant detections are
+    mapped back to original coordinates and fused with a single NMS
+    (eval/tta.py: tta_detect).
+    """
+    from glsdet_tpu.data.augment import letterbox
+    from glsdet_tpu.data.coco import normalize
+    from glsdet_tpu.eval.tta import tta_detect
+
+    if family in ("yolox", "ffa"):
+        yolox_strides = strides or ((4, 8, 16, 32) if family == "ffa"
+                                    else (8, 16, 32))
+
+        @jax.jit
+        def _fwd(v, images):
+            out = apply_fn(v, images) if v is not None else apply_fn(images)
+            cls, reg, obj = out
+            return yolox_postprocess(cls, reg, obj, img_hw,
+                                     strides=yolox_strides,
+                                     score_thr=score_thr, iou_thr=nms_iou,
+                                     max_dets=max_dets)
+    else:
+        @jax.jit
+        def _fwd(v, images):
+            out = apply_fn(v, images) if v is not None else apply_fn(images)
+            cls, reg = out
+            return gfl_postprocess(cls, reg, img_hw, score_thr=score_thr,
+                                   iou_thr=nms_iou, max_dets=max_dets)
+
+    def detect_one(image: np.ndarray) -> dict:
+        canvas, _, s, (dx, dy) = letterbox(
+            image, np.zeros((0, 4), np.float32), img_hw)
+        out = _fwd(variables, jnp.asarray(normalize(canvas))[None])
+        v = np.asarray(out["valid"][0])
+        b = np.asarray(out["boxes"][0])[v]
+        b = (b - np.array([dx, dy, dx, dy])) / s
+        h0, w0 = image.shape[:2]
+        b[:, [0, 2]] = b[:, [0, 2]].clip(0, w0)
+        b[:, [1, 3]] = b[:, [1, 3]].clip(0, h0)
+        return {"boxes": b,
+                "scores": np.asarray(out["scores"][0])[v],
+                "labels": np.asarray(out["labels"][0])[v]}
+
+    dets_by_img: Dict[int, tuple] = {}
+    t0 = time.time()
+    for rec in dataset.records:
+        if max_images is not None and len(dets_by_img) >= max_images:
+            break
+        img = dataset.load_image(rec)
+        d = tta_detect(detect_one, img, scales=tuple(tta_scales),
+                       flip=tta_flip, iou_thr=nms_iou, max_dets=max_dets)
+        b = d["boxes"]
+        xywh = np.concatenate([b[:, :2], b[:, 2:] - b[:, :2]], axis=1)
+        dets_by_img[rec.img_id] = (xywh, d["scores"], d["labels"])
+    elapsed = time.time() - t0
+    n_done = len(dets_by_img)
+
+    if out_json:
+        import json
+
+        cat_ids = getattr(dataset, "cat_ids", None)
+        dump = []
+        for img_id, (xywh, ss, ll) in dets_by_img.items():
+            for box, sc, lb in zip(xywh, ss, ll):
+                dump.append({
+                    "image_id": int(img_id),
+                    "category_id": (int(cat_ids[int(lb)]) if cat_ids
+                                    else int(lb) + 1),
+                    "bbox": [round(float(x), 2) for x in box],
+                    "score": round(float(sc), 5),
+                })
+        with open(out_json, "w") as f:
+            json.dump(dump, f)
+        if verbose:
+            print(f"wrote {len(dump)} detections -> {out_json}")
+
+    stats = {"images": n_done, "elapsed_s": round(elapsed, 2),
+             "images_per_sec": round(n_done / max(elapsed, 1e-9), 2),
+             "tta_scales": list(tta_scales), "tta_flip": tta_flip}
+    if format_only:
+        return None, stats
+
+    gts = {}
+    for rec in dataset.records:
+        if max_images is not None and rec.img_id not in dets_by_img:
+            continue
+        b = rec.boxes
+        gts[rec.img_id] = (
+            np.concatenate([b[:, :2], b[:, 2:] - b[:, :2]], axis=1),
+            rec.labels)
+    evaluator = CocoEvaluator(num_classes)
+    result = evaluator.evaluate(gts, dets_by_img)
+    if verbose:
+        print(summarize(result, dataset.class_names))
+        print(stats)
+    return result, stats

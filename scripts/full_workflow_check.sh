@@ -91,6 +91,10 @@ python tools/test.py coarse_det --ckpt "$WD/coarse/stripped" \
   --out "$WD/coarse_dets.json" --show-dir "$WD/show" \
   --cfg-options $COARSE_OPTS eval.score_thr=0.05 | tail -3
 test -n "$(ls "$WD/show")"
+python tools/test.py coarse_det --ckpt "$WD/coarse/stripped" \
+  --ann "$WD/train.json" --img-root "$WD/images" --max-images 4 \
+  --tta-scales 0.75 1.0 --tta-flip \
+  --cfg-options $COARSE_OPTS eval.score_thr=0.05 | tail -3
 python tools/eval_metric.py "$WD/coarse_dets.json" --ann "$WD/train.json" | head -2
 python tools/analyze_results.py "$WD/coarse_dets.json" --ann "$WD/train.json" \
   --img-root "$WD/images" --out-dir "$WD/analysis" --topk 2 | tail -1

@@ -54,6 +54,75 @@ class TestTTA:
         assert len(out["boxes"]) == 0
 
 
+class TestRunEvalTTA:
+    """The CLI TTA path (tools/test.py --tta-scales/--tta-flip ->
+    eval/runner.py: run_eval_tta)."""
+
+    @pytest.fixture(scope="class")
+    def eval_setup(self):
+        import os
+        import tempfile
+
+        import cv2
+        import jax
+        import jax.numpy as jnp
+
+        from glsdet_tpu.data.coco import CocoDataset
+        from glsdet_tpu.data.visdrone import visdrone_to_coco
+        from glsdet_tpu.models import YOLOXDetector
+
+        root = tempfile.mkdtemp()
+        os.makedirs(f"{root}/images")
+        os.makedirs(f"{root}/annotations")
+        rs = np.random.RandomState(3)
+        for i in range(4):
+            cv2.imwrite(f"{root}/images/{i:04d}.jpg",
+                        rs.randint(0, 255, (96, 128, 3), np.uint8))
+            open(f"{root}/annotations/{i:04d}.txt", "w").write(
+                "10,10,30,20,1,4,0,0\n")
+        visdrone_to_coco(root, f"{root}/t.json")
+        ds = CocoDataset(f"{root}/t.json", f"{root}/images")
+        model = YOLOXDetector(num_classes=10, phi="nano")
+        variables = jax.jit(model.init, static_argnames="train")(
+            jax.random.PRNGKey(0), jnp.zeros((1, 96, 96, 3)),
+            train=False)
+        return ds, model, variables
+
+    def test_single_scale_matches_run_eval(self, eval_setup):
+        from glsdet_tpu.eval.runner import run_eval, run_eval_tta
+
+        ds, model, variables = eval_setup
+        apply_fn = lambda v, im: model.apply(v, im, train=False)
+        ref, _ = run_eval(ds, apply_fn, "yolox", (96, 96), 10,
+                          batch_size=4, variables=variables,
+                          verbose=False)
+        tta, stats = run_eval_tta(ds, apply_fn, "yolox", (96, 96), 10,
+                                  tta_scales=(1.0,), tta_flip=False,
+                                  variables=variables, verbose=False)
+        # one scale, no flip: the TTA path must reproduce the plain
+        # runner's AP (same letterbox, same program; the extra fused
+        # NMS over a single variant's own output is a no-op)
+        assert tta.ap == pytest.approx(ref.ap, abs=1e-6)
+        assert stats["tta_scales"] == [1.0]
+
+    def test_multi_scale_flip_runs(self, eval_setup, tmp_path):
+        import json
+
+        from glsdet_tpu.eval.runner import run_eval_tta
+
+        ds, model, variables = eval_setup
+        apply_fn = lambda v, im: model.apply(v, im, train=False)
+        out = tmp_path / "dets.json"
+        res, stats = run_eval_tta(
+            ds, apply_fn, "yolox", (96, 96), 10,
+            tta_scales=(0.75, 1.0), tta_flip=True,
+            variables=variables, verbose=False, out_json=str(out))
+        assert stats["images"] == 4 and stats["tta_flip"]
+        dump = json.loads(out.read_text())
+        assert all({"image_id", "category_id", "bbox", "score"}
+                   <= set(d) for d in dump)
+
+
 class TestDetectorFacade:
     @pytest.fixture(scope="class")
     def detector(self):

@@ -43,6 +43,14 @@ def main():
                     help="write annotated prediction images here "
                          "(mmdet tools/test.py --show-dir)")
     ap.add_argument("--show-score-thr", type=float, default=0.3)
+    ap.add_argument("--tta-scales", type=float, nargs="+", default=None,
+                    metavar="S",
+                    help="test-time augmentation scales (MultiScaleFlip"
+                         "Aug, test_time_aug.py:11) — e.g. 0.75 1.0 1.25;"
+                         " enables the TTA eval path")
+    ap.add_argument("--tta-flip", action="store_true",
+                    help="add horizontal-flip variants per TTA scale "
+                         "(implies --tta-scales 1.0 when none given)")
     ap.add_argument("--cfg-options", nargs="*", metavar="KEY=VAL")
     ap.add_argument("--format-only", action="store_true",
                     help="write --out without evaluating")
@@ -133,16 +141,30 @@ def main():
         apply_fn = wrap_apply_quant8(apply_fn)
 
     family = "yolox" if cfg.model.family == "yolox" else "gfl"
-    run_eval(
-        dataset,
-        apply_fn,
-        family, cfg.data.img_hw, cfg.model.num_classes,
-        batch_size=cfg.data.batch_size,
-        score_thr=cfg.eval.score_thr, nms_iou=cfg.eval.nms_iou,
-        max_dets=cfg.eval.max_dets, max_images=args.max_images,
-        variables=variables, out_json=args.out,
-        format_only=args.format_only,
-        show_dir=args.show_dir, show_score_thr=args.show_score_thr)
+    if args.tta_scales or args.tta_flip:
+        from glsdet_tpu.eval.runner import run_eval_tta
+
+        run_eval_tta(
+            dataset,
+            apply_fn,
+            family, cfg.data.img_hw, cfg.model.num_classes,
+            tta_scales=tuple(args.tta_scales or [1.0]),
+            tta_flip=args.tta_flip,
+            score_thr=cfg.eval.score_thr, nms_iou=cfg.eval.nms_iou,
+            max_dets=cfg.eval.max_dets, max_images=args.max_images,
+            variables=variables, out_json=args.out,
+            format_only=args.format_only)
+    else:
+        run_eval(
+            dataset,
+            apply_fn,
+            family, cfg.data.img_hw, cfg.model.num_classes,
+            batch_size=cfg.data.batch_size,
+            score_thr=cfg.eval.score_thr, nms_iou=cfg.eval.nms_iou,
+            max_dets=cfg.eval.max_dets, max_images=args.max_images,
+            variables=variables, out_json=args.out,
+            format_only=args.format_only,
+            show_dir=args.show_dir, show_score_thr=args.show_score_thr)
 
     if dist:
         jax.distributed.shutdown()
