@@ -121,12 +121,34 @@ def main():
         img = rs.randint(0, 255, (765, 1360, 3), np.uint8)
         frames.append(img)
 
+    calibration_s = 0.0
     if quant8 == "static":
-        t0 = time.time()
-        scales = pipe.calibrate_int8(frames[:4])
+        # calibration inputs are fully deterministic here (PRNGKey(0)
+        # weights, RandomState(0) frames), so the scale artifact is
+        # reusable across runs — a warm bench run skips the ~900s
+        # calibration stage entirely (tools/ckpt_tool.py publishes the
+        # same artifact for served checkpoints).
+        from glsdet_tpu.ops.quant_static import load_scales, save_scales
+
+        scales_path = os.environ.get(
+            "GLSDET_INT8_SCALES",
+            os.path.join(cache_dir, "bench_int8_scales.json"))
+        scales = None
+        if os.path.exists(scales_path):
+            try:
+                scales = load_scales(scales_path)
+                log(f"loaded int8 scales from {scales_path}")
+            except (ValueError, KeyError) as e:
+                log(f"stale scales artifact ({e}); recalibrating")
+        if scales is None:
+            t0 = time.time()
+            scales = pipe.calibrate_int8(frames[:4])
+            calibration_s = time.time() - t0
+            save_scales(scales_path, scales)
+            log(f"int8 calibration done in {calibration_s:.0f}s "
+                f"({len(scales[0])}+{len(scales[1])} scales) -> "
+                f"{scales_path}")
         pipe = make_pipe("static", scales)
-        log(f"int8 calibration done in {time.time()-t0:.0f}s "
-            f"({len(scales[0])}+{len(scales[1])} scales)")
 
     # warmup / compile coarse + every mosaic bucket
     t0 = time.time()
@@ -188,6 +210,7 @@ def main():
         "vs_baseline": round(ips / 25.0, 3),
         "detail": {
             "int8": quant8,
+            "calibration_s": round(calibration_s, 1),
             "compile_s": round(compile_s, 1),
             "platform": jax.devices()[0].platform,
             "device": str(jax.devices()[0]),

@@ -64,20 +64,42 @@ python tools/train.py mp_det_res50 \
     train.epochs=150 train.base_lr=0.004 train.ckpt_interval=150 \
     train.log_interval=100 train.ot_interval=500
 
-echo "=== stage 4: two-stage eval ==="
+echo "=== stage 4: two-stage eval (bf16) ==="
 python tools/ufpmp_det_eval.py \
   coarse_det "$WD/coarse/epoch_150" mp_det_res50 "$WD/mpdet/epoch_150" \
   "$WD/train.json" "$WD/images" --out-json "$WD/two_stage_dets.json" \
   --first-options eval.coarse_score_thr=0.1 \
   2>&1 | tee "$WD/eval.log" | tail -20
 
+echo "=== stage 5: two-stage eval (static int8) — accuracy gate for ==="
+echo "=== the bench headline precision (bench.py GLSDET_INT8=static) ==="
+python tools/ufpmp_det_eval.py \
+  coarse_det "$WD/coarse/epoch_150" mp_det_res50 "$WD/mpdet/epoch_150" \
+  "$WD/train.json" "$WD/images" --out-json "$WD/two_stage_dets_int8.json" \
+  --int8-scales "$WD/int8_scales.json" \
+  --first-options eval.coarse_score_thr=0.1 \
+  2>&1 | tee "$WD/eval_int8.log" | tail -20
+
 python - "$WD" <<'PYEOF'
-import re, sys
-txt = open(f"{sys.argv[1]}/eval.log").read()
-m = re.search(r"AP.*IoU=0\.50:0\.95.*?=\s*([0-9.]+)", txt)
-assert m, "no AP line in eval output"
-ap = float(m.group(1))
-print(f"e2e AP@[.5:.95] = {ap}")
+import json, re, sys
+
+def ap_of(path):
+    txt = open(path).read()
+    m = re.search(r"AP.*IoU=0\.50:0\.95.*?=\s*([0-9.]+)", txt)
+    assert m, f"no AP line in {path}"
+    return float(m.group(1))
+
+wd = sys.argv[1]
+ap = ap_of(f"{wd}/eval.log")
+ap8 = ap_of(f"{wd}/eval_int8.log")
+delta = ap - ap8
+out = {"ap_bf16": ap, "ap_int8_static": ap8, "ap_delta": round(delta, 4)}
+json.dump(out, open(f"{wd}/quality.json", "w"), indent=1)
+print(f"e2e AP@[.5:.95] bf16={ap} int8-static={ap8} delta={delta:+.4f}")
 assert ap >= 0.5, f"quality gate failed: AP {ap} < 0.5 (round-1: 0.701)"
-print("BIG SYNTHETIC CHECK PASSED")
+# int8 may only cost up to 0.5 AP points vs bf16 (negative delta =
+# int8 happened to score higher; that's fine)
+assert delta < 0.005, \
+    f"int8 accuracy gate failed: bf16-int8 AP delta {delta:.4f} >= 0.005"
+print("BIG SYNTHETIC CHECK PASSED (incl. int8 accuracy gate)")
 PYEOF
