@@ -412,3 +412,61 @@ def auto_augment(img, boxes, labels, rng: np.random.RandomState,
         else:
             raise ValueError(f"unknown autoaugment op {name!r}")
     return img, boxes, labels
+
+
+class Albu:
+    """Albumentations bridge (mmdet ``Albu`` analog, transforms.py:1320).
+
+    Builds an albumentations ``Compose`` from dict specs
+    (``{"type": name_or_class, **kwargs}``; nested ``transforms`` lists
+    build recursively, so ``OneOf`` etc. work) and applies it to the
+    functional ``(img, boxes xyxy, labels)`` triple this data layer
+    uses.  Labels stay in sync when transforms drop boxes via the
+    reference's idx_mapper filtration trick (transforms.py:1466-1494).
+
+    Gated on the package: raises ImportError with install guidance when
+    albumentations is missing.  The image this framework ships in has
+    no albumentations, so tests exercise the bridge through a minimal
+    protocol shim (tests/test_albu.py) and the gate directly.
+    """
+
+    def __init__(self, transforms: Sequence[dict],
+                 bbox_params: Optional[dict] = None):
+        try:
+            import albumentations
+        except ImportError as e:
+            raise ImportError(
+                "the Albu bridge (mmdet transforms.py:1320 analog) needs "
+                "the optional albumentations package: pip install "
+                "albumentations") from e
+        self._A = albumentations
+        bp = dict(format="pascal_voc", label_fields=["idx_mapper"])
+        if bbox_params:
+            bp.update(bbox_params)
+            bp["label_fields"] = ["idx_mapper"]  # labels ride the mapper
+            bp.pop("filter_lost_elements", None)
+        self.aug = albumentations.Compose(
+            [self._build(t) for t in transforms],
+            bbox_params=albumentations.BboxParams(**bp))
+
+    def _build(self, cfg: dict):
+        args = dict(cfg)
+        obj_type = args.pop("type")
+        cls = (getattr(self._A, obj_type) if isinstance(obj_type, str)
+               else obj_type)
+        if "transforms" in args:
+            args["transforms"] = [self._build(t)
+                                  for t in args["transforms"]]
+        return cls(**args)
+
+    def __call__(self, img: np.ndarray, boxes: np.ndarray,
+                 labels: np.ndarray):
+        res = self.aug(image=img,
+                       bboxes=[tuple(map(float, b)) for b in boxes],
+                       idx_mapper=list(range(len(boxes))))
+        keep = np.asarray(res["idx_mapper"], np.int64)
+        out_boxes = np.asarray(res["bboxes"],
+                               np.float32).reshape(-1, 4)
+        out_labels = (np.asarray(labels)[keep] if len(keep)
+                      else np.zeros((0,), np.int64))
+        return res["image"], out_boxes, out_labels
