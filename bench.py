@@ -203,6 +203,38 @@ def main():
         jnp.asarray(frames[0]).block_until_ready()
     upload_ms = (time.time() - t0) / 5 * 1000
 
+    # roofline accounting: XLA cost_analysis of the two stage programs
+    # (per image) against the chip's HBM bandwidth and matmul peak.
+    # "speed-of-light" as a number: ideal img/s if every program ran at
+    # max(bytes/BW, flops/peak), vs the measured e2e rate (which also
+    # carries host packing + per-chunk RPC overhead — the fraction is a
+    # lower bound on program efficiency).  Peaks default to v5e
+    # (819 GB/s HBM, 197 bf16 TFLOP/s; int8 MXU ops are counted at the
+    # bf16 peak, making the int8 fraction conservative).  Override via
+    # GLSDET_PEAK_GBPS / GLSDET_PEAK_TFLOPS for other chips.
+    peak_bw = float(os.environ.get("GLSDET_PEAK_GBPS", "819")) * 1e9
+    peak_fl = float(os.environ.get("GLSDET_PEAK_TFLOPS", "197")) * 1e12
+    roofline = None
+    try:
+        ca = pipe.cost_analysis((765, 1360))
+        t_roof = sum(
+            max(ca[s]["bytes"] / peak_bw, ca[s]["flops"] / peak_fl)
+            for s in ("coarse", "stage2"))
+        roof_ips = 1.0 / t_roof
+        roofline = {
+            "per_image_cost": {s: {k: round(v, 0) for k, v in
+                                   ca[s].items()}
+                               for s in ("coarse", "stage2")},
+            "assumed_hbm_GBps": peak_bw / 1e9,
+            "assumed_peak_TFLOPs": peak_fl / 1e12,
+            "roofline_images_per_sec": round(roof_ips, 1),
+            "fraction_of_roofline": round(ips / roof_ips, 3),
+        }
+        log(f"roofline: {roof_ips:.0f} img/s ideal -> measured "
+            f"{ips:.1f} = {ips / roof_ips:.1%}")
+    except Exception as e:  # cost_analysis can be backend-dependent
+        log(f"cost_analysis unavailable: {type(e).__name__}: {e}")
+
     print(json.dumps({
         "metric": "ufpmp_e2e_images_per_sec_per_chip",
         "value": round(ips, 3),
@@ -219,6 +251,7 @@ def main():
                             "incl. host-side UFP packing",
             "tunnel_upload_included_ips": round(ips_upload, 3),
             "tunnel_frame_upload_ms": round(upload_ms, 1),
+            "roofline": roofline,
             "note": "this harness reaches the TPU via a remote tunnel "
                     "(~35MB/s frame uploads); the upload-included rate "
                     "is tunnel-bandwidth-bound, not framework-bound",

@@ -527,6 +527,10 @@ class TwoStagePipeline:
         self._mosaic_stage_batch = (
             lambda imgs, idx, paint, regions, hw: _mosaic_stage_batch(
                 self._vars_for(imgs)[1], imgs, idx, paint, regions, hw))
+        # raw jit handles for AOT lowering (cost_analysis): the bound
+        # lambdas above cannot be .lower()ed
+        self._coarse_jit = _coarse_full_batch
+        self._stage2_jit = _mosaic_stage_batch
 
         # Integrated global-local fusion: the stage-1 detections are
         # already in hand when stage 2 is dispatched, so the fusion NMS
@@ -910,3 +914,39 @@ class TwoStagePipeline:
                     else:
                         jax.block_until_ready(self._mosaic_stage_batch(
                             dev, rows, paints, regs, bk))
+
+    def cost_analysis(self, image_hw: Tuple[int, int],
+                      bucket: Optional[int] = None,
+                      batch: Optional[int] = None) -> dict:
+        """Per-image XLA cost_analysis of the two stage programs.
+
+        Lowers + AOT-compiles the coarse and mosaic-stage programs at
+        the shapes ``run_batch`` uses (hits the persistent compile cache
+        when :meth:`warmup` already built them) and reports flops and
+        HBM bytes accessed per image — the inputs of a roofline bound.
+        Returns {"coarse": {flops, bytes}, "stage2": {flops, bytes}}
+        (per image; NaN fields when the backend reports no analysis).
+        """
+        b = _pow2_pad(batch or self.max_batch)
+        bk = bucket or self.buckets[0]
+        img = np.zeros((*image_hw, 3), np.uint8)
+        dev = jnp.asarray(np.stack([img] * b))
+        reg1 = regions_to_array([], self.max_regions)
+        rows = jnp.asarray(np.zeros((b,), np.int32))
+        regs = jnp.asarray(np.stack([reg1] * b))
+        paints = jnp.asarray(self._paint_group([reg1] * b, bk))
+        cvars, mvars = self._vars_for(dev)
+
+        def _per_image(lowered):
+            ca = lowered.compile().cost_analysis() or {}
+            return {
+                "flops": float(ca.get("flops", float("nan"))) / b,
+                "bytes": float(ca.get("bytes accessed",
+                                      float("nan"))) / b,
+            }
+
+        out = {"batch": b, "bucket": bk}
+        out["coarse"] = _per_image(self._coarse_jit.lower(cvars, dev))
+        out["stage2"] = _per_image(self._stage2_jit.lower(
+            mvars, dev, rows, paints, regs, bk))
+        return out
