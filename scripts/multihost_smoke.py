@@ -155,7 +155,10 @@ def launcher(nproc: int) -> int:
             text=True)
         for i in range(nproc)
     ]
-    outs = [p.communicate(timeout=900)[0] for p in procs]
+    # 8-proc runs on a loaded host spend most of the budget in 8x2
+    # parallel XLA compiles; give them room (GLSDET_SMOKE_TIMEOUT_S)
+    budget = int(os.environ.get("GLSDET_SMOKE_TIMEOUT_S", "1500"))
+    outs = [p.communicate(timeout=budget)[0] for p in procs]
     ok = True
     losses, boiw = [], []
     for i, (p, out) in enumerate(zip(procs, outs)):
