@@ -246,7 +246,8 @@ class TwoStagePipeline:
                  devices=None,
                  bucket_policy: str = "image",
                  pack_mode: str = "square",
-                 scan_width: Optional[int] = None):
+                 scan_width: Optional[int] = None,
+                 pack_threads: Optional[int] = None):
         """Two call conventions:
 
         - coarse_apply(variables, images) with ``coarse_vars`` given
@@ -298,6 +299,20 @@ class TwoStagePipeline:
         self.ufp_scale = ufp_scale
         self.max_regions = max_regions
         self.buckets = tuple(mosaic_buckets)
+        # host UFP packing pool: per-frame packing is independent and the
+        # C++ packer releases the GIL, so a chunk packs in parallel
+        # (identical results, order preserved).  None = auto (min(8,
+        # cpus)); <=1 disables.
+        import os as _os_mod
+        if pack_threads is None:
+            pack_threads = min(8, _os_mod.cpu_count() or 1)
+        self._pack_pool = None
+        if pack_threads > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            self._pack_pool = ThreadPoolExecutor(
+                max_workers=pack_threads,
+                thread_name_prefix="glsdet-ufp-pack")
         if bucket_policy not in ("image", "chunk-max"):
             raise ValueError(f"bucket_policy {bucket_policy!r}: expected "
                              "'image' or 'chunk-max'")
@@ -666,15 +681,16 @@ class TwoStagePipeline:
         t = paint_tile(bucket)
         ph = paint_hw_for(bucket)
         if self.painter == "pallas":
-            tbls = []
-            for u in unmap_list:
-                tb, ovf = build_tile_tables(u, ph, ph, t,
-                                            self.paint_cap)
-                if ovf:
-                    break
-                tbls.append(tb)
-            else:
-                return np.stack(tbls)
+            # per-job table builds are independent (C++ binner, GIL
+            # released) — build the group across the pack pool
+            build = functools.partial(build_tile_tables, out_h=ph,
+                                      out_w=ph, tile=t,
+                                      cap=self.paint_cap)
+            results = (list(self._pack_pool.map(build, unmap_list))
+                       if self._pack_pool is not None
+                       else [build(u) for u in unmap_list])
+            if not any(ovf for _, ovf in results):
+                return np.stack([tb for tb, _ in results])
         return self._flat_paint(
             [split_rows_for_tile(u, t, self.max_paint)
              for u in unmap_list])
@@ -772,28 +788,41 @@ class TwoStagePipeline:
             dets = unpack_detections(packed_np)
             all_boxes = dets["boxes"]
             all_valid = dets["valid"]
-            jobs: Dict[int, List[tuple]] = {}
-            for row, i in enumerate(part):
+
+            def _pack_one(row_i):
+                # per-frame UFP packing is independent and the C++
+                # packer releases the GIL (ctypes FFI), so the chunk
+                # packs across the host pool — dense loads (~150
+                # regions/frame) cost ~6.6 ms/img single-threaded,
+                # which would cap the pipelined steady state below the
+                # device programs' ~4.6 ms/img
+                row, i = row_i
                 h0, w0 = shapes[i]
                 sx, sy = w0 / cw, h0 / ch
                 coarse_boxes = (all_boxes[row]
                                 * np.array([sx, sy, sx, sy],
                                            np.float32))[all_valid[row]]
                 if self.pack_mode == "bucket-fit":
-                    (unmap_rows, n_reg, mw, mh,
-                     fit_bucket) = unified_foreground_packing_rows_fit(
+                    return unified_foreground_packing_rows_fit(
                         coarse_boxes, self.ufp_scale, (w0, h0),
                         self.max_regions, self.buckets)
-                else:
-                    unmap_rows, n_reg, mw, mh = (
-                        unified_foreground_packing_rows(
-                            coarse_boxes, self.ufp_scale, (w0, h0),
-                            self.max_regions))
-                    fit_bucket = None
+                return unified_foreground_packing_rows(
+                    coarse_boxes, self.ufp_scale, (w0, h0),
+                    self.max_regions) + (None,)
+
+            items = list(enumerate(part))
+            pool = self._pack_pool
+            packs = (list(pool.map(_pack_one, items)) if pool is not None
+                     else [_pack_one(it) for it in items])
+
+            jobs: Dict[int, List[tuple]] = {}
+            for (row, i), (unmap_rows, n_reg, mw, mh,
+                           fit_bucket) in zip(items, packs):
                 if n_reg == 0:
                     if self.fuse_global:
+                        h0, w0 = shapes[i]
                         fallbacks.append((i, _coarse_row_dets(
-                            packed_np[row], sx, sy)))
+                            packed_np[row], w0 / cw, h0 / ch)))
                     continue
                 bucket = (fit_bucket if fit_bucket is not None
                           else pick_bucket(mh, mw, self.buckets))

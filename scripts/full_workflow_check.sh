@@ -104,4 +104,13 @@ python tools/test_robustness.py coarse_det --ckpt "$WD/coarse/stripped" \
   --cfg-options $COARSE_OPTS eval.score_thr=0.05 | tail -3
 python tools/summary.py coarse_det --shape 256 256 --depth 1 | tail -2
 
+echo "=== stage 6: one-command VisDrone pipeline (synthetic dry-run) ==="
+# real-data readiness: the exact command that measures reference parity
+# the moment a VisDrone root is mounted (scripts/visdrone_e2e.sh), dry-
+# run end-to-end on a fabricated VisDrone-layout dataset
+bash scripts/visdrone_e2e.sh --synthetic "$WD/visdrone_e2e" 2>&1 | tail -4
+
+echo "=== stage 7: multi-host smoke (8-process gloo DCN analog) ==="
+python scripts/multihost_smoke.py --num-processes 8 2>&1 | tail -3
+
 echo "WORKFLOW CHECK COMPLETE"

@@ -1,0 +1,141 @@
+"""Backbone / FPN / head split timing of the MP-Det forward on TPU.
+
+Times (a) backbone alone, (b) backbone+FPN, (c) the full model, in bf16
+and static-int8, at a serving shape — the differences localize the
+residual the int8 dataflow has not reached yet (the explicit int8 path
+covers the ResNet only; FPN/head run fake-quant module rewrites whose
+boundaries materialize in the float domain).
+
+Applies the detector's submodules standalone against the same param
+subtrees (MPDet's backbone/neck/head are plain ResNet/FPN/MPHead
+children, models/detectors.py:147-159), so each prefix is its own
+jitted program with the scalar-readback timing discipline (CLAUDE.md:
+block_until_ready on the tunnel is advisory).
+
+Usage: python scripts/profile_mpdet_split.py [B] [HW] [ITERS]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import glsdet_tpu  # noqa: F401
+import jax
+
+cache_dir = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), ".jax_cache")
+os.makedirs(cache_dir, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", cache_dir)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import jax.numpy as jnp  # noqa: E402
+
+from glsdet_tpu.models import MPDet  # noqa: E402
+from glsdet_tpu.models.detectors import FPN, MPHead, ResNet  # noqa: E402
+from glsdet_tpu.ops.quant_static import (calibrate_scales,  # noqa: E402
+                                         wrap_apply_quant8_static)
+
+B = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+HW = int(sys.argv[2]) if len(sys.argv) > 2 else 1024
+ITERS = int(sys.argv[3]) if len(sys.argv) > 3 else 4
+RPC_FLOOR_S = 0.030
+
+
+def log(msg):
+    print(f"# {time.strftime('%H:%M:%S')} {msg}", file=sys.stderr,
+          flush=True)
+
+
+def bench(apply_fn, variables, x, tag):
+    @jax.jit
+    def run(v, x):
+        def body(c, _):
+            out = apply_fn(v, x + c)
+            acc = jnp.float32(0)
+            for t in jax.tree.leaves(out):
+                acc += jnp.sum(t.astype(jnp.float32))
+            return c + jnp.asarray(1e-6, x.dtype), acc
+        _, accs = jax.lax.scan(body, jnp.asarray(0, x.dtype), None,
+                               length=ITERS)
+        return jnp.sum(accs)
+
+    t0 = time.time()
+    float(run(variables, x))
+    log(f"{tag}: compiled in {time.time() - t0:.0f}s")
+    best = np.inf
+    for _ in range(4):
+        t0 = time.time()
+        float(run(variables, x))
+        best = min(best, time.time() - t0)
+    ms = (best - RPC_FLOOR_S) * 1e3 / ITERS / B
+    log(f"{tag}: {ms:.3f} ms/img")
+    return ms
+
+
+def main():
+    dtype = jnp.bfloat16
+    rng = jax.random.PRNGKey(0)
+    model = MPDet(num_classes=10, depth=50, dtype=dtype)
+    variables = jax.jit(lambda r: model.init(
+        r, jnp.zeros((1, 256, 256, 3), jnp.float32), train=False))(rng)
+    jax.block_until_ready(variables)
+    log("init done")
+
+    p, bs = variables["params"], variables.get("batch_stats", {})
+    backbone = ResNet(depth=50, dtype=dtype)
+    neck = FPN(out_channels=256, num_outs=5, dtype=dtype)
+    head = MPHead(num_classes=10, feat_channels=256, dtype=dtype)
+
+    def sub_vars(name):
+        return {"params": p[name], "batch_stats": bs.get(name, {})}
+
+    def bb_fwd(v, x):
+        return backbone.apply(v["b"], x, train=False)
+
+    def bb_fpn_fwd(v, x):
+        f = backbone.apply(v["b"], x, train=False)
+        return neck.apply(v["n"], f, train=False)
+
+    def full_fwd(v, x):
+        f = backbone.apply(v["b"], x, train=False)
+        f = neck.apply(v["n"], f, train=False)
+        return head.apply(v["h"], f, train=False)
+
+    vs = {"b": sub_vars("backbone"), "n": sub_vars("neck"),
+          "h": sub_vars("head")}
+    x = jnp.asarray(np.random.RandomState(0).rand(B, HW, HW, 3) * 2 - 1,
+                    dtype)
+    jax.block_until_ready(x)
+
+    results = {}
+    for tag, fn in (("bf16/backbone", bb_fwd),
+                    ("bf16/backbone+fpn", bb_fpn_fwd),
+                    ("bf16/full", full_fwd)):
+        results[tag] = bench(fn, vs, x, tag)
+
+    log("calibrating int8 scales (4 batches of the same tensor)...")
+    scales = calibrate_scales(full_fwd, vs, [x[:2]])
+    q_full = wrap_apply_quant8_static(full_fwd, scales)
+    q_bb = wrap_apply_quant8_static(bb_fwd, scales)
+    q_bbf = wrap_apply_quant8_static(bb_fpn_fwd, scales)
+    for tag, fn in (("int8/backbone", q_bb),
+                    ("int8/backbone+fpn", q_bbf),
+                    ("int8/full", q_full)):
+        results[tag] = bench(fn, vs, x, tag)
+
+    for mode in ("bf16", "int8"):
+        bb = results[f"{mode}/backbone"]
+        fpn = results[f"{mode}/backbone+fpn"] - bb
+        hd = results[f"{mode}/full"] - results[f"{mode}/backbone+fpn"]
+        log(f"{mode} split: backbone {bb:.3f} | fpn {fpn:.3f} | "
+            f"head {hd:.3f} ms/img (B={B}, {HW}x{HW})")
+
+
+if __name__ == "__main__":
+    main()
