@@ -85,7 +85,10 @@ import json, re, sys
 
 def ap_of(path):
     txt = open(path).read()
-    m = re.search(r"AP.*IoU=0\.50:0\.95.*?=\s*([0-9.]+)", txt)
+    # both summary formats: eval/coco_eval.py summarize
+    # ("AP@[.5:.95] all 500 = X") and pycocotools-style
+    m = (re.search(r"AP@\[\.5:\.95\][^=]*=\s*([-0-9.]+)", txt)
+         or re.search(r"AP.*IoU=0\.50:0\.95.*?=\s*([-0-9.]+)", txt))
     assert m, f"no AP line in {path}"
     return float(m.group(1))
 

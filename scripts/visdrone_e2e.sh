@@ -135,7 +135,10 @@ python tools/ufpmp_det_eval.py \
 python - "$WD" "$SYNTH" <<'PYEOF'
 import re, sys
 txt = open(f"{sys.argv[1]}/eval.log").read()
-m = re.search(r"AP.*IoU=0\.50:0\.95.*?=\s*([0-9.]+)", txt)
+# both summary formats: "AP@[.5:.95] all 500 = X" (eval/coco_eval.py
+# summarize) and the pycocotools-style "AP ... IoU=0.50:0.95 ... = X"
+m = (re.search(r"AP@\[\.5:\.95\][^=]*=\s*([-0-9.]+)", txt)
+     or re.search(r"AP.*IoU=0\.50:0\.95.*?=\s*([-0-9.]+)", txt))
 assert m, "no AP line in eval output"
 ap = float(m.group(1))
 print(f"VisDrone e2e AP@[.5:.95] = {ap}")

@@ -113,11 +113,15 @@ def test_multihost_two_process_smoke():
     import subprocess
 
     env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    # the workers' wall time is dominated by 2x2 parallel XLA compiles:
+    # generous budgets here — a loaded CI host (full suite + benches)
+    # blew the old 570s bound while the smoke itself was healthy
+    env.setdefault("GLSDET_SMOKE_TIMEOUT_S", "1100")
     r = subprocess.run(
         [sys.executable,
          os.path.join(os.path.dirname(os.path.dirname(
              os.path.abspath(__file__))), "scripts", "multihost_smoke.py")],
-        env=env, capture_output=True, text=True, timeout=570)
+        env=env, capture_output=True, text=True, timeout=1200)
     assert r.returncode == 0, r.stdout[-3000:] + r.stderr[-2000:]
     assert "multihost smoke: PASS" in r.stdout
 

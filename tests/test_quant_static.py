@@ -117,6 +117,46 @@ class TestStaticQuant:
         for a, b in zip(list(cls0) + list(reg0), list(cls1) + list(reg1)):
             assert _rel(a, b) < 0.3
 
+    def test_explicit_head_matches_module_rewrite(self, monkeypatch):
+        # the stacked GN towers run as an explicit int8 dataflow
+        # (_int8_head_forward); its numerics must match the per-module
+        # fake-quant rewrite it replaces (same int8 rounds — module i's
+        # .out scale is module i+1's .in scale) up to bf16 storage
+        # rounding at the boundaries
+        import glsdet_tpu.ops.quant_static as qs
+        from glsdet_tpu.models import GFLDet, MPDet
+
+        x = jnp.asarray(
+            np.random.RandomState(1).rand(1, 64, 64, 3) * 4 - 2,
+            jnp.float32)
+        for model in (MPDet(num_classes=4, depth=50,
+                            proxies_list=(2,) * 4, dtype=jnp.bfloat16),
+                      GFLDet(num_classes=4, depth=50,
+                             dtype=jnp.bfloat16)):
+            v = jax.jit(lambda r, a, model=model: model.init(
+                r, a, train=False))(jax.random.PRNGKey(0),
+                                    jnp.zeros_like(x))
+            fn = (lambda w, im, model=model:
+                  model.apply(w, im, train=False))
+            scales = calibrate_scales(fn, v, [x], min_channels=16)
+            q = wrap_apply_quant8_static(fn, scales, min_channels=16)
+            out_explicit = q(v, x)
+
+            calls = []
+            orig = qs._int8_head_forward
+
+            def spy(m, feats, s):
+                calls.append(type(m).__name__)
+                return None    # force the per-module fallback
+
+            monkeypatch.setattr(qs, "_int8_head_forward", spy)
+            out_module = q(v, x)
+            monkeypatch.setattr(qs, "_int8_head_forward", orig)
+            assert calls, "explicit head dispatch never reached"
+            for a, b in zip(jax.tree_util.tree_leaves(out_explicit),
+                            jax.tree_util.tree_leaves(out_module)):
+                assert _rel(a, b) < 0.05
+
     def test_calibrate_with_remat_model(self):
         # config-built models have remat=True (a train-time memory
         # optimization); calibration must disable it — recording absmax
