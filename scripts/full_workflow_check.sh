@@ -104,6 +104,29 @@ python tools/test_robustness.py coarse_det --ckpt "$WD/coarse/stripped" \
   --cfg-options $COARSE_OPTS eval.score_thr=0.05 | tail -3
 python tools/summary.py coarse_det --shape 256 256 --depth 1 | tail -2
 
+echo "=== stage 5b: torch checkpoint migration (reference .pth import) ==="
+# reference-user migration path: a yolox-drone YoloBody state_dict is
+# converted to our flax tree and drives predict via --load-from
+python - "$WD" <<'PYEOF'
+import sys, torch
+sys.path.insert(0, "/root/reference/yolox-drone")
+try:
+    from models.base.yolox import YoloBody
+except Exception as e:  # reference not mounted: skip, CI still covers
+    print(f"reference torch model unavailable ({e}); skipping import stage")
+    sys.exit(0)
+torch.manual_seed(0)
+torch.save(YoloBody(10, "tiny").state_dict(), sys.argv[1] + "/ref_tiny.pth")
+print("wrote synthetic reference checkpoint")
+PYEOF
+if [ -f "$WD/ref_tiny.pth" ]; then
+  python tools/import_torch_weights.py "$WD/ref_tiny.pth" "$WD/imported_ckpt" \
+    --arch yolox --cfg-options model.phi=tiny | tail -2
+  python tools/predict.py predict "$WD/images/0001.jpg" \
+    --config coarse_det --checkpoint "$WD/imported_ckpt" \
+    --cfg-options model.phi=tiny data.img_hw='(256,256)' | tail -1
+fi
+
 echo "=== stage 6: one-command VisDrone pipeline (synthetic dry-run) ==="
 # real-data readiness: the exact command that measures reference parity
 # the moment a VisDrone root is mounted (scripts/visdrone_e2e.sh), dry-
