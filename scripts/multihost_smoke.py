@@ -28,6 +28,34 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 COORD = "127.0.0.1:29781"
 MARK = "MULTIHOST_STEP"
+CACHE = os.path.join(REPO, ".jax_cache")
+
+
+def _enable_compile_cache():
+    """Share compiled programs across the smoke's worker processes.
+
+    All N workers trace the SAME global-view programs (identical HLO and
+    16-wide device assignment), so on a small host the N concurrent XLA
+    compiles are pure waste — the persistent cache collapses them to one
+    compile (done up-front by the launcher's prime pass) + N fast loads.
+    """
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", CACHE)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+
+def _coord_barrier(name: str, timeout_ms: int) -> None:
+    """Barrier over the jax.distributed coordination service (NOT a
+    device collective — safe before any gloo context exists)."""
+    try:
+        from jax._src import distributed
+
+        client = distributed.global_state.client
+        if client is not None:
+            client.wait_at_barrier(name, timeout_ms)
+    except Exception as e:  # barrier is best-effort on older jax
+        print(f"coord barrier {name} unavailable: {e}", flush=True)
 
 
 def worker(pid: int, nproc: int) -> None:
@@ -36,6 +64,7 @@ def worker(pid: int, nproc: int) -> None:
     # the axon sitecustomize pins jax_platforms to the TPU tunnel; this
     # smoke must run on the virtual-CPU DCN path
     jax.config.update("jax_platforms", "cpu")
+    _enable_compile_cache()
     sys.path.insert(0, REPO)
 
     from glsdet_tpu.parallel.mesh import init_distributed
@@ -68,6 +97,13 @@ def worker(pid: int, nproc: int) -> None:
     variables = jax.jit(
         lambda r: model.init(r, jnp.zeros((1, H, W, 3)), train=False))(rng)
     tx = yolox_sgd(yolox_warm_cos(0.01, 10, 100, 10))
+    # align all processes before the FIRST gloo collective (device_put of
+    # a replicated pytree runs a multihost assert_equal allgather): gloo's
+    # rendezvous window is a hard 30s, but per-process startup skew
+    # (imports + init compiles across N concurrent workers on a loaded
+    # host) can exceed it.  The coordination-service barrier has a
+    # generous timeout and starts everyone's 30s window together.
+    _coord_barrier("glsdet_smoke_startup", 900_000)
     state = jax.device_put(TrainState.create(variables, tx, rng), repl)
     step = jax.jit(make_yolox_train_step(model, tx, (H, W)),
                    in_shardings=(repl, bs),
@@ -147,6 +183,30 @@ def launcher(nproc: int) -> int:
     if "xla_force_host_platform_device_count" not in flags:
         env["XLA_FLAGS"] = (
             flags + " --xla_force_host_platform_device_count=2").strip()
+    # Prime the persistent compilation cache with ONE single-process run
+    # that sees the same 2*nproc-wide global device list: the workers'
+    # programs (identical HLO + device assignment) then load from cache
+    # instead of nproc concurrent XLA compiles grinding a small host.
+    if os.environ.get("GLSDET_SMOKE_PRIME", "1") != "0":
+        prime_env = dict(env)
+        prime_env["XLA_FLAGS"] = (
+            env["XLA_FLAGS"].replace(
+                "--xla_force_host_platform_device_count=2",
+                f"--xla_force_host_platform_device_count={2 * nproc}"))
+        try:
+            prime = subprocess.run(
+                [sys.executable, os.path.abspath(__file__),
+                 "--process-id", "0", "--num-processes", "1"],
+                env=prime_env, stdout=subprocess.PIPE,
+                stderr=subprocess.STDOUT, text=True,
+                timeout=int(os.environ.get("GLSDET_SMOKE_TIMEOUT_S",
+                                           "1500")))
+            tag = "ok" if prime.returncode == 0 else "FAILED (non-fatal)"
+            print(f"cache prime pass: {tag}", flush=True)
+            if prime.returncode != 0:
+                sys.stdout.write(prime.stdout)
+        except subprocess.TimeoutExpired:
+            print("cache prime pass: timeout (non-fatal)", flush=True)
     procs = [
         subprocess.Popen(
             [sys.executable, os.path.abspath(__file__),

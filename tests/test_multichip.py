@@ -117,11 +117,13 @@ def test_multihost_two_process_smoke():
     # generous budgets here — a loaded CI host (full suite + benches)
     # blew the old 570s bound while the smoke itself was healthy
     env.setdefault("GLSDET_SMOKE_TIMEOUT_S", "1100")
+    # outer bound covers the launcher's cache-prime pass (<= one smoke
+    # budget) plus the worker phase itself
     r = subprocess.run(
         [sys.executable,
          os.path.join(os.path.dirname(os.path.dirname(
              os.path.abspath(__file__))), "scripts", "multihost_smoke.py")],
-        env=env, capture_output=True, text=True, timeout=1200)
+        env=env, capture_output=True, text=True, timeout=2400)
     assert r.returncode == 0, r.stdout[-3000:] + r.stderr[-2000:]
     assert "multihost smoke: PASS" in r.stdout
 
