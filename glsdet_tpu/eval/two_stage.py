@@ -957,6 +957,13 @@ class TwoStagePipeline:
         (per image; NaN fields when the backend reports no analysis).
         """
         b = _pow2_pad(batch or self.max_batch)
+        # a scanned chunk (b > scan_width) lowers to a loop whose body
+        # XLA cost_analysis counts ONCE (not x length), which would
+        # undercount per-image cost by the group count; the per-image
+        # cost of the flat scan_width-wide program is identical, so
+        # analyze that instead.
+        if self.scan_width and b > self.scan_width:
+            b = self.scan_width
         bk = bucket or self.buckets[0]
         img = np.zeros((*image_hw, 3), np.uint8)
         dev = jnp.asarray(np.stack([img] * b))

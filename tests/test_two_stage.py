@@ -444,3 +444,19 @@ class TestScanWidth:
     def test_bad_scan_width_rejected(self, tiny_models):
         with pytest.raises(ValueError):
             _make_pipeline(tiny_models, scan_width=-2)
+
+    def test_cost_analysis_scan_invariant(self, tiny_models):
+        # XLA cost_analysis counts a lax.scan body ONCE (not x length),
+        # so a scanned chunk must be analyzed at the flat scan_width
+        # program or the per-image cost undercounts by the group count
+        # (observed: the b256/width128 bench reported half the b128
+        # per-image flops before the clamp).
+        flat = _make_pipeline(tiny_models, max_batch=2, scan_width=None)
+        scan = _make_pipeline(tiny_models, max_batch=4, scan_width=2)
+        ca_flat = flat.cost_analysis((200, 320))
+        ca_scan = scan.cost_analysis((200, 320))
+        for stage in ("coarse", "stage2"):
+            f, s = ca_flat[stage]["flops"], ca_scan[stage]["flops"]
+            if np.isnan(f) or np.isnan(s):  # backend without analysis
+                pytest.skip("cost_analysis unavailable on this backend")
+            assert s == pytest.approx(f, rel=0.01), stage
