@@ -25,7 +25,7 @@ import numpy as np
 
 from glsdet_tpu.models.yolox_head import decode_boxes, flatten_head_outputs
 from glsdet_tpu.ops.integral import distance2bbox, integral_decode
-from glsdet_tpu.ops.nms import multiclass_nms
+from glsdet_tpu.ops.nms import multiclass_nms_batched
 from glsdet_tpu.ops.priors import grid_points
 
 
@@ -54,10 +54,11 @@ def yolox_postprocess(
     # single-label scoring (mmdet _bboxes_nms): score = obj * max cls
     scores = cls_p * obj_p[..., None]  # (B, A, C)
 
-    def single(b, s):
-        return multiclass_nms(b, s, score_thr, iou_thr, max_dets)
-
-    ob, osc, ol, ov = jax.vmap(single)(boxes, scores)
+    # adaptive candidate ladder: chunks whose real candidate count
+    # fits the small tier skip the full (4*max_dets)^2 NMS matrices —
+    # output-identical either way (ops/nms.py multiclass_nms_batched)
+    ob, osc, ol, ov = multiclass_nms_batched(
+        boxes, scores, score_thr, iou_thr, max_dets)
     return {"boxes": ob, "scores": osc, "labels": ol, "valid": ov}
 
 
@@ -124,10 +125,8 @@ def gfl_postprocess(
     if scores_are_logits:
         scores = jax.nn.sigmoid(scores)
 
-    def single(bx, s):
-        return multiclass_nms(bx, s, score_thr, iou_thr, max_dets)
-
-    ob, osc, ol, ov = jax.vmap(single)(boxes, scores)
+    ob, osc, ol, ov = multiclass_nms_batched(
+        boxes, scores, score_thr, iou_thr, max_dets)
     return {"boxes": ob, "scores": osc, "labels": ol, "valid": ov}
 
 

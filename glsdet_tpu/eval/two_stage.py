@@ -36,6 +36,8 @@ from glsdet_tpu.ufp.assembly import (
 from glsdet_tpu.ufp.pallas_paint import (
     assemble_mosaic_pallas_batch,
     build_tile_tables,
+    build_tile_tables_jax,
+    tile_max_count,
 )
 from glsdet_tpu.native import (
     unified_foreground_packing_rows,
@@ -241,6 +243,7 @@ class TwoStagePipeline:
                  mosaic_dtype=jnp.bfloat16,
                  painter: str = "auto",
                  paint_table_cap: int = 24,
+                 table_build: str = "device",
                  quant8=False,
                  act_scales=None,
                  devices=None,
@@ -375,6 +378,16 @@ class TwoStagePipeline:
             p = "pallas" if jax.default_backend() == "tpu" else "xla"
         self.painter = p
         self.paint_cap = int(paint_table_cap)
+        # "device": the pallas painter's tile tables are built inside
+        # the stage-2 program from the (b, R, 7) region rows (which the
+        # program already receives for unmapping) — no host binning, no
+        # table upload.  "host" keeps the C++/python host binner
+        # (build_tile_tables) and ships (b, NT, NT, cap, 8) tables.
+        self.table_build = _os.environ.get("GLSDET_TABLE_BUILD",
+                                           table_build)
+        if self.table_build not in ("device", "host"):
+            raise ValueError(f"table_build {self.table_build!r}: "
+                             "expected 'device' or 'host'")
         # painter="pallas" off-TPU (explicit opt-in only — "auto" never
         # picks it there) runs the kernel in pallas interpret mode so the
         # table-driven paths stay testable on CPU.
@@ -411,11 +424,11 @@ class TwoStagePipeline:
             return x.reshape(x.shape[0] // width, width, *x.shape[1:])
 
         def _group_paint(paint, b, width):
-            # pallas per-tile tables are per-job: clean group reshape.
-            # The flat XLA painter payload is (b*P, 8) with the job slot
-            # in col 7; slots are contiguous per group, so the in-group
-            # slot is slot % width.
-            if paint.ndim == 5:
+            # pallas per-tile tables / per-job region rows are per-job:
+            # clean group reshape.  The flat XLA painter payload is
+            # (b*P, 8) with the job slot in col 7; slots are contiguous
+            # per group, so the in-group slot is slot % width.
+            if paint.ndim in (3, 5):
                 return _group(paint, width)
             rows_per_group = paint.shape[0] // b * width
             local = paint.at[:, 7].set(jnp.mod(paint[:, 7], width))
@@ -484,12 +497,22 @@ class TwoStagePipeline:
             # idx: (b,) int32 rows of the chunk to assemble; paint:
             # (b*P, 8) flat tile-split painter rows (8th col = slot in
             # ``idx``) — XLA scan painter — OR (b, NT, NT, K, 8) int32
-            # per-tile tables for the pallas painter.  Painting happens
-            # at the tile-aligned ``paint_hw_for(hw)`` canvas and crops
-            # back to the (model) bucket — see paint_hw_for.
+            # per-tile tables for the pallas painter — OR (b, R, 7)
+            # UNSPLIT region rows (= the unmap ``regions`` array; the
+            # tile tables are then built on device, so the host never
+            # bins and never uploads tables).  Painting happens at the
+            # tile-aligned ``paint_hw_for(hw)`` canvas and crops back
+            # to the (model) bucket — see paint_hw_for.
             sel = imgs[idx]
             ph = paint_hw_for(hw)
-            if paint.ndim == 5:
+            if paint.ndim == 3:
+                tables = jax.vmap(functools.partial(
+                    build_tile_tables_jax, out_h=ph, out_w=ph,
+                    tile=paint_tile(hw), cap=self.paint_cap))(paint)
+                canv = assemble_mosaic_pallas_batch(
+                    sel, tables, ph, ph, tile=paint_tile(hw),
+                    dtype=mosaic_dtype, interpret=paint_interpret)
+            elif paint.ndim == 5:
                 canv = assemble_mosaic_pallas_batch(
                     sel, paint, ph, ph, tile=paint_tile(hw),
                     dtype=mosaic_dtype, interpret=paint_interpret)
@@ -524,7 +547,8 @@ class TwoStagePipeline:
         def _stage2_scannable(paint, b):
             return (scan_width and b > scan_width
                     and b % scan_width == 0
-                    and (paint.ndim == 5 or paint.shape[0] % b == 0))
+                    and (paint.ndim in (3, 5)
+                         or paint.shape[0] % b == 0))
 
         @functools.partial(jax.jit, static_argnames=("hw",))
         def _mosaic_stage_batch(variables, imgs, idx, paint, regions, hw):
@@ -681,16 +705,25 @@ class TwoStagePipeline:
         t = paint_tile(bucket)
         ph = paint_hw_for(bucket)
         if self.painter == "pallas":
-            # per-job table builds are independent (C++ binner, GIL
-            # released) — build the group across the pack pool
-            build = functools.partial(build_tile_tables, out_h=ph,
-                                      out_w=ph, tile=t,
-                                      cap=self.paint_cap)
-            results = (list(self._pack_pool.map(build, unmap_list))
-                       if self._pack_pool is not None
-                       else [build(u) for u in unmap_list])
-            if not any(ovf for _, ovf in results):
-                return np.stack([tb for tb, _ in results])
+            if self.table_build == "device":
+                # cheap vectorized cap check only — the tables
+                # themselves are built inside the stage-2 program from
+                # the (b, R, 7) rows (build_tile_tables_jax), which the
+                # dispatcher ships anyway for unmapping
+                if all(tile_max_count(u, ph, ph, t) <= self.paint_cap
+                       for u in unmap_list):
+                    return np.stack(unmap_list)
+            else:
+                # per-job table builds are independent (C++ binner, GIL
+                # released) — build the group across the pack pool
+                build = functools.partial(build_tile_tables, out_h=ph,
+                                          out_w=ph, tile=t,
+                                          cap=self.paint_cap)
+                results = (list(self._pack_pool.map(build, unmap_list))
+                           if self._pack_pool is not None
+                           else [build(u) for u in unmap_list])
+                if not any(ovf for _, ovf in results):
+                    return np.stack([tb for tb, _ in results])
         return self._flat_paint(
             [split_rows_for_tile(u, t, self.max_paint)
              for u in unmap_list])
@@ -835,9 +868,13 @@ class TwoStagePipeline:
                 job_list = job_list + [job_list[-1]] * (b - len(job_list))
                 rows_np = np.array([j[1] for j in job_list], np.int32)
                 rows = _put(rows_np)
-                paints = _put(
-                    self._paint_group([j[2] for j in job_list], bucket))
-                regs = _put(np.stack([j[2] for j in job_list]))
+                paint_np = self._paint_group(
+                    [j[2] for j in job_list], bucket)
+                paints = _put(paint_np)
+                # device-built tables: the paint payload IS the unmap
+                # rows array — ship it once, bind it to both args
+                regs = (paints if paint_np.ndim == 3
+                        else _put(np.stack([j[2] for j in job_list])))
                 if self.fuse_global:
                     h0, w0 = shapes[part[0]]
                     g = _scale_packed(packed_np[rows_np], w0 / cw, h0 / ch)

@@ -198,6 +198,72 @@ def multiclass_nms(mlvl_boxes: jnp.ndarray, mlvl_scores: jnp.ndarray,
     return out_boxes, out_scores, out_labels, valid
 
 
+def multiclass_nms_batched(boxes: jnp.ndarray, scores: jnp.ndarray,
+                           score_thr: float, iou_threshold: float,
+                           max_per_img: int,
+                           small_budget: int = 512):
+    """Batched ``multiclass_nms`` with an adaptive candidate ladder.
+
+    ``multiclass_nms``'s cost is quadratic in its candidate budget
+    (4 * max_per_img): at max_per_img=500 the (2000, 2000) IoU/suppressor
+    matrices dominate the whole decode+NMS stage (~0.4 ms/img at b128 on
+    v5e) even when almost every row is ``-inf`` padding.  This wrapper
+    counts the above-threshold candidates per image, takes the batch
+    max (a scalar), and ``lax.cond``-dispatches between the full-budget
+    NMS and an output-identical small-K NMS over the top
+    ``small_budget`` rows.  The small path is EXACT whenever every
+    image's real candidate count fits it: the top-K prefix then
+    contains all real candidates, dead (-inf) rows can never be kept,
+    and jnp's stable sort gives the prefix the same relative order —
+    so kept set, scores and ranking match the full path bit-for-bit
+    (pinned by tests/test_nms.py).
+
+    The predicate is a batch-level scalar, NOT per-image, so the cond
+    stays a real branch under jit (a vmapped per-image cond would lower
+    to lax.select and execute BOTH branches).
+
+    Args/returns: as ``multiclass_nms`` with a leading batch dim.
+    """
+    b, n, c = scores.shape
+    budget = min(n * c, 4 * max_per_img if max_per_img > 0 else n * c)
+    # the small tier must still hold max_per_img outputs
+    small = min(max(small_budget, max_per_img), budget)
+
+    def prep(bx, sc):
+        scores2d = jnp.where(sc > score_thr, sc, NEG_INF)
+        nb = n
+        if nb > budget:
+            a_idx = jax.lax.top_k(scores2d.max(axis=1), budget)[1]
+            scores2d = scores2d[a_idx]
+            bx = bx[a_idx]
+            nb = budget
+        flat_boxes = jnp.repeat(bx, c, axis=0)
+        flat_scores = scores2d.reshape(-1)
+        flat_labels = jnp.tile(jnp.arange(c), (nb,))
+        top_scores, top_idx = jax.lax.top_k(flat_scores, budget)
+        return flat_boxes[top_idx], top_scores, flat_labels[top_idx]
+
+    top_boxes, top_scores, top_labels = jax.vmap(prep)(boxes, scores)
+
+    def tail(keep, sc, bx, lb):
+        kept = jnp.where(keep, sc, NEG_INF)
+        out_s, oi = jax.lax.top_k(kept, max_per_img)
+        valid = out_s > NEG_INF / 2
+        return (bx[oi], jnp.where(valid, out_s, 0.0), lb[oi], valid)
+
+    def run(k):
+        def one(bx, sc, lb):
+            keep, _ = batched_nms(bx[:k], sc[:k], lb[:k], iou_threshold)
+            return tail(keep, sc[:k], bx[:k], lb[:k])
+        return jax.vmap(one)(top_boxes, top_scores, top_labels)
+
+    if small >= budget:
+        return run(budget)
+    n_real = jnp.sum(top_scores > NEG_INF / 2, axis=1).max()
+    return jax.lax.cond(n_real <= small,
+                        lambda: run(small), lambda: run(budget))
+
+
 def diou_nms(boxes: jnp.ndarray, scores: jnp.ndarray,
              iou_threshold: float = 0.7) -> tuple[jnp.ndarray, jnp.ndarray]:
     """DIoU-NMS (yolox-drone/models/core/utils_bbox.py:309

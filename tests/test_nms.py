@@ -1,6 +1,7 @@
 """NMS vs the reference's pure-python greedy oracle."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -218,3 +219,50 @@ class TestNmsMatch:
         keep, group = nms_match(boxes, scores, 0.5)
         assert bool(keep[0]) and int(group[0]) == 0
         np.testing.assert_array_equal(np.asarray(group)[1:], [-1, -1, -1])
+
+
+class TestMulticlassNmsBatchedLadder:
+    """multiclass_nms_batched must equal vmap(multiclass_nms) exactly in
+    BOTH ladder regimes: when every image's real candidate count fits
+    the small tier (the cheap branch fires) and when it does not (the
+    full-budget branch fires)."""
+
+    def _rand(self, seed, b, n, c, frac_above):
+        rs = np.random.RandomState(seed)
+        wh = rs.rand(b, n, 2) * 60 + 5
+        xy = rs.rand(b, n, 2) * 400
+        boxes = np.concatenate([xy, xy + wh], -1).astype(np.float32)
+        scores = (rs.rand(b, n, c) * 0.04).astype(np.float32)  # < thr
+        k = int(n * c * frac_above)
+        for i in range(b):
+            flat = scores[i].reshape(-1)
+            idx = rs.choice(n * c, size=k, replace=False)
+            flat[idx] = 0.06 + rs.rand(k) * 0.9               # > thr
+        return jnp.asarray(boxes), jnp.asarray(scores)
+
+    @pytest.mark.parametrize("frac_above", [0.01, 0.30])
+    def test_matches_vmapped_single(self, frac_above):
+        from glsdet_tpu.ops.nms import (multiclass_nms,
+                                        multiclass_nms_batched)
+        b, n, c, md = 3, 600, 4, 100   # budget 400, small tier 512->400
+        boxes, scores = self._rand(11, b, n, c, frac_above)
+        ref = jax.vmap(lambda bx, sc: multiclass_nms(
+            bx, sc, 0.05, 0.6, md))(boxes, scores)
+        # small_budget below the full budget so the ladder is genuinely
+        # two-tier at this size
+        got = jax.jit(lambda bx, sc: multiclass_nms_batched(
+            bx, sc, 0.05, 0.6, md, small_budget=128))(boxes, scores)
+        for a, g in zip(ref, got):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(g))
+
+    def test_branch_selection(self):
+        # sparse input -> small branch; dense -> full.  Both must agree
+        # with the unladdered result (equality checked above); here we
+        # only pin that the scalar predicate logic runs under jit with
+        # a per-chunk decision (no per-image select blowup).
+        from glsdet_tpu.ops.nms import multiclass_nms_batched
+        boxes, scores = self._rand(12, 2, 600, 4, 0.005)
+        out = jax.jit(lambda bx, sc: multiclass_nms_batched(
+            bx, sc, 0.05, 0.6, 100, small_budget=128))(boxes, scores)
+        assert out[0].shape == (2, 100, 4)
+        assert bool(out[3].any())

@@ -200,3 +200,60 @@ class TestPaintAtAlignedCanvasThenCrop:
         ring = _ring_masks([rows], 192)[0]
         bad = np.abs(crop[0] - oracle).max(-1) > 1e-3
         assert not (bad & ~ring).any()
+
+
+class TestDeviceTableBuild:
+    """build_tile_tables_jax (in-program binning) must reproduce the
+    python/native host builder bit-for-bit, and tile_max_count must
+    agree with the builder's overflow semantics — together they let the
+    serving pipeline ship only the (b, R, 7) unmap rows and bin on
+    device (two_stage table_build="device")."""
+
+    def _rand_rows(self, rs, n_rows=24, pad_to=32):
+        rows = np.zeros((pad_to, 7), np.float32)
+        for i in range(n_rows):
+            f = rs.choice([1, 2, 4])
+            w = rs.randint(1, 90)
+            h = rs.randint(1, 90)
+            rows[i] = [rs.randint(0, 300), rs.randint(0, 220), w, h,
+                       rs.randint(0, OUT), rs.randint(0, OUT), f]
+        return rows
+
+    @pytest.mark.parametrize("seed", [0, 1, 2, 3])
+    def test_matches_py_builder(self, seed):
+        from glsdet_tpu.ufp.pallas_paint import (build_tile_tables_jax,
+                                                 build_tile_tables_py)
+        rs = np.random.RandomState(seed)
+        rows = self._rand_rows(rs)
+        ref, _ = build_tile_tables_py(rows, OUT, OUT, TILE, CAP)
+        got = np.asarray(build_tile_tables_jax(
+            jnp.asarray(rows), OUT, OUT, TILE, CAP))
+        np.testing.assert_array_equal(got, ref)
+
+    def test_cap_drop_matches_py(self):
+        # more entries in one tile than cap: both builders keep the
+        # first cap rows in row order and drop the rest
+        from glsdet_tpu.ufp.pallas_paint import (build_tile_tables_jax,
+                                                 build_tile_tables_py)
+        rows = np.zeros((CAP + 6, 7), np.float32)
+        for i in range(CAP + 4):
+            rows[i] = [i, i, 8, 8, 4, 4, 1]
+        ref, ovf = build_tile_tables_py(rows, OUT, OUT, TILE, CAP)
+        assert ovf
+        got = np.asarray(build_tile_tables_jax(
+            jnp.asarray(rows), OUT, OUT, TILE, CAP))
+        np.testing.assert_array_equal(got, ref)
+
+    @pytest.mark.parametrize("seed", [5, 6, 7])
+    def test_tile_max_count_matches_builder(self, seed):
+        from glsdet_tpu.ufp.pallas_paint import (build_tile_tables_py,
+                                                 tile_max_count)
+        rs = np.random.RandomState(seed)
+        rows = self._rand_rows(rs, n_rows=28)
+        # a huge cap makes the py builder count without saturating
+        tbl, _ = build_tile_tables_py(rows, OUT, OUT, TILE, cap=512)
+        true_max = int(tbl[..., 7].sum(axis=-1).max())
+        assert tile_max_count(rows, OUT, OUT, TILE) == true_max
+        # overflow agreement at the real cap
+        _, ovf = build_tile_tables_py(rows, OUT, OUT, TILE, CAP)
+        assert (tile_max_count(rows, OUT, OUT, TILE) > CAP) == ovf

@@ -445,6 +445,35 @@ class TestScanWidth:
         with pytest.raises(ValueError):
             _make_pipeline(tiny_models, scan_width=-2)
 
+    def test_device_table_build_matches_host(self, tiny_models):
+        # table_build="device" ships only the (b, R, 7) unmap rows and
+        # bins them into painter tables inside the stage-2 program
+        # (build_tile_tables_jax); detections must match the host-built
+        # (b, NT, NT, cap, 8) payload exactly.  painter="pallas" off-TPU
+        # runs the kernel in interpret mode, so this covers the TPU
+        # serving configuration's code path on CPU.
+        host_pipe = _make_pipeline(tiny_models, painter="pallas",
+                                   table_build="host")
+        dev_pipe = _make_pipeline(tiny_models, painter="pallas",
+                                  table_build="device")
+        frames = self._frames(seed=15)
+        self._assert_same(host_pipe.run_batch(frames),
+                          dev_pipe.run_batch(frames))
+
+    def test_device_table_build_scanned(self, tiny_models):
+        # the (b, R, 7) payload takes the plain-reshape grouping branch
+        dev_pipe = _make_pipeline(tiny_models, painter="pallas",
+                                  table_build="device", scan_width=None)
+        scan_pipe = _make_pipeline(tiny_models, painter="pallas",
+                                   table_build="device", scan_width=2)
+        frames = self._frames(seed=16)
+        self._assert_same(dev_pipe.run_batch(frames),
+                          scan_pipe.run_batch(frames))
+
+    def test_bad_table_build_rejected(self, tiny_models):
+        with pytest.raises(ValueError):
+            _make_pipeline(tiny_models, table_build="nope")
+
     def test_cost_analysis_scan_invariant(self, tiny_models):
         # XLA cost_analysis counts a lax.scan body ONCE (not x length),
         # so a scanned chunk must be analyzed at the flat scan_width
