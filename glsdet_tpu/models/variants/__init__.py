@@ -4,8 +4,10 @@ from glsdet_tpu.models.variants.attention import (
     ConAugModule,
     MSCAM,
     NonLocalBlock,
+    PatchConvNonLocal,
     PatchNonLocal,
     SE,
+    SEAttention,
     SEBlock,
     SEBlockFPN,
 )
@@ -31,8 +33,10 @@ __all__ = [
     "ConAugModule",
     "MSCAM",
     "NonLocalBlock",
+    "PatchConvNonLocal",
     "PatchNonLocal",
     "SE",
+    "SEAttention",
     "SEBlock",
     "SEBlockFPN",
     "BatchFormer",

@@ -9,9 +9,15 @@ Behavioral references (yolox-drone/):
   1x1-conv branches with BN, summed then sigmoid gate.
 - ConAugModule (models/block/CAM.py:5): parallel dilated 3x3 convs
   (d=1,2,3) concatenated.
-- Non_local_Block (models/new/Non_local_family.py:6): classic embedded-
-  gaussian non-local; Patch_Conv_NonLocal (:50) runs it on non-overlapping
-  patches to bound the attention cost on large maps.
+- SEAttention (models/block/SEBlock.py:74): spatial-position SE over the
+  flattened H*W axis (only well-formed when H*W == the configured
+  channel count — an experimental quirk reproduced faithfully).
+- Non_local_Block (models/new/Non_local_family.py:6): dot-product
+  non-local (matmul / HW, no softmax — the forward's actual path);
+  Patch_Conv_NonLocal (:50) is the quadrant downsampling module
+  (4 strided convs -> per-quadrant non-local -> half recombinations ->
+  1x1 channel fuse).  PatchNonLocal here is a TPU-friendly generic
+  patchified variant kept as an extension.
 """
 
 from __future__ import annotations
@@ -22,7 +28,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from glsdet_tpu.models.layers import BN_EPS, BN_MOMENTUM
+from glsdet_tpu.models.layers import BN_MOMENTUM, ConvNormAct
 
 
 class SE(nn.Module):
@@ -85,10 +91,45 @@ class SEBlockFPN(nn.Module):
         return outs
 
 
+class SEAttention(nn.Module):
+    """Spatial SE over flattened positions (SEBlock.py:74).
+
+    Pools each position's channel vector to a scalar, gates the H*W
+    positions with the shared MLP.  The reference's Linear layers are
+    sized by its ``channels`` ctor arg, so the module is only
+    well-formed when H*W == channels — reproduced as-is.
+    """
+
+    channels: int
+    reduction: int = 4
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        b, h, w, c = x.shape
+        if h * w != self.channels:
+            raise ValueError(
+                f"SEAttention: H*W ({h * w}) must equal channels "
+                f"({self.channels}) — SEBlock.py:74 semantics")
+        n = jnp.mean(x, axis=-1).reshape(b, h * w)   # (B, HW)
+        n = jax.nn.relu(nn.Dense(
+            max(self.channels // self.reduction, 1), use_bias=False,
+            dtype=self.dtype, name="fc1")(n))
+        n = jax.nn.sigmoid(nn.Dense(
+            self.channels, use_bias=False, dtype=self.dtype,
+            name="fc2")(n))
+        return x * n.reshape(b, h, w, 1)
+
+
 class MSCAM(nn.Module):
-    """Multi-scale channel attention (mscam.py:5). r=4."""
+    """Multi-scale channel attention (mscam.py:5). r=4.
+
+    BN eps follows mscam.py's torch-default 1e-5 (NOT the yolox 1e-3)
+    so transplanted reference stats normalize identically.
+    """
 
     reduction: int = 4
+    eps: float = 1e-5
     dtype: Any = jnp.float32
     axis_name: Any = None
 
@@ -101,7 +142,7 @@ class MSCAM(nn.Module):
             y = nn.Conv(inter, (1, 1), dtype=self.dtype,
                         name=f"{prefix}_conv1")(inp)
             y = nn.BatchNorm(use_running_average=not train,
-                             momentum=BN_MOMENTUM, epsilon=BN_EPS,
+                             momentum=BN_MOMENTUM, epsilon=self.eps,
                              dtype=self.dtype,
                              axis_name=self.axis_name if train else None,
                              name=f"{prefix}_bn1")(y)
@@ -109,7 +150,7 @@ class MSCAM(nn.Module):
             y = nn.Conv(c, (1, 1), dtype=self.dtype,
                         name=f"{prefix}_conv2")(y)
             return nn.BatchNorm(use_running_average=not train,
-                                momentum=BN_MOMENTUM, epsilon=BN_EPS,
+                                momentum=BN_MOMENTUM, epsilon=self.eps,
                                 dtype=self.dtype,
                                 axis_name=self.axis_name if train else None,
                                 name=f"{prefix}_bn2")(y)
@@ -138,27 +179,38 @@ class ConAugModule(nn.Module):
 
 
 class NonLocalBlock(nn.Module):
-    """Embedded-gaussian non-local attention (Non_local_family.py:6).
+    """Non-local attention (Non_local_family.py:6).
 
-    theta/phi/g at C/2, softmax(theta phi^T) g, 1x1 out + residual.
-    One (HW, HW) attention — the matmuls map straight onto the MXU.
+    theta/phi/g at inter channels (C/2 default), 1x1 out + residual;
+    one (HW, HW) attention — the matmuls map straight onto the MXU.
+
+    mode="dot" is the REFERENCE behavior: its ``forward`` (:43) routes
+    through ``dot_product`` — theta phi^T divided by HW, NO softmax
+    (the embedded_gaussian method exists but would crash on an
+    undefined ``use_scale`` and is never called).  mode="gaussian" is
+    the classic softmax variant, kept as an opt-in extension.
     """
 
+    mode: str = "dot"
+    inter_channels: int | None = None
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         b, h, w, c = x.shape
-        inter = max(c // 2, 1)
+        inter = self.inter_channels or max(c // 2, 1)
         theta = nn.Conv(inter, (1, 1), dtype=self.dtype, name="theta")(x)
         phi = nn.Conv(inter, (1, 1), dtype=self.dtype, name="phi")(x)
         g = nn.Conv(inter, (1, 1), dtype=self.dtype, name="g")(x)
         q = theta.reshape(b, h * w, inter)
         k = phi.reshape(b, h * w, inter)
         v = g.reshape(b, h * w, inter)
-        attn = jax.nn.softmax(
-            jnp.einsum("bnc,bmc->bnm", q, k) /
-            jnp.sqrt(jnp.asarray(inter, q.dtype)), axis=-1)
+        logits = jnp.einsum("bnc,bmc->bnm", q, k)
+        if self.mode == "dot":
+            attn = logits / (h * w)
+        else:
+            attn = jax.nn.softmax(
+                logits / jnp.sqrt(jnp.asarray(inter, q.dtype)), axis=-1)
         y = jnp.einsum("bnm,bmc->bnc", attn, v).reshape(b, h, w, inter)
         y = nn.Conv(c, (1, 1), dtype=self.dtype, name="out")(y)
         return x + y
@@ -183,3 +235,56 @@ class PatchNonLocal(nn.Module):
         y = NonLocalBlock(dtype=self.dtype, name="nl")(xp)
         y = y.reshape(b, nh, nw, p, p, c).transpose(0, 1, 3, 2, 4, 5)
         return y.reshape(b, h, w, c)
+
+
+class PatchConvNonLocal(nn.Module):
+    """Quadrant non-local downsampler (Non_local_family.py:50
+    Patch_Conv_NonLocal): split the map into 4 quadrants, stride-2
+    3x3 conv each (separate weights), per-quadrant dot-product
+    non-local at FULL inter channels, then re-assemble along both
+    half-axes (left/right halves conv'd, top/bottom halves conv'd),
+    concat the two reassemblies channel-wise and 1x1-fuse.  Output is
+    (H/2, W/2, out_channels).
+    """
+
+    out_channels: int
+    channel_scale: float = 0.5
+    channel_cat: str = "linear"  # 'linear' = plain 1x1; else conv+BN+act
+    act: str = "silu"
+    dtype: Any = jnp.float32
+    axis_name: Any = None
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False):
+        b, h, w, c = x.shape
+        mid = int(self.channel_scale * c)
+        common = dict(act=self.act, dtype=self.dtype,
+                      axis_name=self.axis_name)
+        hh, hw_ = h // 2, w // 2
+        quads = {"lt": x[:, :hh, :hw_], "lb": x[:, hh:, :hw_],
+                 "rt": x[:, :hh, hw_:], "rb": x[:, hh:, hw_:]}
+        for k in quads:
+            q = ConvNormAct(mid, 3, 2, name=f"conv_{k}", **common)(
+                quads[k], train=train)
+            quads[k] = NonLocalBlock(
+                inter_channels=mid, dtype=self.dtype, name=f"nl_{k}")(q)
+        left = jnp.concatenate([quads["lt"], quads["lb"]], axis=1)
+        right = jnp.concatenate([quads["rt"], quads["rb"]], axis=1)
+        top = jnp.concatenate([quads["lt"], quads["rt"]], axis=2)
+        bot = jnp.concatenate([quads["lb"], quads["rb"]], axis=2)
+        left = ConvNormAct(mid, 3, 1, name="conv_l", **common)(
+            left, train=train)
+        right = ConvNormAct(mid, 3, 1, name="conv_r", **common)(
+            right, train=train)
+        top = ConvNormAct(mid, 3, 1, name="conv_t", **common)(
+            top, train=train)
+        bot = ConvNormAct(mid, 3, 1, name="conv_b", **common)(
+            bot, train=train)
+        lr = jnp.concatenate([left, right], axis=2)   # full W
+        tb = jnp.concatenate([top, bot], axis=1)      # full H
+        fused = jnp.concatenate([lr, tb], axis=-1)    # 2*mid channels
+        if self.channel_cat == "linear":
+            return nn.Conv(self.out_channels, (1, 1), dtype=self.dtype,
+                           name="channel_conv")(fused)
+        return ConvNormAct(self.out_channels, 1, 1, name="channel_conv",
+                           **common)(fused, train=train)

@@ -23,11 +23,18 @@ from glsdet_tpu.models.variants.attention import SE
 
 
 def pixel_shuffle_2x(x: jnp.ndarray) -> jnp.ndarray:
-    """(B, H, W, 4C) -> (B, 2H, 2W, C), NHWC depth-to-space."""
+    """(B, H, W, 4C) -> (B, 2H, 2W, C), NHWC depth-to-space.
+
+    Channel-MAJOR ordering, matching ``torch.nn.PixelShuffle``:
+    out[..., 2h+i, 2w+j, c] = in[..., h, w, c*4 + i*2 + j].  The
+    ordering matters for reference-checkpoint transplants (the
+    preceding conv's output channels are laid out torch-style); pinned
+    by tests/test_variant_torch_parity.py.
+    """
     b, h, w, c4 = x.shape
     c = c4 // 4
-    x = x.reshape(b, h, w, 2, 2, c)
-    x = x.transpose(0, 1, 3, 2, 4, 5)
+    x = x.reshape(b, h, w, c, 2, 2)
+    x = x.transpose(0, 1, 4, 2, 5, 3)
     return x.reshape(b, h * 2, w * 2, c)
 
 
