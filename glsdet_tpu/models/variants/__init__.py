@@ -5,13 +5,19 @@ from glsdet_tpu.models.variants.attention import (
     MSCAM,
     NonLocalBlock,
     PatchConvNonLocal,
+    PatchConvNonLocal44,
+    PatchConvNonLocalAdapt,
     PatchNonLocal,
+    PatchNonLocalQuad,
     SE,
     SEAttention,
     SEBlock,
     SEBlockFPN,
+    SpatialAttention,
+    VANAttention,
 )
 from glsdet_tpu.models.variants.batchformer import BatchFormer
+from glsdet_tpu.models.variants.blocks import IdentityConv, ReverseFocus
 from glsdet_tpu.models.variants.cfp import EVCBlock, LightMLPBlock, LVCBlock
 from glsdet_tpu.models.variants.dyhead import (
     DeformConv3x3,
@@ -34,12 +40,19 @@ __all__ = [
     "MSCAM",
     "NonLocalBlock",
     "PatchConvNonLocal",
+    "PatchConvNonLocal44",
+    "PatchConvNonLocalAdapt",
     "PatchNonLocal",
+    "PatchNonLocalQuad",
     "SE",
     "SEAttention",
     "SEBlock",
     "SEBlockFPN",
+    "SpatialAttention",
+    "VANAttention",
     "BatchFormer",
+    "IdentityConv",
+    "ReverseFocus",
     "EVCBlock",
     "LightMLPBlock",
     "LVCBlock",

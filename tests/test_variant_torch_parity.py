@@ -55,6 +55,8 @@ def ref_zoo():
             "dyrelu": importlib.import_module("models.new.dyrelu"),
             "batchformer": importlib.import_module(
                 "models.batchformer.batchformer"),
+            "identityconv": importlib.import_module(
+                "models.block.IdentityConv"),
         }
         yield mods
     finally:
@@ -494,6 +496,190 @@ def test_patch_conv_nonlocal_parity(ref_zoo):
         _convnormact(tp, f"conv_{s}", f"feat_patchconv_{s}", state)
     tp.conv("params/channel_conv", state["channel_conv.weight"],
             state["channel_conv.bias"])
+    v = tp.done()
+    with torch.no_grad():
+        want = _nhwc(ref(_nchw(x)))
+    _cmp(model.apply(v, jnp.asarray(x), train=False), want, tol=1e-4)
+
+
+def test_spatial_attention_parity(ref_zoo):
+    """CBAM spatial gate (Non_local_family.py:423)."""
+    from glsdet_tpu.models.variants import SpatialAttention
+
+    torch.manual_seed(13)
+    ref = ref_zoo["nonlocal"].SpatialAttention().eval()
+    state = _state(ref)
+    model = SpatialAttention()
+    x = np.random.RandomState(16).rand(2, 9, 11, 12).astype(np.float32)
+    tpl = model.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    tp = Transplant(tpl)
+    tp.conv("params/conv", state["conv.weight"], state["conv.bias"])
+    v = tp.done()
+    with torch.no_grad():
+        want = _nhwc(ref(_nchw(x)))
+    _cmp(model.apply(v, jnp.asarray(x)), want)
+
+
+def _transplant_quad_nl(tp, flax_prefix, torch_prefix, state):
+    """The 4 per-quadrant Non_local_Blocks shared by the _new modules."""
+    for q in ("lt", "lb", "rt", "rb"):
+        for fl, to in (("theta", "theta"), ("phi", "phi"), ("g", "g"),
+                       ("out", "conv_out")):
+            tp.conv(
+                f"params/{flax_prefix}nl_{q}/{fl}",
+                state[f"{torch_prefix}feat_patchconv_{q}_nonlocal"
+                      f".{to}.weight"],
+                state[f"{torch_prefix}feat_patchconv_{q}_nonlocal"
+                      f".{to}.bias"])
+
+
+def test_patch_nonlocal_quad_parity(ref_zoo):
+    """Resolution-preserving quadrant non-local
+    (Non_local_family.py:206 Patch_Conv_NonLocal_new); channel_scale=1
+    is the only shape-consistent reference configuration."""
+    from glsdet_tpu.models.variants import PatchNonLocalQuad
+
+    torch.manual_seed(14)
+    c, cout = 16, 24
+    ref = ref_zoo["nonlocal"].Patch_Conv_NonLocal_new(
+        in_channel=c, out_channel=cout, channel_scale=1).eval()
+    _randomize_bn(ref, 17)
+    state = _state(ref)
+    model = PatchNonLocalQuad(out_channels=cout, channel_scale=1.0)
+    x = np.random.RandomState(18).rand(2, 10, 12, c).astype(np.float32)
+    tpl = model.init(jax.random.PRNGKey(0), jnp.asarray(x), train=False)
+    tp = Transplant(tpl)
+    _transplant_quad_nl(tp, "", "", state)
+    _convnormact(tp, "channel_conv", "channel_conv", state)
+    v = tp.done()
+    with torch.no_grad():
+        want = _nhwc(ref(_nchw(x)))
+    _cmp(model.apply(v, jnp.asarray(x), train=False), want, tol=1e-4)
+
+
+def test_van_attention_parity(ref_zoo):
+    """VAN wrapper (Non_local_family.py:252): 1x1 -> exact GELU ->
+    quadrant gating unit -> 1x1 -> residual."""
+    from glsdet_tpu.models.variants import VANAttention
+
+    torch.manual_seed(15)
+    c = 16
+    ref = ref_zoo["nonlocal"].Attention(c).eval()
+    _randomize_bn(ref, 19)
+    state = _state(ref)
+    model = VANAttention()
+    x = np.random.RandomState(20).rand(2, 8, 8, c).astype(np.float32)
+    tpl = model.init(jax.random.PRNGKey(0), jnp.asarray(x), train=False)
+    tp = Transplant(tpl)
+    tp.conv("params/proj_1", state["proj_1.weight"], state["proj_1.bias"])
+    tp.conv("params/proj_2", state["proj_2.weight"], state["proj_2.bias"])
+    _transplant_quad_nl(tp, "sgu/", "spatial_gating_unit.", state)
+    _convnormact(tp, "sgu/channel_conv",
+                 "spatial_gating_unit.channel_conv", state)
+    v = tp.done()
+    with torch.no_grad():
+        want = _nhwc(ref(_nchw(x)))
+    _cmp(model.apply(v, jnp.asarray(x), train=False), want, tol=1e-4)
+
+
+def test_patch_conv_nonlocal_44_parity(ref_zoo):
+    """4x4-grid downsampler (Non_local_family.py:359)."""
+    from glsdet_tpu.models.variants import PatchConvNonLocal44
+
+    torch.manual_seed(16)
+    cin, cout = 16, 32  # the reference-consistent out == 4*mid shape
+    ref = ref_zoo["nonlocal"].Patch_Conv_NonLocal_44(
+        in_channel=cin, out_channel=cout).eval()
+    _randomize_bn(ref, 21)
+    state = _state(ref)
+    model = PatchConvNonLocal44(out_channels=cout)
+    x = np.random.RandomState(22).rand(2, 16, 16, cin).astype(np.float32)
+    tpl = model.init(jax.random.PRNGKey(0), jnp.asarray(x), train=False)
+    tp = Transplant(tpl)
+    for q in ("lt", "lb", "rt", "rb"):
+        inner_t = f"patchconv_{q}_nonlocal."
+        inner_f = f"patch_{q}/"
+        for qq in ("lt", "lb", "rt", "rb"):
+            _convnormact(tp, f"{inner_f}conv_{qq}",
+                         f"{inner_t}feat_patchconv_{qq}", state)
+            for fl, to in (("theta", "theta"), ("phi", "phi"),
+                           ("g", "g"), ("out", "conv_out")):
+                tp.conv(
+                    f"params/{inner_f}nl_{qq}/{fl}",
+                    state[f"{inner_t}feat_patchconv_{qq}_nonlocal"
+                          f".{to}.weight"],
+                    state[f"{inner_t}feat_patchconv_{qq}_nonlocal"
+                          f".{to}.bias"])
+        for s in ("l", "r", "t", "b"):
+            _convnormact(tp, f"{inner_f}conv_{s}",
+                         f"{inner_t}feat_patchconv_{s}", state)
+        tp.conv(f"params/{inner_f}channel_conv",
+                state[f"{inner_t}channel_conv.weight"],
+                state[f"{inner_t}channel_conv.bias"])
+    for s in ("l", "r", "t", "b"):
+        _convnormact(tp, f"conv_{s}", f"feat_patchconv_{s}", state)
+    tp.conv("params/channel_conv", state["channel_conv.weight"],
+            state["channel_conv.bias"])
+    v = tp.done()
+    with torch.no_grad():
+        want = _nhwc(ref(_nchw(x)))
+    _cmp(model.apply(v, jnp.asarray(x), train=False), want, tol=1e-4)
+
+
+@pytest.mark.parametrize("ksize", [1, 3, 5, 7, 9])
+def test_identity_conv_parity(ref_zoo, ksize):
+    """Identity_Conv family (IdentityConv.py:7-105): (a) identical
+    identity forward at init, (b) transplanted randomized weights."""
+    from glsdet_tpu.models.variants import IdentityConv
+
+    cls = {1: "Identity_Conv", 3: "Identity_Conv_three",
+           5: "Identity_Conv_five", 7: "Identity_Conv_seven",
+           9: "Identity_Conv_nine"}[ksize]
+    c = 8
+    ref = ref_zoo["identityconv"].__dict__[cls](
+        in_channels=c, out_channels=c).eval()
+    model = IdentityConv(features=c, kernel_size=ksize)
+    x = np.random.RandomState(23 + ksize).rand(
+        2, 12, 12, c).astype(np.float32)
+    tpl = model.init(jax.random.PRNGKey(0), jnp.asarray(x))
+
+    # (a) both inits are the identity map
+    with torch.no_grad():
+        want = _nhwc(ref(_nchw(x)))
+    _cmp(model.apply(tpl, jnp.asarray(x)), want,
+         msg=f"identity init k={ksize}")
+    _cmp(want, x, tol=1e-5, msg="reference init is the identity")
+
+    # (b) randomized weights transplant
+    g = torch.Generator().manual_seed(24 + ksize)
+    ref.conv.weight.data = torch.randn(ref.conv.weight.shape,
+                                       generator=g) * 0.1
+    ref.conv.bias.data = torch.randn(ref.conv.bias.shape, generator=g)
+    tp = Transplant(tpl)
+    tp.conv("params/conv", _state(ref)["conv.weight"],
+            _state(ref)["conv.bias"])
+    v = tp.done()
+    with torch.no_grad():
+        want = _nhwc(ref(_nchw(x)))
+    _cmp(model.apply(v, jnp.asarray(x)), want, tol=1e-5)
+
+
+def test_reverse_focus_parity(ref_zoo):
+    """Reverse_Focus (IdentityConv.py:107): depth-to-space with
+    torch-slice channel-group ordering (g = channel % 4); the
+    reference's repeat-buffer construction requires in == out."""
+    from glsdet_tpu.models.variants import ReverseFocus
+
+    torch.manual_seed(17)
+    c = 12
+    ref = ref_zoo["identityconv"].Reverse_Focus(c, c).eval()
+    _randomize_bn(ref, 25)
+    state = _state(ref)
+    model = ReverseFocus(out_channels=c)
+    x = np.random.RandomState(26).rand(2, 6, 7, c).astype(np.float32)
+    tpl = model.init(jax.random.PRNGKey(0), jnp.asarray(x), train=False)
+    tp = Transplant(tpl)
+    _convnormact(tp, "conv", "conv", state)
     v = tp.done()
     with torch.no_grad():
         want = _nhwc(ref(_nchw(x)))

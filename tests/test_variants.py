@@ -135,3 +135,66 @@ class TestVariantDetectors:
         x = jnp.zeros((1, 64, 64, 3))
         cls, reg, obj = _run(m, x, train=False)
         assert len(cls) == 3 and cls[0].shape[-1] == 5
+
+
+class TestAdaptiveQuadNonLocal:
+    """PatchConvNonLocalAdapt — the fixed-shape TPU re-design of
+    Patch_Conv_NonLocal_adapt_new (Non_local_family.py:272); no torch
+    transplant is possible (the reference crops data-dependent shapes),
+    so pin the re-design's contract instead."""
+
+    def _model_and_input(self):
+        from glsdet_tpu.models.variants import PatchConvNonLocalAdapt
+
+        rs = np.random.RandomState(7)
+        x = jnp.asarray(rs.rand(2, 16, 16, 8).astype(np.float32))
+        m = PatchConvNonLocalAdapt(out_channels=12)
+        return m, x
+
+    def test_jit_shape_and_finite(self):
+        m, x = self._model_and_input()
+        v = m.init(RNG, x, train=False)
+        y = jax.jit(lambda v, x: m.apply(v, x, train=False))(v, x)
+        assert y.shape == (2, 16, 16, 12)
+        assert bool(jnp.isfinite(y).all())
+
+    def test_centroid_follows_mass(self):
+        """A bright blob off-center must move the row/col split; the
+        output must differ from the centered-uniform case only through
+        that shift (gating makes exact equality impossible — just check
+        the centroids)."""
+        from glsdet_tpu.models.variants.attention import _mass_centroid
+
+        mass = jnp.zeros(32).at[24].set(10.0)
+        assert int(_mass_centroid(mass, 32)) == 24
+        # clamping and even-floor
+        assert int(_mass_centroid(jnp.zeros(32).at[1].set(1.0), 32)) == 4
+        assert int(_mass_centroid(jnp.zeros(32).at[31].set(1.0), 32)) == 28
+        uniform = jnp.ones(32)
+        c = int(_mass_centroid(uniform, 32))
+        assert abs(c - 16) <= 2
+
+    def test_split_follows_bright_blob(self):
+        """An interior bright blob must pull the sown (cx, cy_t, cy_b)
+        split toward it — the adaptive property the reference's
+        get_centroid encodes (Non_local_family.py:142-166)."""
+        from glsdet_tpu.models.variants import PatchConvNonLocalAdapt
+
+        m = PatchConvNonLocalAdapt(out_channels=12)
+        rs = np.random.RandomState(8)
+        base = rs.rand(1, 32, 32, 8).astype(np.float32) * 0.01
+        blob = base.copy()
+        blob[:, 20:26, 22:28] += 5.0
+        v = m.init(RNG, jnp.asarray(base), train=False)
+
+        def centroids(arr):
+            _, inter = m.apply(v, jnp.asarray(arr), train=False,
+                               capture_intermediates=True,
+                               mutable=["intermediates"])
+            return np.asarray(
+                inter["intermediates"]["centroids"][0])
+
+        c_blob = centroids(blob)
+        assert 18 <= c_blob[0] <= 26, c_blob   # row split at the blob
+        # the blob half's column split lands on the blob
+        assert 20 <= max(c_blob[1], c_blob[2]) <= 28, c_blob
