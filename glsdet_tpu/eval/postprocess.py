@@ -38,8 +38,16 @@ def yolox_postprocess(
     score_thr: float = 0.01,
     iou_thr: float = 0.65,
     max_dets: int = 100,
+    single_label: bool = True,
 ):
     """Per-level NHWC head maps -> (B, max_dets) ranked detections.
+
+    ``single_label=True`` is the reference YOLOX semantics (one
+    max-class candidate per anchor — yolox_head.py:310 _bboxes_nms and
+    utils_bbox.py:398-419): non-max class entries are zeroed before the
+    class-wise NMS, so each anchor contributes at most one detection.
+    ``False`` keeps the mmdet multiclass behavior (every above-threshold
+    (anchor, class) pair competes), as used by the GFL path.
 
     Returns dict(boxes (B,K,4), scores (B,K), labels (B,K), valid (B,K)).
     """
@@ -51,8 +59,15 @@ def yolox_postprocess(
     boxes = decode_boxes(reg_f.astype(jnp.float32), grids, stride_v)
     cls_p = jax.nn.sigmoid(cls_f.astype(jnp.float32))
     obj_p = jax.nn.sigmoid(obj_f.astype(jnp.float32))
-    # single-label scoring (mmdet _bboxes_nms): score = obj * max cls
     scores = cls_p * obj_p[..., None]  # (B, A, C)
+    if single_label:
+        # scatter each anchor's max-class score into a one-entry row:
+        # the multiclass machinery below then reduces EXACTLY to the
+        # reference's single-argmax-label path (zeroed entries can
+        # never pass score_thr's strict > test)
+        lab = jnp.argmax(scores, axis=-1)
+        keep = jax.nn.one_hot(lab, scores.shape[-1], dtype=bool)
+        scores = jnp.where(keep, scores, 0.0)
 
     # adaptive candidate ladder: chunks whose real candidate count
     # fits the small tier skip the full (4*max_dets)^2 NMS matrices —

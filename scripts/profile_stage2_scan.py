@@ -169,7 +169,20 @@ def main():
     def paint_fn(c, im, pt):
         # carry -> int table perturbation (adds 0, keeps the data dep)
         pt = pt + c.astype(pt.dtype)
-        if pt.ndim == 5:
+        if pt.ndim == 3:
+            # device-built tables (table_build="device" default):
+            # (b, R, 7) unmap rows -> in-program tile tables
+            import functools as _ft
+
+            from glsdet_tpu.ufp.assembly import build_tile_tables_jax
+            from glsdet_tpu.ufp.pallas_paint import \
+                assemble_mosaic_pallas_batch
+            tables = jax.vmap(_ft.partial(
+                build_tile_tables_jax, out_h=ph, out_w=ph, tile=tile,
+                cap=pipe.paint_cap))(pt)
+            canv = assemble_mosaic_pallas_batch(im, tables, ph, ph,
+                                                tile=tile, dtype=dtype)
+        elif pt.ndim == 5:
             from glsdet_tpu.ufp.pallas_paint import \
                 assemble_mosaic_pallas_batch
             canv = assemble_mosaic_pallas_batch(im, pt, ph, ph, tile=tile,

@@ -357,9 +357,21 @@ class TestBucketFitPackMode:
         for d, img in zip(out, imgs):
             assert set(d) == {"boxes", "scores", "labels"}
             if len(d["boxes"]):
-                # unmapped boxes land in original image coordinates
-                assert float(d["boxes"].min()) >= -1.0
-                assert float(d["boxes"][:, 2].max()) <= img.shape[1] + 1
+                # unmapped boxes land in original image coordinates.
+                # The reference never clips (ufpmp_det_eval.py:282-296),
+                # and its IoF>0.9 chip gate admits boxes hanging up to
+                # ~10% outside a chip — so assert the CENTERS are
+                # in-bounds and the corners only modestly outside.
+                cx = (d["boxes"][:, 0] + d["boxes"][:, 2]) / 2
+                cy = (d["boxes"][:, 1] + d["boxes"][:, 3]) / 2
+                assert float(cx.min()) >= 0 and float(cy.min()) >= 0
+                assert float(cx.max()) <= img.shape[1]
+                assert float(cy.max()) <= img.shape[0]
+                w = d["boxes"][:, 2] - d["boxes"][:, 0]
+                h = d["boxes"][:, 3] - d["boxes"][:, 1]
+                assert float((d["boxes"][:, 0] + 0.5 * w).min()) >= 0
+                assert float(d["boxes"].min()) >= -0.5 * float(
+                    np.maximum(w, h).max())
 
     def test_same_detection_multiset_as_square(self, tiny_models):
         # packing layout must not change WHAT is detected, only where
