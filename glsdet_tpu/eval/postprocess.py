@@ -39,6 +39,7 @@ def yolox_postprocess(
     iou_thr: float = 0.65,
     max_dets: int = 100,
     single_label: bool = True,
+    apply_sigmoid: str = "all",
 ):
     """Per-level NHWC head maps -> (B, max_dets) ranked detections.
 
@@ -49,16 +50,28 @@ def yolox_postprocess(
     ``False`` keeps the mmdet multiclass behavior (every above-threshold
     (anchor, class) pair competes), as used by the GFL path.
 
+    ``apply_sigmoid`` serves the loss-ablation heads whose decode bakes
+    (or omits) the activations (utils_bbox.py): "all" = obj+cls
+    (decode_outputs :254), "cls" = cls only (decode_outputs_cls_sigmoid
+    :92), "obj" = obj only (decode_outputs_no_sigmoid :146), "none" =
+    raw maps (decode_outputs_no_sigmoid_all :200).
+
     Returns dict(boxes (B,K,4), scores (B,K), labels (B,K), valid (B,K)).
     """
+    if apply_sigmoid not in ("all", "cls", "obj", "none"):
+        raise ValueError(f"apply_sigmoid {apply_sigmoid!r}")
     centers_np, strides_np, _ = grid_points(img_hw, strides, offset=0.5)
     grids = jnp.asarray(centers_np / strides_np[:, None] - 0.5)
     stride_v = jnp.asarray(strides_np)
 
     cls_f, reg_f, obj_f = flatten_head_outputs(cls_out, reg_out, obj_out)
     boxes = decode_boxes(reg_f.astype(jnp.float32), grids, stride_v)
-    cls_p = jax.nn.sigmoid(cls_f.astype(jnp.float32))
-    obj_p = jax.nn.sigmoid(obj_f.astype(jnp.float32))
+    cls_p = cls_f.astype(jnp.float32)
+    obj_p = obj_f.astype(jnp.float32)
+    if apply_sigmoid in ("all", "cls"):
+        cls_p = jax.nn.sigmoid(cls_p)
+    if apply_sigmoid in ("all", "obj"):
+        obj_p = jax.nn.sigmoid(obj_p)
     scores = cls_p * obj_p[..., None]  # (B, A, C)
     if single_label:
         # scatter each anchor's max-class score into a one-entry row:

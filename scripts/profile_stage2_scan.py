@@ -174,9 +174,8 @@ def main():
             # (b, R, 7) unmap rows -> in-program tile tables
             import functools as _ft
 
-            from glsdet_tpu.ufp.assembly import build_tile_tables_jax
-            from glsdet_tpu.ufp.pallas_paint import \
-                assemble_mosaic_pallas_batch
+            from glsdet_tpu.ufp.pallas_paint import (
+                assemble_mosaic_pallas_batch, build_tile_tables_jax)
             tables = jax.vmap(_ft.partial(
                 build_tile_tables_jax, out_h=ph, out_w=ph, tile=tile,
                 cap=pipe.paint_cap))(pt)

@@ -179,6 +179,47 @@ def test_decode_nms_chain_parity(ref_bbox, seed, conf):
     assert total >= 10, f"degenerate fixture: only {total} detections"
 
 
+@pytest.mark.parametrize("variant,ref_fn", [
+    ("cls", "decode_outputs_cls_sigmoid"),    # utils_bbox.py:92
+    ("obj", "decode_outputs_no_sigmoid"),     # utils_bbox.py:146
+    ("none", "decode_outputs_no_sigmoid_all"),  # utils_bbox.py:200
+])
+def test_ablation_decode_parity(ref_bbox, variant, ref_fn):
+    """The loss-ablation decode variants differ only in sigmoid
+    placement; pin each against yolox_postprocess(apply_sigmoid=...)
+    through the full chain."""
+    from glsdet_tpu.eval.postprocess import yolox_postprocess
+
+    num_classes, hw, conf = 4, 64, 0.4
+    rs = np.random.RandomState(7)
+    cls_l, reg_l, obj_l = _head_maps(rs, 1, hw, num_classes)
+    # keep raw (non-sigmoid) scores positive so conf filtering works in
+    # the no-sigmoid variants too
+    cls_l = [np.abs(a) for a in cls_l]
+    obj_l = [np.abs(a) for a in obj_l]
+    with torch.no_grad():
+        decoded = getattr(ref_bbox, ref_fn)(
+            _to_ref_levels(cls_l, reg_l, obj_l), (hw, hw))
+        ref_dets = ref_bbox.non_max_suppression(
+            decoded, num_classes, (hw, hw), (hw, hw),
+            letterbox_image=False, conf_thres=conf, nms_thres=0.65)
+    got = yolox_postprocess(
+        [jnp.asarray(a) for a in cls_l], [jnp.asarray(a) for a in reg_l],
+        [jnp.asarray(a) for a in obj_l], (hw, hw), score_thr=conf,
+        iou_thr=0.65, max_dets=200, apply_sigmoid=variant)
+    k = int(got["valid"][0].sum())
+    ref = ref_dets[0]
+    n_ref = 0 if ref is None else len(ref)
+    assert k == n_ref and k > 0, (k, n_ref)
+    ref_scores = ref[:, 4] * ref[:, 5]
+    order = np.argsort(-ref_scores, kind="stable")
+    np.testing.assert_allclose(np.asarray(got["scores"][0][:k]),
+                               ref_scores[order], atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(got["boxes"][0][:k]),
+                               ref[order][:, [1, 0, 3, 2]],
+                               atol=5e-3, rtol=1e-4)
+
+
 def test_decode_values_match_reference(ref_bbox):
     """Raw decode parity at every anchor (pre-NMS): (pred_xy + grid) *
     stride and exp(wh) * stride, row-major level concat order."""
