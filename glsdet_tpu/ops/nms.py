@@ -86,6 +86,79 @@ def nms(boxes: jnp.ndarray, scores: jnp.ndarray, iou_threshold: float,
     return keep, order
 
 
+def nms_tiled(boxes: jnp.ndarray, scores: jnp.ndarray,
+              iou_threshold: float, offset: float = 0.0,
+              tile: int = 256) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Exact greedy NMS as a scan over score-sorted tiles.
+
+    The fixpoint iteration in :func:`nms` re-reads the full (K, K)
+    suppressor every pass, so its cost is K^2 x chain-depth.  Greedy
+    suppression only flows from higher to lower scores, so candidates
+    can instead be finalized a TILE at a time in sorted order:
+
+      for each tile t (size T, descending scores):
+        1. mask candidates already suppressed by earlier tiles,
+        2. fixpoint WITHIN the (T, T) tile (depth is the tile's own
+           chain depth — cheap),
+        3. propagate: mark every later candidate overlapped by a kept
+           member of this tile as suppressed (one (T, K) pass, touched
+           exactly once per tile).
+
+    Work: K^2 one-off propagation + T^2 x depth per tile, vs
+    K^2 x global-depth for the fixpoint — ~an order of magnitude less
+    VPU work at K ~ 2000 (the stage-2 serving budget, where NMS is
+    ~0.4 ms/img of the mosaic program).  Output is bit-identical to
+    :func:`nms` (same greedy solution; pinned by tests/test_nms.py).
+    The scan has a static trip count, so under vmap each tile's inner
+    while_loop lock-steps at the BATCH max of the tile's chain depth
+    instead of the global chain depth.
+
+    Returns: as :func:`nms` — (keep mask over input order, descending
+    score order).
+    """
+    k = scores.shape[0]
+    pad = (-k) % tile
+    kp = k + pad
+    nt = kp // tile
+
+    order = jnp.argsort(-scores)
+    sb = boxes[order].astype(jnp.float32)
+    valid = scores[order] > NEG_INF / 2
+    if pad:
+        sb = jnp.concatenate([sb, jnp.zeros((pad, 4), sb.dtype)], axis=0)
+        valid = jnp.concatenate([valid, jnp.zeros((pad,), bool)], axis=0)
+    tri = jnp.arange(tile)[:, None] < jnp.arange(tile)[None, :]
+    pos = jnp.arange(kp)
+
+    def step(suppressed, t):
+        tb = jax.lax.dynamic_slice(sb, (t * tile, 0), (tile, 4))
+        cand = (jax.lax.dynamic_slice(valid, (t * tile,), (tile,))
+                & ~jax.lax.dynamic_slice(suppressed, (t * tile,), (tile,)))
+        sup_tt = (pairwise_iou(tb, tb, offset=offset)
+                  > iou_threshold) & tri
+        def cond(state):
+            keep, prev, it = state
+            return jnp.any(keep != prev) & (it < tile)
+        def body(state):
+            keep, _, it = state
+            new = cand & ~jnp.any(keep[:, None] & sup_tt, axis=0)
+            return new, keep, it + 1
+        keep_t, _, _ = jax.lax.while_loop(
+            cond, body, (cand, jnp.zeros_like(cand), jnp.int32(0)))
+        # one-off forward propagation to strictly later candidates
+        hit = jnp.any(
+            keep_t[:, None] & (pairwise_iou(tb, sb, offset=offset)
+                               > iou_threshold), axis=0)
+        later = pos >= (t + 1) * tile
+        return suppressed | (hit & later), keep_t
+
+    suppressed, keeps = jax.lax.scan(
+        step, jnp.zeros((kp,), bool), jnp.arange(nt))
+    keep_sorted = keeps.reshape(kp)[:k]
+    keep = jnp.zeros((k,), dtype=bool).at[order].set(keep_sorted)
+    return keep, order
+
+
 def batched_nms(boxes: jnp.ndarray, scores: jnp.ndarray,
                 class_ids: jnp.ndarray, iou_threshold: float,
                 offset: float = 0.0,
