@@ -159,6 +159,23 @@ def nms_tiled(boxes: jnp.ndarray, scores: jnp.ndarray,
     return keep, order
 
 
+def tiled_nms_tile() -> int:
+    """Tile size for the opt-in tile-scanned NMS in :func:`batched_nms`
+    (0 = disabled, the default).  GLSDET_TILED_NMS=1 selects 256;
+    any other positive integer is used as the tile directly.  Exactness
+    is pinned by tests/test_nms.py; whether it beats the fixpoint
+    depends on K and the suppression-chain depth, so it stays opt-in
+    until measured ahead on the serving shapes."""
+    import os
+
+    v = os.environ.get("GLSDET_TILED_NMS", "0").strip()
+    try:
+        t = int(v or "0")
+    except ValueError:
+        return 0
+    return 256 if t == 1 else max(t, 0)
+
+
 def batched_nms(boxes: jnp.ndarray, scores: jnp.ndarray,
                 class_ids: jnp.ndarray, iou_threshold: float,
                 offset: float = 0.0,
@@ -180,11 +197,18 @@ def batched_nms(boxes: jnp.ndarray, scores: jnp.ndarray,
     # Default path is the vectorized fixpoint iteration in ``nms`` (a few
     # (K, K) VPU passes).  The fused Pallas kernel (K *sequential* VMEM
     # steps) is available via GLSDET_PALLAS_NMS=1; it wins only for very
-    # large K where the K x K IoU matrix would blow HBM traffic.
+    # large K where the K x K IoU matrix would blow HBM traffic.  The
+    # tile-scanned exact variant (``nms_tiled``, ~T^2-per-tile fixpoint
+    # work instead of K^2 per pass) is opt-in via GLSDET_TILED_NMS=<tile>
+    # (=1 selects the default tile of 256).
     from glsdet_tpu.ops.pallas_nms import nms_pallas, use_pallas_nms
 
     if use_pallas_nms():
         return nms_pallas(shifted, scores, iou_threshold, offset=offset)
+    tile = tiled_nms_tile()
+    if tile and scores.shape[0] > tile:
+        return nms_tiled(shifted, scores, iou_threshold, offset=offset,
+                         tile=tile)
     return nms(shifted, scores, iou_threshold, offset=offset)
 
 

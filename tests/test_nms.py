@@ -266,3 +266,93 @@ class TestMulticlassNmsBatchedLadder:
             bx, sc, 0.05, 0.6, 100, small_budget=128))(boxes, scores)
         assert out[0].shape == (2, 100, 4)
         assert bool(out[3].any())
+
+
+class TestNmsTiled:
+    """nms_tiled must be bit-identical to the fixpoint nms: same greedy
+    solution, finalized a score-sorted tile at a time."""
+
+    def _clustered(self, seed, n, n_clusters=8, size=400.0):
+        # clustered boxes build deep suppression chains across tile
+        # boundaries — the regime where tiling could get greedy order
+        # wrong if cross-tile propagation were off by one
+        rs = np.random.RandomState(seed)
+        centers = rs.uniform(40, size - 40, (n_clusters, 2))
+        xy = centers[rs.randint(0, n_clusters, n)] + rs.uniform(-25, 25, (n, 2))
+        wh = rs.uniform(10, 80, (n, 2))
+        scores = rs.uniform(0.01, 1.0, (n, 1))
+        return np.concatenate([xy, xy + wh, scores], 1).astype(np.float32)
+
+    @pytest.mark.parametrize("seed,n,tile", [
+        (0, 300, 64),    # many tiles, k not a multiple of tile
+        (1, 256, 64),    # exact multiple
+        (2, 50, 64),     # single (padded) tile
+        (3, 513, 128),   # one-past boundary
+    ])
+    def test_matches_fixpoint(self, seed, n, tile):
+        dets = self._clustered(seed, n)
+        boxes, scores = jnp.asarray(dets[:, :4]), jnp.asarray(dets[:, 4])
+        for thresh in (0.3, 0.6):
+            want, _ = N.nms(boxes, scores, thresh)
+            got, order = N.nms_tiled(boxes, scores, thresh, tile=tile)
+            np.testing.assert_array_equal(np.asarray(want), np.asarray(got))
+            np.testing.assert_array_equal(
+                np.asarray(order), np.asarray(jnp.argsort(-scores)))
+
+    def test_legacy_offset_and_oracle(self):
+        dets = self._clustered(7, 200)
+        keep, _ = N.nms_tiled(jnp.asarray(dets[:, :4]),
+                              jnp.asarray(dets[:, 4]), 0.6, offset=1.0,
+                              tile=64)
+        got = sorted(np.flatnonzero(np.asarray(keep)).tolist())
+        assert got == py_greedy_nms(dets, 0.6, offset=1.0)
+
+    def test_padding_never_kept(self):
+        dets = self._clustered(3, 40)
+        boxes = np.concatenate([dets[:, :4], np.zeros((30, 4), np.float32)])
+        scores = np.concatenate([dets[:, 4],
+                                 np.full((30,), N.NEG_INF, np.float32)])
+        keep, _ = N.nms_tiled(jnp.asarray(boxes), jnp.asarray(scores), 0.5,
+                              tile=32)
+        assert not np.any(np.asarray(keep)[40:])
+        want, _ = N.nms(jnp.asarray(boxes), jnp.asarray(scores), 0.5)
+        np.testing.assert_array_equal(np.asarray(want), np.asarray(keep))
+
+    def test_deep_chain_across_tiles(self):
+        # an overlapping ladder: every box overlaps the next, greedy
+        # keeps every other one — chain depth == K, spanning many tiles
+        n = 96
+        x = np.arange(n, dtype=np.float32) * 4.0
+        boxes = np.stack([x, np.zeros(n, np.float32),
+                          x + 10.0, np.full(n, 10.0, np.float32)], 1)
+        scores = np.linspace(1.0, 0.5, n).astype(np.float32)
+        want, _ = N.nms(jnp.asarray(boxes), jnp.asarray(scores), 0.3)
+        got, _ = N.nms_tiled(jnp.asarray(boxes), jnp.asarray(scores), 0.3,
+                             tile=16)
+        np.testing.assert_array_equal(np.asarray(want), np.asarray(got))
+        assert np.asarray(got)[::2].all() and not np.asarray(got)[1::2].any()
+
+    def test_vmap_jit(self):
+        dets = np.stack([self._clustered(s, 128) for s in range(4)])
+        boxes, scores = jnp.asarray(dets[..., :4]), jnp.asarray(dets[..., 4])
+        f = jax.jit(jax.vmap(
+            lambda b, s: N.nms_tiled(b, s, 0.5, tile=32)[0]))
+        got = np.asarray(f(boxes, scores))
+        for i in range(4):
+            want, _ = N.nms(boxes[i], scores[i], 0.5)
+            np.testing.assert_array_equal(np.asarray(want), got[i])
+
+    def test_batched_nms_env_knob(self, monkeypatch):
+        dets = self._clustered(9, 300)
+        boxes, scores = jnp.asarray(dets[:, :4]), jnp.asarray(dets[:, 4])
+        cls = jnp.asarray(np.random.RandomState(9).randint(0, 5, 300))
+        base, _ = N.batched_nms(boxes, scores, cls, 0.6)
+        monkeypatch.setenv("GLSDET_TILED_NMS", "1")
+        assert N.tiled_nms_tile() == 256
+        tiled, _ = N.batched_nms(boxes, scores, cls, 0.6)
+        np.testing.assert_array_equal(np.asarray(base), np.asarray(tiled))
+        monkeypatch.setenv("GLSDET_TILED_NMS", "64")
+        tiled64, _ = N.batched_nms(boxes, scores, cls, 0.6)
+        np.testing.assert_array_equal(np.asarray(base), np.asarray(tiled64))
+        monkeypatch.setenv("GLSDET_TILED_NMS", "bogus")
+        assert N.tiled_nms_tile() == 0
