@@ -63,7 +63,9 @@ def nms(boxes: jnp.ndarray, scores: jnp.ndarray, iou_threshold: float,
     """
     k = scores.shape[0]
     order = jnp.argsort(-scores)
-    sorted_boxes = boxes[order]
+    # f32 IoU regardless of input dtype — keeps this path bit-identical
+    # to ``nms_tiled`` (which upcasts for its tile math) for bf16 boxes
+    sorted_boxes = boxes[order].astype(jnp.float32)
     valid = scores[order] > NEG_INF / 2
 
     iou_mat = pairwise_iou(sorted_boxes, sorted_boxes, offset=offset)
@@ -165,15 +167,29 @@ def tiled_nms_tile() -> int:
     any other positive integer is used as the tile directly.  Exactness
     is pinned by tests/test_nms.py; whether it beats the fixpoint
     depends on K and the suppression-chain depth, so it stays opt-in
-    until measured ahead on the serving shapes."""
+    until measured ahead on the serving shapes.
+
+    Trace-time knob (same convention as GLSDET_PALLAS_NMS): it is read
+    when ``batched_nms`` TRACES, so it must be set before the first
+    jit/compile — and before the persistent compile cache is populated;
+    flipping it mid-process has no effect on already-compiled programs.
+    Negative or unparsable values warn and disable rather than error.
+    """
     import os
+    import warnings
 
     v = os.environ.get("GLSDET_TILED_NMS", "0").strip()
     try:
         t = int(v or "0")
     except ValueError:
+        warnings.warn(f"GLSDET_TILED_NMS={v!r} is not an integer; "
+                      "tiled NMS disabled")
         return 0
-    return 256 if t == 1 else max(t, 0)
+    if t < 0:
+        warnings.warn(f"GLSDET_TILED_NMS={t} is negative; tiled NMS "
+                      "disabled")
+        return 0
+    return 256 if t == 1 else t
 
 
 def batched_nms(boxes: jnp.ndarray, scores: jnp.ndarray,
@@ -319,12 +335,20 @@ def multiclass_nms_batched(boxes: jnp.ndarray, scores: jnp.ndarray,
     stays a real branch under jit (a vmapped per-image cond would lower
     to lax.select and execute BOTH branches).
 
+    GLSDET_NMS_LADDER=0 disables the ladder (always the full-budget
+    path, no cond) — a trace-time knob like GLSDET_TILED_NMS: set it
+    before the first compile / compile-cache population.
+
     Args/returns: as ``multiclass_nms`` with a leading batch dim.
     """
+    import os
+    if os.environ.get("GLSDET_NMS_LADDER", "1").strip() == "0":
+        small_budget = 0
     b, n, c = scores.shape
     budget = min(n * c, 4 * max_per_img if max_per_img > 0 else n * c)
     # the small tier must still hold max_per_img outputs
-    small = min(max(small_budget, max_per_img), budget)
+    small = (0 if small_budget <= 0
+             else min(max(small_budget, max_per_img), budget))
 
     def prep(bx, sc):
         scores2d = jnp.where(sc > score_thr, sc, NEG_INF)
@@ -354,7 +378,7 @@ def multiclass_nms_batched(boxes: jnp.ndarray, scores: jnp.ndarray,
             return tail(keep, sc[:k], bx[:k], lb[:k])
         return jax.vmap(one)(top_boxes, top_scores, top_labels)
 
-    if small >= budget:
+    if small <= 0 or small >= budget:
         return run(budget)
     n_real = jnp.sum(top_scores > NEG_INF / 2, axis=1).max()
     return jax.lax.cond(n_real <= small,
