@@ -184,7 +184,9 @@ def _unmap_and_nms(det_boxes, det_scores, det_labels, det_valid, regions,
         det_boxes, det_valid, regions)
     scores = jnp.where(valid, det_scores, NEG_INF)
     labels = det_labels
-    keep, _ = batched_nms(boxes, scores, labels, iou_thr)
+    # offset=1.0: the driver's chip NMS is py_cpu_nms with the legacy
+    # +1 pixel-area convention (ufpmp_det_eval.py:149-178, used at :306)
+    keep, _ = batched_nms(boxes, scores, labels, iou_thr, offset=1.0)
     kept = jnp.where(keep, scores, NEG_INF)
     out_scores, idx = jax.lax.top_k(kept, max_out)
     out_valid = out_scores > NEG_INF / 2

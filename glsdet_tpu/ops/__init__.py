@@ -9,6 +9,7 @@ from glsdet_tpu.ops.boxes import (
     iof,
     iou,
     pairwise_iof,
+    pairwise_iof_min,
     pairwise_iou,
 )
 # NB: the bare `nms`/`sinkhorn` functions are NOT re-exported here because
@@ -29,6 +30,7 @@ __all__ = [
     "iof",
     "iou",
     "pairwise_iof",
+    "pairwise_iof_min",
     "pairwise_iou",
     "batched_nms",
     "soft_nms",

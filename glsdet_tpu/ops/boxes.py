@@ -79,12 +79,33 @@ def pairwise_iof(boxes1: jnp.ndarray, boxes2: jnp.ndarray,
                  offset: float = 0.0) -> jnp.ndarray:
     """Intersection-over-foreground matrix: inter / area(boxes1).
 
-    Matches ``compute_iof`` in the reference eval driver
-    (ufpmp_det_eval.py:36): the normalizer is the *first* box's area.
+    mmdet's ``bbox_overlaps(..., mode='iof')`` convention: the
+    normalizer is the *first* box's area.  NOTE the reference eval
+    driver's ``compute_iof`` (ufpmp_det_eval.py:36-50) instead divides
+    by ``min(area1, area2)`` — use :func:`pairwise_iof_min` where that
+    exact gate is required (chip unmapping, UFP GT re-projection).
     """
     inter = _pairwise_intersection(boxes1, boxes2, offset)
     area1 = bbox_area(boxes1, offset)
     return inter / jnp.maximum(area1[..., :, None], EPS)
+
+
+def pairwise_iof_min(boxes1: jnp.ndarray, boxes2: jnp.ndarray,
+                     offset: float = 0.0) -> jnp.ndarray:
+    """Intersection over the SMALLER box: inter / min(area1, area2).
+
+    Bit-faithful to ``compute_iof`` in the reference eval driver
+    (ufpmp_det_eval.py:36-50) and the dataset builder
+    (UFP_VisDrone2COCO.py:21-35): both normalize by the smaller of the
+    two areas, which differs from the mmdet 'iof' mode whenever the
+    first box is the larger one (e.g. a stage-2 detection covering an
+    entire small chip).
+    """
+    inter = _pairwise_intersection(boxes1, boxes2, offset)
+    area1 = bbox_area(boxes1, offset)
+    area2 = bbox_area(boxes2, offset)
+    denom = jnp.minimum(area1[..., :, None], area2[..., None, :])
+    return inter / jnp.maximum(denom, EPS)
 
 
 def iou(boxes1: jnp.ndarray, boxes2: jnp.ndarray,

@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from glsdet_tpu.ops.boxes import pairwise_iof
+from glsdet_tpu.ops.boxes import pairwise_iof_min
 
 
 def regions_to_array(regions, max_regions: int) -> np.ndarray:
@@ -449,7 +449,8 @@ def unmap_chip_detections(det_boxes: jnp.ndarray, det_valid: jnp.ndarray,
     """Map mosaic-space detections back to original-image coordinates.
 
     A detection transfers through a chip when IoF(det, chip) > threshold
-    (normalized by the detection's area, ufpmp_det_eval.py:290); it is
+    (normalized by min(det area, chip area) — exactly the driver's
+    ``compute_iof``, ufpmp_det_eval.py:36-50, applied at :290); it is
     then un-scaled by the chip's factor and translated to the source crop
     origin.  A detection matching several chips is duplicated by each in
     the reference's nested loop — here every (det, chip) pair above the
@@ -465,7 +466,7 @@ def unmap_chip_detections(det_boxes: jnp.ndarray, det_valid: jnp.ndarray,
     """
     chips = chip_boxes_from_regions(regions)           # (R, 4)
     live = regions[:, 6] > 0                           # (R,)
-    iof = pairwise_iof(det_boxes, chips)               # (N, R)
+    iof = pairwise_iof_min(det_boxes, chips)               # (N, R)
     take = (iof > iof_threshold) & det_valid[:, None] & live[None, :]
 
     f = jnp.maximum(regions[:, 6], 1.0)                # (R,)
@@ -486,9 +487,13 @@ def unmap_chip_detections_argmax(det_boxes: jnp.ndarray,
     """Single-chip unmap: each detection transfers through its best-IoF
     chip only.
 
-    Chips are disjoint rectangles in mosaic space, so IoF > 0.9 can hold
-    for at most one chip — the reference's duplicate-per-matching-chip
-    loop (ufpmp_det_eval.py:282-296) emits at most one copy in practice.
+    Chips are disjoint rectangles in mosaic space, so for a detection
+    no larger than the chips it touches, min-IoF > 0.9 can hold for at
+    most one chip — the reference's duplicate-per-matching-chip loop
+    (ufpmp_det_eval.py:282-296) emits at most one copy in practice.
+    (A degenerate detection that fully covers several *smaller* chips
+    min-gates through each in the reference and is duplicated; here it
+    transfers through its best chip only.)
     Collapsing the (N, R) expansion to an argmax keeps the downstream NMS
     at N candidates instead of N*R (the N*R form made a 16k-candidate
     NMS out of 500 detections — a 1GB IoU matrix).
@@ -497,7 +502,7 @@ def unmap_chip_detections_argmax(det_boxes: jnp.ndarray,
     """
     chips = chip_boxes_from_regions(regions)           # (R, 4)
     live = regions[:, 6] > 0
-    iof = pairwise_iof(det_boxes, chips)               # (N, R)
+    iof = pairwise_iof_min(det_boxes, chips)               # (N, R)
     iof = jnp.where(live[None, :], iof, -1.0)
     best = jnp.argmax(iof, axis=1)                     # (N,)
     best_iof = jnp.max(iof, axis=1)

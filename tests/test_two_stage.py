@@ -359,19 +359,19 @@ class TestBucketFitPackMode:
             if len(d["boxes"]):
                 # unmapped boxes land in original image coordinates.
                 # The reference never clips (ufpmp_det_eval.py:282-296),
-                # and its IoF>0.9 chip gate admits boxes hanging up to
-                # ~10% outside a chip — so assert the CENTERS are
-                # in-bounds and the corners only modestly outside.
-                cx = (d["boxes"][:, 0] + d["boxes"][:, 2]) / 2
-                cy = (d["boxes"][:, 1] + d["boxes"][:, 3]) / 2
-                assert float(cx.min()) >= 0 and float(cy.min()) >= 0
-                assert float(cx.max()) <= img.shape[1]
-                assert float(cy.max()) <= img.shape[0]
+                # and its min-area IoF>0.9 chip gate (compute_iof :36-50)
+                # admits boxes much larger than their chip — the only
+                # guarantee is that >90% of min(det, chip) overlapped the
+                # chip, so every unmapped box intersects its source crop
+                # and therefore the image.
+                ix = (np.minimum(d["boxes"][:, 2], img.shape[1])
+                      - np.maximum(d["boxes"][:, 0], 0))
+                iy = (np.minimum(d["boxes"][:, 3], img.shape[0])
+                      - np.maximum(d["boxes"][:, 1], 0))
+                assert float(ix.min()) > 0 and float(iy.min()) > 0
                 w = d["boxes"][:, 2] - d["boxes"][:, 0]
                 h = d["boxes"][:, 3] - d["boxes"][:, 1]
-                assert float((d["boxes"][:, 0] + 0.5 * w).min()) >= 0
-                assert float(d["boxes"].min()) >= -0.5 * float(
-                    np.maximum(w, h).max())
+                assert float(w.min()) > 0 and float(h.min()) > 0
 
     def test_same_detection_multiset_as_square(self, tiny_models):
         # packing layout must not change WHAT is detected, only where

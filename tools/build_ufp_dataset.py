@@ -137,7 +137,10 @@ def main():
                 ix2 = min(gx2, r.x1 + r.w)
                 iy2 = min(gy2, r.y1 + r.h)
                 inter = max(ix2 - ix1, 0) * max(iy2 - iy1, 0)
-                if inter / g_area <= args.iof_thr:
+                # min-area IoF, exactly the reference builder's
+                # compute_iof gate (UFP_VisDrone2COCO.py:21-35, :187)
+                denom = max(min(g_area, r.w * r.h), 1e-9)
+                if inter / denom <= args.iof_thr:
                     continue
                 s = r.scale_factor
                 nb = [r.new_x + (gx1 - r.x1) * s, r.new_y + (gy1 - r.y1) * s,
