@@ -262,4 +262,14 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    import sys as _sys
+
+    if "--train" in _sys.argv:
+        # training-throughput mode (img/s/chip + MFU/roofline for the
+        # jitted train steps) — see scripts/bench_train.py
+        _sys.path.insert(0, "scripts")
+        import bench_train
+
+        bench_train.main([a for a in _sys.argv[1:] if a != "--train"])
+    else:
+        main()

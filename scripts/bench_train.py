@@ -1,0 +1,210 @@
+"""Training-throughput benchmark with roofline/MFU accounting.
+
+The reference's dominant compute is the train hot loop
+(yolox-ufp/mmdet/apis/train.py:203 ``runner.run``); this gives the TPU
+rebuild's train step the same perf discipline the inference bench has:
+measured img/s/chip next to an XLA ``cost_analysis`` roofline and MFU,
+so donation/remat regressions are visible as numbers.
+
+Prints ONE json line per benched step (default: the flagship MP-Det
+recipe, b8@1024 bf16, remat+donation on — the production loop's exact
+jit configuration, train/loop.py:421-427).  ``--model yolox`` benches
+the coarse-stage trainer (b8@640).  Also callable via
+``python bench.py --train``.
+
+Tunnel discipline (CLAUDE.md): steps chain through the donated state,
+and completion is forced by a scalar ``float()`` readback of the last
+step's loss — never by ``block_until_ready`` alone.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+
+def _mk_batch(rs, b, hw, max_gt=20):
+    import jax.numpy as jnp
+    import numpy as np
+
+    h, w = hw
+    # uint8 frames: the production loop normalizes on device
+    # (train/steps.py _prep_images, normalize=True)
+    images = rs.randint(0, 255, (b, h, w, 3)).astype(np.uint8)
+    n = rs.randint(5, max_gt, b)
+    boxes = np.zeros((b, max_gt, 4), np.float32)
+    labels = rs.randint(0, 10, (b, max_gt)).astype(np.int32)
+    valid = np.zeros((b, max_gt), bool)
+    for i in range(b):
+        x1 = rs.uniform(0, w - 80, max_gt)
+        y1 = rs.uniform(0, h - 80, max_gt)
+        bw = rs.uniform(8, 64, max_gt)
+        bh = rs.uniform(8, 64, max_gt)
+        boxes[i] = np.stack([x1, y1, x1 + bw, y1 + bh], 1)
+        valid[i, :n[i]] = True
+    return {"images": jnp.asarray(images), "gt_boxes": jnp.asarray(boxes),
+            "gt_labels": jnp.asarray(labels), "gt_valid": jnp.asarray(valid)}
+
+
+def bench_train(model_name: str = "mpdet", batch: int = 8,
+                size: int | None = None, steps: int = 20,
+                remat: bool = True, donate: bool = True,
+                peak_gbps: float = 819.0, peak_tflops: float = 197.0,
+                log=print) -> dict:
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from glsdet_tpu.train import TrainState, yolox_sgd, yolox_warm_cos
+
+    rng = jax.random.PRNGKey(0)
+    rs = np.random.RandomState(0)
+    dtype = jnp.bfloat16
+    tx = yolox_sgd(yolox_warm_cos(0.01, 100, 1000, 100))
+
+    if model_name == "mpdet":
+        from glsdet_tpu.models import MPDet
+        from glsdet_tpu.train import init_boiw, make_mpdet_train_step
+
+        hw = (size or 1024,) * 2
+        proxies = [2, 3, 2, 5, 4, 8, 8, 4, 3, 3]   # mp_head.py:83 table
+        model = MPDet(num_classes=10, depth=50, dtype=dtype, remat=remat,
+                      proxies_list=proxies)
+        init_x = jnp.zeros((1, 256, 256, 3), jnp.float32)
+        variables = jax.jit(
+            lambda r, x: model.init(r, x, train=False))(rng, init_x)
+        boiw = init_boiw(rng, num_classes=10, num_words=100,
+                         feat_channels=256, proxies_list=proxies)
+        state = TrainState.create(variables, tx, rng, boiw=boiw)
+        step_fn = make_mpdet_train_step(model, tx, hw, 10, proxies,
+                                        normalize=True)
+    elif model_name == "yolox":
+        from glsdet_tpu.models import YOLOXDetector
+        from glsdet_tpu.train import make_yolox_train_step
+
+        hw = (size or 640,) * 2
+        model = YOLOXDetector(num_classes=10, phi="s", dtype=dtype)
+        init_x = jnp.zeros((1, 256, 256, 3), jnp.float32)
+        variables = jax.jit(
+            lambda r, x: model.init(r, x, train=False))(rng, init_x)
+        state = TrainState.create(variables, tx, rng)
+        step_fn = make_yolox_train_step(model, tx, hw, normalize=True)
+    else:
+        raise ValueError(model_name)
+
+    jax.block_until_ready(state.params)
+    log(f"{model_name} init done (b{batch}@{hw[0]}, remat={remat}, "
+        f"donate={donate})")
+
+    jit_kw = {"donate_argnums": (0,)} if donate else {}
+    step = jax.jit(step_fn, **jit_kw)
+    batch_d = _mk_batch(rs, batch, hw)
+
+    # cost_analysis BEFORE running (donation invalidates `state` after
+    # the first call)
+    flops = bytes_ = None
+    try:
+        ca = step.lower(state, batch_d).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        flops = float(ca.get("flops", 0.0))
+        bytes_ = float(ca.get("bytes accessed", 0.0))
+    except Exception as e:  # backend-dependent
+        log(f"cost_analysis unavailable: {type(e).__name__}: {e}")
+
+    t0 = time.time()
+    state, metrics = step(state, batch_d)
+    first_loss = float(metrics["loss"])
+    compile_s = time.time() - t0
+    log(f"first step (compile) {compile_s:.0f}s, loss={first_loss:.3f}")
+    assert np.isfinite(first_loss), "non-finite loss"
+
+    # warm once more, then time a chained run; the final scalar
+    # readback forces the whole chain on the tunnel backend
+    state, metrics = step(state, batch_d)
+    float(metrics["loss"])
+    t0 = time.time()
+    for _ in range(steps):
+        state, metrics = step(state, batch_d)
+    last = float(metrics["loss"])
+    dt = time.time() - t0
+    ips = steps * batch / dt
+    assert np.isfinite(last), "non-finite loss after timed steps"
+    log(f"{steps} steps in {dt:.2f}s -> {ips:.2f} img/s "
+        f"({1000 * dt / steps:.0f} ms/step)")
+
+    detail = {
+        "model": model_name, "batch": batch, "hw": list(hw),
+        "dtype": "bfloat16", "remat": remat, "donate": donate,
+        "compile_s": round(compile_s, 1),
+        "platform": jax.devices()[0].platform,
+        "ms_per_step": round(1000 * dt / steps, 1),
+    }
+    if flops:
+        peak_bw = peak_gbps * 1e9
+        peak_fl = peak_tflops * 1e12
+        t_roof = max(bytes_ / peak_bw, flops / peak_fl)
+        roof_ips = batch / t_roof
+        mfu = (flops / (dt / steps)) / peak_fl
+        detail["roofline"] = {
+            "per_step": {"flops": flops, "bytes": bytes_},
+            "assumed_hbm_GBps": peak_gbps,
+            "assumed_peak_TFLOPs": peak_tflops,
+            "roofline_images_per_sec": round(roof_ips, 1),
+            "fraction_of_roofline": round(ips / roof_ips, 3),
+            "mfu": round(mfu, 3),
+            "bound": ("hbm" if bytes_ / peak_bw > flops / peak_fl
+                      else "mxu"),
+        }
+        log(f"roofline {roof_ips:.0f} img/s ideal -> {ips:.1f} = "
+            f"{ips / roof_ips:.1%}; MFU {mfu:.1%} "
+            f"({detail['roofline']['bound']}-bound)")
+    return {
+        "metric": f"{model_name}_train_images_per_sec_per_chip",
+        "value": round(ips, 3),
+        "unit": "images/sec/chip",
+        # generous reference-GPU estimate: mmdet GFL-R50 1x trains at
+        # ~15-19 img/s on a V100 (mmdet model-zoo train-time tables);
+        # the reference repo publishes no training speed of its own
+        "vs_baseline": round(ips / 15.0, 3),
+        "detail": detail,
+    }
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model", default="mpdet",
+                    choices=["mpdet", "yolox", "both"])
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--size", type=int, default=None)
+    ap.add_argument("--steps", type=int, default=20)
+    ap.add_argument("--no-remat", action="store_true")
+    ap.add_argument("--no-donate", action="store_true")
+    args = ap.parse_args(argv)
+
+    import jax
+
+    cache_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".jax_cache")
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    def log(msg):
+        print(f"# {time.strftime('%H:%M:%S')} {msg}", file=sys.stderr,
+              flush=True)
+
+    names = ["mpdet", "yolox"] if args.model == "both" else [args.model]
+    for name in names:
+        out = bench_train(name, batch=args.batch, size=args.size,
+                          steps=args.steps, remat=not args.no_remat,
+                          donate=not args.no_donate, log=log)
+        print(json.dumps(out), flush=True)
+
+
+if __name__ == "__main__":
+    main()
