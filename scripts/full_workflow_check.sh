@@ -136,4 +136,7 @@ bash scripts/visdrone_e2e.sh --synthetic "$WD/visdrone_e2e" 2>&1 | tail -4
 echo "=== stage 7: multi-host smoke (8-process gloo DCN analog) ==="
 python scripts/multihost_smoke.py --num-processes 8 2>&1 | tail -3
 
+echo "=== stage 8: perf ledger consistent with driver artifacts ==="
+python scripts/perf_ledger.py --check > /dev/null
+
 echo "WORKFLOW CHECK COMPLETE"
