@@ -29,8 +29,13 @@ AREA_RNGS = {
 }
 
 
-def _iou_xywh(dets: np.ndarray, gts: np.ndarray) -> np.ndarray:
-    """IoU matrix between det and gt boxes in xywh."""
+def _iou_xywh(dets: np.ndarray, gts: np.ndarray,
+              crowd: Optional[np.ndarray] = None) -> np.ndarray:
+    """IoU matrix between det and gt boxes in xywh.
+
+    ``crowd``: optional (ng,) bool — crowd gt columns use IoF (inter /
+    det area), exactly maskUtils.iou's iscrowd semantics for bbox.
+    """
     if len(dets) == 0 or len(gts) == 0:
         return np.zeros((len(dets), len(gts)))
     dx1, dy1 = dets[:, 0], dets[:, 1]
@@ -44,8 +49,10 @@ def _iou_xywh(dets: np.ndarray, gts: np.ndarray) -> np.ndarray:
     iw = np.clip(ix2 - ix1, 0, None)
     ih = np.clip(iy2 - iy1, 0, None)
     inter = iw * ih
-    union = (dets[:, 2] * dets[:, 3])[:, None] + \
-        (gts[:, 2] * gts[:, 3])[None, :] - inter
+    d_area = (dets[:, 2] * dets[:, 3])[:, None]
+    union = d_area + (gts[:, 2] * gts[:, 3])[None, :] - inter
+    if crowd is not None and crowd.any():
+        union = np.where(np.asarray(crowd, bool)[None, :], d_area, union)
     return inter / np.maximum(union, 1e-12)
 
 
@@ -69,7 +76,10 @@ class CocoEvalResult:
 class CocoEvaluator:
     """COCO bbox evaluation over in-memory GT/detection dicts.
 
-    GT format: {image_id: (boxes_xywh (n,4), labels (n,))}
+    GT format: {image_id: (boxes_xywh (n,4), labels (n,))} or
+    (boxes, labels, iscrowd (n,) bool) — crowd GTs follow pycocotools
+    semantics: always-ignore, matched by IoF instead of IoU, and able to
+    absorb unlimited detections (cocoeval.py evaluateImg crowd branch).
     Det format: {image_id: (boxes_xywh (m,4), scores (m,), labels (m,))}
     Labels are contiguous category indices [0, K).
     """
@@ -104,7 +114,10 @@ class CocoEvaluator:
         for k in range(K):
             per_img = []
             for img_id in img_ids:
-                g_boxes, g_labels = gts[img_id]
+                g = gts[img_id]
+                g_crowd = (np.asarray(g[2], bool) if len(g) > 2
+                           else np.zeros(len(g[0]), bool))
+                g_boxes, g_labels = g[0], g[1]
                 d = dets.get(img_id)
                 if d is None:
                     d_boxes = np.zeros((0, 4))
@@ -112,14 +125,14 @@ class CocoEvaluator:
                     d_labels = np.zeros((0,), np.int64)
                 else:
                     d_boxes, d_scores, d_labels = d
-                gm = g_labels == k
+                gm = np.asarray(g_labels) == k
                 dm = d_labels == k
-                gb = g_boxes[gm]
+                gb, gc = g_boxes[gm], g_crowd[gm]
                 db, ds = d_boxes[dm], d_scores[dm]
                 order = np.argsort(-ds, kind="mergesort")[:max_det_cap]
                 db, ds = db[order], ds[order]
-                ious = _iou_xywh(db, gb)
-                per_img.append((gb, db, ds, ious))
+                ious = _iou_xywh(db, gb, gc)
+                per_img.append((gb, gc, db, ds, ious))
 
             for a, ak in enumerate(area_keys):
                 lo, hi = self.area_rngs[ak]
@@ -127,13 +140,13 @@ class CocoEvaluator:
                     # build global det list with match flags per iou thr
                     all_scores, all_matched, all_ignored = [], [], []
                     npig = 0
-                    for gb, db, ds, ious in per_img:
+                    for gb, gc, db, ds, ious in per_img:
                         g_area = gb[:, 2] * gb[:, 3]
                         # coco protocol: in-range is lo <= area <= hi
                         # (inclusive upper — cocoeval.py:251 uses  > hi),
                         # so an exactly-32^2 gt counts in BOTH small
-                        # and medium ranges
-                        g_ignore = (g_area < lo) | (g_area > hi)
+                        # and medium ranges; crowd gts always ignore
+                        g_ignore = (g_area < lo) | (g_area > hi) | gc
                         npig += int((~g_ignore).sum())
                         db_m, ds_m = db[:md], ds[:md]
                         iou_m = ious[:md]
@@ -144,13 +157,17 @@ class CocoEvaluator:
                             # sort gts: real first, ignored last (coco rule)
                             g_order = np.argsort(g_ignore, kind="mergesort")
                             g_ign_sorted = g_ignore[g_order]
+                            g_crowd_sorted = gc[g_order]
                             iou_sorted = iou_m[:, g_order]
                             for t, thr in enumerate(self.iou_thrs):
                                 g_used = np.zeros(ng, dtype=bool)
                                 for di in range(nd):
                                     best, best_iou = -1, min(thr, 1 - 1e-10)
                                     for gi in range(ng):
-                                        if g_used[gi]:
+                                        # crowd gts absorb unlimited
+                                        # matches (cocoeval crowd branch)
+                                        if g_used[gi] and not \
+                                                g_crowd_sorted[gi]:
                                             continue
                                         # can't leave a real gt for ignored
                                         if best > -1 and not \

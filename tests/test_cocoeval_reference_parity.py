@@ -12,12 +12,11 @@ as-is in this image.  We sweep randomized det/gt populations with
 self-contained ``CocoEvaluator`` to reproduce the full precision/recall
 tensors and all 12 summary stats.
 
-Scope note: our evaluator's input format carries no ``iscrowd`` flag
-(the VisDrone/UAVDT converters emit none — VisDrone2COCO.py drops the
-ignore class entirely), so crowd-matching semantics are intentionally
-out of scope here; everything else is exercised, including exact
-area-boundary GTs (32^2 px^2 sits in BOTH the small and medium ranges)
-and heavy score ties.
+Crowd semantics ARE in scope: GT tuples may carry an ``iscrowd``
+flag (always-ignore GTs matched by IoF that absorb unlimited
+detections) and the sweep below includes crowd populations.  Also
+exercised: exact area-boundary GTs (32^2 px^2 sits in BOTH the small
+and medium ranges) and heavy score ties.
 """
 
 from __future__ import annotations
@@ -124,13 +123,14 @@ def _run_reference(ref_mod, img_ids, num_classes, gts, dets,
     cat_ids = list(range(1, num_classes + 1))
     gt_anns, next_id = [], 1
     for img in img_ids:
-        boxes, labels = gts[img]
-        for b, l in zip(boxes, labels):
+        g = gts[img]
+        crowd = g[2] if len(g) > 2 else np.zeros(len(g[0]), bool)
+        for b, l, c in zip(g[0], g[1], crowd):
             gt_anns.append({
                 "id": next_id, "image_id": img,
                 "category_id": int(l) + 1,
                 "bbox": [float(v) for v in b],
-                "area": float(b[2] * b[3]), "iscrowd": 0})
+                "area": float(b[2] * b[3]), "iscrowd": int(c)})
             next_id += 1
     dt_anns = []
     for img in img_ids:
@@ -158,7 +158,8 @@ def _run_reference(ref_mod, img_ids, num_classes, gts, dets,
 
 
 def _random_population(rng, n_imgs=4, num_classes=5, wh=(400, 300),
-                       tie_quantize=None, boundary_gt=False):
+                       tie_quantize=None, boundary_gt=False,
+                       crowd_frac=0.0):
     img_ids = list(range(1, n_imgs + 1))
     gts, dets = {}, {}
     for img in img_ids:
@@ -172,7 +173,15 @@ def _random_population(rng, n_imgs=4, num_classes=5, wh=(400, 300),
         if boundary_gt and ng:
             # exactly 32x32 = 1024 px^2: in BOTH small and medium ranges
             gb[0, 2:] = 32.0
-        gts[img] = (gb, gl.astype(np.int64))
+        if crowd_frac:
+            crowd = rng.rand(ng) < crowd_frac
+            if crowd.any():
+                # crowd regions are typically large: inflate them so the
+                # IoF-vs-IoU distinction actually bites
+                gb[crowd, 2:] *= 3.0
+            gts[img] = (gb, gl.astype(np.int64), crowd)
+        else:
+            gts[img] = (gb, gl.astype(np.int64))
 
         nd = rng.randint(0, 30)
         # half perturbed copies of gts (real matches), half noise
@@ -261,6 +270,29 @@ class TestCocoEvalParity:
                                                 num_classes=4)
         _assert_parity(ref_cocoeval, img_ids, 4, gts, dets,
                        area_rng=DRONE_AREA_RNG)
+
+    @pytest.mark.parametrize("seed", range(6))
+    def test_crowd_gts(self, ref_cocoeval, seed):
+        # iscrowd GTs: always-ignore, IoF matching, unlimited matches —
+        # the pycocotools crowd branch (cocoeval.py:106-109, :188-189
+        # in the vendored copy) swept with ~1/3 crowd populations
+        rng = np.random.RandomState(300 + seed)
+        img_ids, gts, dets = _random_population(
+            rng, n_imgs=3 + seed % 2, num_classes=3 + seed % 3,
+            crowd_frac=0.35)
+        assert any(len(g) > 2 and np.asarray(g[2]).any()
+                   for g in gts.values()), "population drew no crowds"
+        _assert_parity(ref_cocoeval, img_ids, 3 + seed % 3, gts, dets)
+
+    def test_crowd_absorbs_multiple_dets(self, ref_cocoeval):
+        # two dets fully inside one big crowd gt: both must match it
+        # (and be ignored), not produce one TP+one FP
+        gts = {1: (np.array([[0., 0., 200., 200.], [300., 0., 20., 20.]]),
+                   np.array([0, 0]), np.array([True, False]))}
+        dets = {1: (np.array([[10., 10., 30., 30.], [50., 50., 40., 40.],
+                              [300., 0., 20., 20.]]),
+                    np.array([0.9, 0.8, 0.7]), np.array([0, 0, 0]))}
+        _assert_parity(ref_cocoeval, [1], 1, gts, dets)
 
     def test_image_with_no_detections(self, ref_cocoeval):
         rng = np.random.RandomState(11)
