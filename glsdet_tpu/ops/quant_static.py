@@ -547,6 +547,11 @@ def _int8_head_forward(m, feats, scales: Dict[str, float]):
     except KeyError:
         return None
 
+    from glsdet_tpu.ops.pallas_gn import (gn_eligible, gn_enabled,
+                                          gn_relu_quant)
+
+    use_pallas_gn = gn_enabled() and out_dtype == jnp.bfloat16
+
     def run_tower(x, t):
         ks, gns, s_in0, s_outs = towers[t]
         q = jnp.clip(jnp.round(x.astype(jnp.float32) / s_in0),
@@ -560,10 +565,19 @@ def _int8_head_forward(m, feats, scales: Dict[str, float]):
                 q, q_w, (1, 1), [(1, 1)] * 2,
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
                 preferred_element_type=jnp.int32)
-            y = y.astype(jnp.float32) * (s_cur * s_w)
-            y = _gn_relu(y, gn, gn_groups, out_dtype)
-            q = jnp.clip(jnp.round(y.astype(jnp.float32) / s_out),
-                         -127, 127).astype(jnp.int8)
+            if use_pallas_gn and gn_eligible(y.shape, gn_groups):
+                # fused GN+relu+requant: the dequant folds into the conv
+                # epilogue's bf16 store and the activation is read from
+                # HBM once instead of twice (pallas_gn.py)
+                yq = (y.astype(jnp.float32)
+                      * (s_cur * s_w)).astype(jnp.bfloat16)
+                q = gn_relu_quant(yq, gn["scale"], gn["bias"], s_out,
+                                  groups=gn_groups)
+            else:
+                y = y.astype(jnp.float32) * (s_cur * s_w)
+                y = _gn_relu(y, gn, gn_groups, out_dtype)
+                q = jnp.clip(jnp.round(y.astype(jnp.float32) / s_out),
+                             -127, 127).astype(jnp.int8)
             s_cur = s_out
         return (q.astype(jnp.float32) * s_cur).astype(out_dtype)
 

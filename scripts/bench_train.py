@@ -159,6 +159,14 @@ def bench_train(model_name: str = "mpdet", batch: int = 8,
             "bound": ("hbm" if bytes_ / peak_bw > flops / peak_fl
                       else "mxu"),
         }
+        if ips > roof_ips:
+            # XLA's "bytes accessed" counts every operand of every
+            # fused op at full size, which can overcount small models
+            # several-fold — when the measured rate beats the "ideal",
+            # the bytes model is wrong and MFU is the meaningful figure
+            detail["roofline"]["note"] = (
+                "cost-model bytes overcount (measured exceeds roofline);"
+                " read MFU, not fraction_of_roofline")
         log(f"roofline {roof_ips:.0f} img/s ideal -> {ips:.1f} = "
             f"{ips / roof_ips:.1%}; MFU {mfu:.1%} "
             f"({detail['roofline']['bound']}-bound)")
