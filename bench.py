@@ -244,6 +244,9 @@ def main():
         "vs_baseline": round(ips / 25.0, 3),
         "detail": {
             "int8": quant8,
+            "pallas_gn": __import__(
+                "glsdet_tpu.ops.pallas_gn", fromlist=["gn_enabled"]
+            ).gn_enabled(),
             "calibration_s": round(calibration_s, 1),
             "compile_s": round(compile_s, 1),
             "platform": jax.devices()[0].platform,
