@@ -69,10 +69,16 @@ def main():
         quant = "static"
         log(f"loaded int8 scales from {scales_path}")
 
+    # mirror bench.py's production pipeline config (bucket ladder,
+    # bucket-fit packing, scan groups) so this profiles the programs
+    # the headline number runs — and reuses their compile cache
     pipe = TwoStagePipeline(
         coarse_apply, mp_apply, coarse_hw, coarse_score_thr=1e-4,
+        mosaic_buckets=(1024, 1152), pack_mode="bucket-fit",
         coarse_vars=cvars, mp_vars=mvars, max_batch=args.batch,
-        quant8=quant, act_scales=scales)
+        quant8=quant, act_scales=scales,
+        scan_width=int(os.environ.get("GLSDET_SCAN_WIDTH") or "128")
+        or None)
 
     rs = np.random.RandomState(0)
     frames = [rs.randint(0, 255, (765, 1360, 3), np.uint8)
