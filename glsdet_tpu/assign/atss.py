@@ -23,6 +23,7 @@ import jax
 import jax.numpy as jnp
 
 from glsdet_tpu.ops.boxes import pairwise_iou
+from glsdet_tpu.ops.topk import topk_small_k
 
 INF = 1e8
 
@@ -67,7 +68,9 @@ def atss_assign(
     start = 0
     for n in num_level_anchors:
         k = min(topk, n)
-        _, idx = jax.lax.top_k(-dist[:, start:start + n], k)  # (G, k)
+        # bit-identical small-k top-k (ops/topk.py): k argmax
+        # passes beat the trailing-axis sort lax.top_k lowers to
+        _, idx = topk_small_k(-dist[:, start:start + n], k)  # (G, k)
         level_mask = jnp.zeros((num_gt, n), dtype=bool)
         level_mask = jax.vmap(
             lambda m, i: m.at[i].set(True))(level_mask, idx)

@@ -26,6 +26,7 @@ import jax.numpy as jnp
 
 from glsdet_tpu.losses import bce_with_logits
 from glsdet_tpu.ops.boxes import pairwise_iou
+from glsdet_tpu.ops.topk import topk_small_k
 
 INF = 100000.0
 EPS = 1e-8
@@ -108,14 +109,17 @@ def sim_ota_assign(
     )
 
     # --- dynamic-k ----------------------------------------------------------
+    # bit-identical lax.top_k replacement: k masked argmax passes run as
+    # full-lane VPU reductions instead of the ~1ms/row-set trailing-axis
+    # sort lax.top_k lowers to (ops/topk.py)
     cand_iou = jnp.where(is_cand[None, :], iou_mat, 0.0)
-    topk_ious, _ = jax.lax.top_k(cand_iou, min(candidate_topk,
-                                               cand_iou.shape[1]))
+    topk_ious, _ = topk_small_k(cand_iou, min(candidate_topk,
+                                              cand_iou.shape[1]))
     dynamic_k = jnp.clip(topk_ious.sum(axis=1).astype(jnp.int32), 1,
                          candidate_topk)  # (G,)
 
     # per-GT: rank the candidate_topk lowest-cost anchors; keep rank < k
-    neg_cost, idx = jax.lax.top_k(-cost, min(candidate_topk, cost.shape[1]))
+    neg_cost, idx = topk_small_k(-cost, min(candidate_topk, cost.shape[1]))
     ranks = jnp.arange(idx.shape[1])[None, :]  # (1, K)
     keep = (ranks < dynamic_k[:, None]) & (neg_cost > -INF / 2)  # (G, K)
     matching = jnp.zeros_like(cost, dtype=bool)

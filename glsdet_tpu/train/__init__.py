@@ -21,7 +21,9 @@ from glsdet_tpu.train.state import TrainState, apply_updates
 from glsdet_tpu.train.steps import (
     make_gfl_train_step,
     make_mpdet_train_step,
+    make_scan_train_step,
     make_yolox_train_step,
+    stack_batches,
 )
 from glsdet_tpu.train.yolox_loss import YOLOXLossOut, yolox_loss
 
@@ -49,7 +51,9 @@ __all__ = [
     "apply_updates",
     "make_gfl_train_step",
     "make_mpdet_train_step",
+    "make_scan_train_step",
     "make_yolox_train_step",
+    "stack_batches",
     "YOLOXLossOut",
     "yolox_loss",
 ]

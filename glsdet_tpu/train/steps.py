@@ -151,6 +151,47 @@ def make_mpdet_train_step(model, tx: optax.GradientTransformation,
     return step
 
 
+def make_scan_train_step(step_fn: Callable) -> Callable:
+    """Wrap a single train step into a K-micro-step scan group.
+
+    Returns ``scan_step(state, stacked_batch) -> (state, metrics)`` where
+    ``stacked_batch`` is the usual batch dict with an extra leading axis K
+    (``stack_batches``) and ``metrics`` carries the same keys stacked to
+    ``(K,)``. The K optimizer steps run inside ONE compiled program
+    (``lax.scan``), so a driver pays one dispatch per K steps instead of
+    per step. On a remote-tunnel backend whose per-dispatch floor is
+    ~15-30ms this is the difference between measuring the program and
+    measuring the RPC channel (CLAUDE.md); on directly-attached chips it
+    still removes per-step launch/donation bookkeeping.
+
+    Semantics: identical to K sequential calls of ``step_fn`` (pinned by
+    tests/test_train_state.py::test_scan_step_equivalence). Hook-cadence
+    caveat for loop integration: host-side hooks (OT update, logging,
+    invalid-loss check) can only run at group boundaries, so intervals
+    should be multiples of K (train/loop.py validates this).
+
+    The reference has no analog — its runner is strictly
+    one-iteration-per-dispatch (mmcv EpochBasedRunner,
+    yolox-ufp/mmdet/apis/train.py:203).
+    """
+
+    def scan_step(state: TrainState, stacked_batch):
+        def body(carry, batch):
+            new_state, metrics = step_fn(carry, batch)
+            return new_state, metrics
+
+        return jax.lax.scan(body, state, stacked_batch)
+
+    return scan_step
+
+
+def stack_batches(batches) -> dict:
+    """Stack K batch dicts into one scan-group input (leading K axis)."""
+    import numpy as np
+
+    return {k: np.stack([b[k] for b in batches]) for k in batches[0]}
+
+
 def make_gfl_train_step(model, tx: optax.GradientTransformation,
                         img_hw: Tuple[int, int], num_classes: int,
                         reg_max: int = 16,

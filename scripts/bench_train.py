@@ -52,6 +52,7 @@ def _mk_batch(rs, b, hw, max_gt=20):
 def bench_train(model_name: str = "mpdet", batch: int = 8,
                 size: int | None = None, steps: int = 20,
                 remat: bool = True, donate: bool = True,
+                scan_steps: int = 1,
                 peak_gbps: float = 819.0, peak_tflops: float = 197.0,
                 log=print) -> dict:
     import jax
@@ -100,8 +101,20 @@ def bench_train(model_name: str = "mpdet", batch: int = 8,
         f"donate={donate})")
 
     jit_kw = {"donate_argnums": (0,)} if donate else {}
+    if scan_steps > 1:
+        # K optimizer steps per dispatch (train/steps.py
+        # make_scan_train_step): isolates device time from the tunnel's
+        # per-dispatch RPC floor and is the production steps_per_call path
+        from glsdet_tpu.train import make_scan_train_step, stack_batches
+
+        step_fn = make_scan_train_step(step_fn)
+        batch_d = jax.tree.map(
+            jnp.asarray,
+            stack_batches([_mk_batch(rs, batch, hw)
+                           for _ in range(scan_steps)]))
+    else:
+        batch_d = _mk_batch(rs, batch, hw)
     step = jax.jit(step_fn, **jit_kw)
-    batch_d = _mk_batch(rs, batch, hw)
 
     # cost_analysis BEFORE running (donation invalidates `state` after
     # the first call)
@@ -110,14 +123,24 @@ def bench_train(model_name: str = "mpdet", batch: int = 8,
         ca = step.lower(state, batch_d).compile().cost_analysis()
         if isinstance(ca, (list, tuple)):
             ca = ca[0]
+        # already per optimizer step even when scan_steps>1: XLA's
+        # cost_analysis counts a scan body ONCE regardless of trip
+        # count (same behavior as the serving scan_width programs,
+        # eval/two_stage.py cost_analysis note) — verified here: the
+        # 8-step scan program reports bit-identical flops to the
+        # single-step program
         flops = float(ca.get("flops", 0.0))
         bytes_ = float(ca.get("bytes accessed", 0.0))
     except Exception as e:  # backend-dependent
         log(f"cost_analysis unavailable: {type(e).__name__}: {e}")
 
+    def last_loss(metrics):
+        loss = metrics["loss"]
+        return float(loss[-1] if getattr(loss, "ndim", 0) else loss)
+
     t0 = time.time()
     state, metrics = step(state, batch_d)
-    first_loss = float(metrics["loss"])
+    first_loss = last_loss(metrics)
     compile_s = time.time() - t0
     log(f"first step (compile) {compile_s:.0f}s, loss={first_loss:.3f}")
     assert np.isfinite(first_loss), "non-finite loss"
@@ -125,30 +148,32 @@ def bench_train(model_name: str = "mpdet", batch: int = 8,
     # warm once more, then time a chained run; the final scalar
     # readback forces the whole chain on the tunnel backend
     state, metrics = step(state, batch_d)
-    float(metrics["loss"])
+    last_loss(metrics)
     t0 = time.time()
     for _ in range(steps):
         state, metrics = step(state, batch_d)
-    last = float(metrics["loss"])
+    last = last_loss(metrics)
     dt = time.time() - t0
-    ips = steps * batch / dt
+    opt_steps = steps * scan_steps
+    ips = opt_steps * batch / dt
     assert np.isfinite(last), "non-finite loss after timed steps"
-    log(f"{steps} steps in {dt:.2f}s -> {ips:.2f} img/s "
-        f"({1000 * dt / steps:.0f} ms/step)")
+    log(f"{opt_steps} steps in {dt:.2f}s -> {ips:.2f} img/s "
+        f"({1000 * dt / opt_steps:.0f} ms/step)")
 
     detail = {
         "model": model_name, "batch": batch, "hw": list(hw),
         "dtype": "bfloat16", "remat": remat, "donate": donate,
         "compile_s": round(compile_s, 1),
         "platform": jax.devices()[0].platform,
-        "ms_per_step": round(1000 * dt / steps, 1),
+        "ms_per_step": round(1000 * dt / opt_steps, 1),
+        "scan_steps": scan_steps,
     }
     if flops:
         peak_bw = peak_gbps * 1e9
         peak_fl = peak_tflops * 1e12
         t_roof = max(bytes_ / peak_bw, flops / peak_fl)
         roof_ips = batch / t_roof
-        mfu = (flops / (dt / steps)) / peak_fl
+        mfu = (flops / (dt / opt_steps)) / peak_fl
         detail["roofline"] = {
             "per_step": {"flops": flops, "bytes": bytes_},
             "assumed_hbm_GBps": peak_gbps,
@@ -191,6 +216,8 @@ def main(argv=None):
     ap.add_argument("--steps", type=int, default=20)
     ap.add_argument("--no-remat", action="store_true")
     ap.add_argument("--no-donate", action="store_true")
+    ap.add_argument("--scan-steps", type=int, default=1,
+                    help="optimizer steps per dispatch (lax.scan group)")
     args = ap.parse_args(argv)
 
     import jax
@@ -207,11 +234,22 @@ def main(argv=None):
               flush=True)
 
     names = ["mpdet", "yolox"] if args.model == "both" else [args.model]
+    outs = []
     for name in names:
         out = bench_train(name, batch=args.batch, size=args.size,
                           steps=args.steps, remat=not args.no_remat,
-                          donate=not args.no_donate, log=log)
+                          donate=not args.no_donate,
+                          scan_steps=args.scan_steps, log=log)
         print(json.dumps(out), flush=True)
+        outs.append(out)
+    if args.model == "both":
+        # the ledger's training source of truth (scripts/perf_ledger.py)
+        path = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "TRAINBENCH.json")
+        with open(path, "w") as f:
+            f.write("\n".join(json.dumps(o) for o in outs) + "\n")
+        log(f"wrote {path}")
 
 
 if __name__ == "__main__":

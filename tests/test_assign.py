@@ -4,6 +4,7 @@ Modeled on the reference's tests/test_utils/test_assigner.py idiom: tiny
 synthetic anchor/GT sets with hand-checkable expected assignments.
 """
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -226,3 +227,22 @@ class TestSimOTA:
         m = np.asarray(res.matched_gt)
         assert np.all(m[fg] >= 0)
         assert np.all(m[~fg] == -1)
+
+
+def test_topk_small_k_matches_lax():
+    """ops/topk.py is a bit-identical lax.top_k drop-in (incl. ties)."""
+    from glsdet_tpu.ops.topk import topk_small_k
+
+    rs = np.random.RandomState(0)
+    x = rs.rand(7, 160, 257).astype(np.float32)
+    # force ties
+    x[:, :, 1::3] = x[:, :, ::3][:, :, : x[:, :, 1::3].shape[2]]
+    v0, i0 = jax.lax.top_k(jnp.asarray(x), 10)
+    v1, i1 = topk_small_k(jnp.asarray(x), 10)
+    np.testing.assert_array_equal(np.asarray(v0), np.asarray(v1))
+    np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+    # k >= n fallback
+    v0, i0 = jax.lax.top_k(jnp.asarray(x[..., :8]), 8)
+    v1, i1 = topk_small_k(jnp.asarray(x[..., :8]), 8)
+    np.testing.assert_array_equal(np.asarray(v0), np.asarray(v1))
+    np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))

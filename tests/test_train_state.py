@@ -110,3 +110,69 @@ class TestBoIW:
     def test_enable_emd(self):
         st = enable_emd_training(self._state())
         assert float(st.beta) == 1.0
+
+
+class TestScanStep:
+    """Scan-group train step == K sequential single steps."""
+
+    def _setup(self):
+        from glsdet_tpu.models import YOLOXDetector
+        from glsdet_tpu.train import (
+            TrainState, make_scan_train_step, make_yolox_train_step,
+            stack_batches, yolox_sgd, yolox_warm_cos)
+
+        hw = (64, 64)
+        model = YOLOXDetector(num_classes=5, phi="nano")
+        rng = jax.random.PRNGKey(0)
+        images = jnp.zeros((2, *hw, 3), jnp.float32)
+        variables = jax.jit(
+            lambda r, x: model.init(r, x, train=False))(rng, images)
+        tx = yolox_sgd(yolox_warm_cos(0.01, 10, 100, 10))
+        state = TrainState.create(variables, tx, rng)
+        step = make_yolox_train_step(model, tx, hw, normalize=True)
+        rs = np.random.RandomState(0)
+        batches = []
+        for _ in range(3):
+            b = {
+                "images": rs.randint(0, 255, (2, *hw, 3)).astype(np.uint8),
+                "gt_boxes": np.tile(
+                    np.array([[4.0, 4.0, 40.0, 40.0]], np.float32),
+                    (2, 4, 1)),
+                "gt_labels": rs.randint(0, 5, (2, 4)).astype(np.int32),
+                "gt_valid": np.zeros((2, 4), bool),
+            }
+            b["gt_valid"][:, :2] = True
+            batches.append(b)
+        return state, step, batches, make_scan_train_step, stack_batches
+
+    def test_scan_step_equivalence(self):
+        state, step, batches, make_scan, stack = self._setup()
+        seq_state = state
+        jit_step = jax.jit(step)
+        for b in batches:
+            seq_state, seq_metrics = jit_step(
+                seq_state, {k: jnp.asarray(v) for k, v in b.items()})
+
+        scan_step = jax.jit(make_scan(step))
+        scan_state, scan_metrics = scan_step(state, stack(batches))
+
+        # stacked metrics: (K,) per key; last row matches the last
+        # sequential step
+        assert scan_metrics["loss"].shape == (3,)
+        np.testing.assert_allclose(
+            float(scan_metrics["loss"][-1]), float(seq_metrics["loss"]),
+            rtol=2e-5)
+        flat_a = jax.tree_util.tree_leaves(seq_state.params)
+        flat_b = jax.tree_util.tree_leaves(scan_state.params)
+        for a, b in zip(flat_a, flat_b):
+            np.testing.assert_allclose(
+                np.asarray(a, np.float32), np.asarray(b, np.float32),
+                rtol=2e-4, atol=2e-5)
+        assert int(scan_state.step) == int(seq_state.step) == 3
+
+    def test_scan_step_donatable(self):
+        state, step, batches, make_scan, stack = self._setup()
+        scan_step = jax.jit(make_scan(step), donate_argnums=(0,))
+        new_state, metrics = scan_step(state, stack(batches))
+        assert np.isfinite(float(metrics["loss"][-1]))
+        assert int(new_state.step) == 3
