@@ -59,6 +59,13 @@ class TrainConfig:
     emd_start_epoch: int = 2
     ckpt_interval: int = 1
     log_interval: int = 50
+    # optimizer steps per device dispatch (train/steps.py
+    # make_scan_train_step). K>1 runs K steps as ONE lax.scan program —
+    # fewer dispatches (wins on high-latency links; the reference's
+    # runner is strictly one-iter-per-dispatch). Host hooks (OT update,
+    # logging) fire at group boundaries, so ot_interval and log_interval
+    # must be multiples of K (validated at loop start).
+    steps_per_call: int = 1
     # two-phase frozen-backbone recipe (yolox-drone train.py:196-262:
     # Freeze_Epoch phase with Freeze_lr/Freeze_batch_size and
     # backbone.requires_grad=False, then a fresh optimizer unfrozen).

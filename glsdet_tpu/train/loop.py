@@ -41,7 +41,9 @@ from glsdet_tpu.train.state import TrainState
 from glsdet_tpu.train.steps import (
     make_gfl_train_step,
     make_mpdet_train_step,
+    make_scan_train_step,
     make_yolox_train_step,
+    stack_batches,
 )
 
 logger = logging.getLogger("glsdet_tpu")
@@ -421,25 +423,51 @@ def _train_run(cfg: Config, dataset: Optional[CocoDataset] = None,
     # donate the state buffers: params/opt-state/EMA update in place
     # instead of allocating a second copy every step
     if cfg.model.family == "mpdet":
-        step_fn = jax.jit(make_mpdet_train_step(
+        raw_step = make_mpdet_train_step(
             model, tx, cfg.data.img_hw, cfg.model.num_classes,
             cfg.model.proxies_list, reg_max=cfg.model.reg_max,
-            gamma=cfg.model.gamma, normalize=True), donate_argnums=(0,))
-        step_fn_l1 = step_fn
+            gamma=cfg.model.gamma, normalize=True)
+        raw_step_l1 = raw_step
     elif cfg.model.family == "gfl":
-        step_fn = jax.jit(make_gfl_train_step(
+        raw_step = make_gfl_train_step(
             model, tx, cfg.data.img_hw, cfg.model.num_classes,
-            reg_max=cfg.model.reg_max, normalize=True),
-            donate_argnums=(0,))
-        step_fn_l1 = step_fn
+            reg_max=cfg.model.reg_max, normalize=True)
+        raw_step_l1 = raw_step
     else:
         strides = family_strides(cfg.model.family)
-        step_fn = jax.jit(make_yolox_train_step(
+        raw_step = make_yolox_train_step(
             model, tx, cfg.data.img_hw, use_l1=False, strides=strides,
-            normalize=True), donate_argnums=(0,))
-        step_fn_l1 = jax.jit(make_yolox_train_step(
+            normalize=True)
+        raw_step_l1 = make_yolox_train_step(
             model, tx, cfg.data.img_hw, use_l1=True, strides=strides,
-            normalize=True), donate_argnums=(0,))
+            normalize=True)
+    step_fn = jax.jit(raw_step, donate_argnums=(0,))
+    step_fn_l1 = (step_fn if raw_step_l1 is raw_step
+                  else jax.jit(raw_step_l1, donate_argnums=(0,)))
+
+    # K optimizer steps per dispatch (config.train.steps_per_call,
+    # steps.py make_scan_train_step). Host hooks fire at group
+    # boundaries, so hook intervals must align.
+    spc = max(int(cfg.train.steps_per_call), 1)
+    group_fn = group_fn_l1 = None
+    group_sh = None
+    if spc > 1:
+        for knob in ("ot_interval", "log_interval"):
+            val = getattr(cfg.train, knob)
+            if val % spc:
+                raise ValueError(
+                    f"train.{knob}={val} must be a multiple of "
+                    f"train.steps_per_call={spc} (host hooks run at "
+                    "scan-group boundaries)")
+        group_fn = jax.jit(make_scan_train_step(raw_step),
+                           donate_argnums=(0,))
+        group_fn_l1 = (group_fn if raw_step_l1 is raw_step
+                       else jax.jit(make_scan_train_step(raw_step_l1),
+                                    donate_argnums=(0,)))
+        if mesh is not None:
+            # stacked batches are (K, B, ...): shard the BATCH axis
+            group_sh = jax.sharding.NamedSharding(
+                mesh, jax.sharding.PartitionSpec(None, "data"))
 
     local_batch = cfg.data.batch_size // n_proc
     sampler = None
@@ -465,6 +493,19 @@ def _train_run(cfg: Config, dataset: Optional[CocoDataset] = None,
             return jax.device_put(batch, batch_sh)
         return {k: jnp.asarray(v) for k, v in batch.items()}
 
+    def put_group(stacked):
+        # (K, B, ...) scan-group input; the batch axis (1) is sharded
+        if n_proc > 1:
+            return {
+                k: jax.make_array_from_process_local_data(
+                    group_sh, v,
+                    (spc, cfg.data.batch_size, *v.shape[2:]))
+                for k, v in stacked.items()
+            }
+        if mesh is not None:
+            return jax.device_put(stacked, group_sh)
+        return {k: jnp.asarray(v) for k, v in stacked.items()}
+
     start_epoch = int(state.step) // steps_per_epoch
     global_step = int(state.step)
     t_iter = time.time()
@@ -482,6 +523,7 @@ def _train_run(cfg: Config, dataset: Optional[CocoDataset] = None,
         if last_phase:
             pipeline.disable_aug()
         fn = step_fn_l1 if last_phase else step_fn
+        gfn = group_fn_l1 if last_phase else group_fn
 
         # OT hook: beta switch at emd_start_epoch (mpdet only)
         if (cfg.model.family == "mpdet"
@@ -490,31 +532,50 @@ def _train_run(cfg: Config, dataset: Optional[CocoDataset] = None,
             state = state.replace(boiw=enable_emd_training(state.boiw))
             logger.info("epoch %d: enabled emd training (beta=1)", gepoch)
 
-        for it in range(steps_per_epoch):
+        it = 0
+        while it < steps_per_epoch:
             if max_steps is not None and global_step >= max_steps:
                 finish_checkpoints()
                 return state
-            batch = next(loader)
-            state, metrics = fn(state, put_batch(batch))
-            global_step += 1
+            # scan groups only when a FULL group fits (one compiled
+            # group shape); epoch/max_steps tails run as single steps
+            use_group = (
+                gfn is not None
+                and it + spc <= steps_per_epoch
+                and (max_steps is None or global_step + spc <= max_steps))
+            if use_group:
+                stacked = stack_batches(
+                    [next(loader) for _ in range(spc)])
+                state, metrics_k = gfn(state, put_group(stacked))
+                metrics = {k: v[-1] for k, v in metrics_k.items()}
+                stepped = spc
+            else:
+                batch = next(loader)
+                state, metrics = fn(state, put_batch(batch))
+                stepped = 1
+            it += stepped
+            global_step += stepped
 
             # bound in-flight async work: without a periodic real sync the
             # dispatch queue retains every step's host batch buffers (OOM
             # at ~200 in-flight 47MB batches on remote backends whose
-            # block_until_ready is advisory)
-            if global_step % 10 == 0:
+            # block_until_ready is advisory). "crossed a multiple of 10"
+            # (== `% 10 == 0` when stepped == 1)
+            if global_step % 10 < stepped:
                 float(metrics["loss"])
 
             # OT hook: update_ot every ot_interval while epoch < stop
+            # (crossing semantics: epoch-tail single steps may leave
+            # global_step misaligned from the group stride)
             if (cfg.model.family == "mpdet"
                     and gepoch < cfg.train.ot_stop_epoch
-                    and global_step % cfg.train.ot_interval == 0):
+                    and global_step % cfg.train.ot_interval < stepped):
                 key = jax.random.PRNGKey(int(ot_rng.randint(2 ** 31)))
                 state = state.replace(
                     boiw=jit_update_ot(state.boiw, key))
                 logger.info("step %d: ran update_ot", global_step)
 
-            if global_step % cfg.train.log_interval == 0:
+            if global_step % cfg.train.log_interval < stepped:
                 vals = {k: float(v) for k, v in metrics.items()}
                 # CheckInvalidLossHook analog
                 if not np.isfinite(vals["loss"]):
@@ -523,7 +584,7 @@ def _train_run(cfg: Config, dataset: Optional[CocoDataset] = None,
                 dt = (time.time() - t_iter) / cfg.train.log_interval
                 t_iter = time.time()
                 entry = {"mode": "train", "epoch": gepoch + 1,
-                         "iter": it + 1, "step": global_step,
+                         "iter": it, "step": global_step,
                          "time": round(dt, 4), **vals}
                 logger.info("%s", entry)
                 if is_main:

@@ -168,7 +168,9 @@ def make_scan_train_step(step_fn: Callable) -> Callable:
     tests/test_train_state.py::test_scan_step_equivalence). Hook-cadence
     caveat for loop integration: host-side hooks (OT update, logging,
     invalid-loss check) can only run at group boundaries, so intervals
-    should be multiples of K (train/loop.py validates this).
+    must be multiples of K — the production loop exposes this as
+    ``config.train.steps_per_call`` and validates the intervals at
+    start (train/loop.py).
 
     The reference has no analog — its runner is strictly
     one-iteration-per-dispatch (mmcv EpochBasedRunner,

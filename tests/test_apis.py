@@ -195,3 +195,68 @@ class TestDetectorFacade:
             np.testing.assert_allclose(b["boxes"], s["boxes"], atol=1e-3)
             np.testing.assert_allclose(b["scores"], s["scores"], atol=1e-5)
         assert detector.detect_batch([]) == []
+
+
+class TestStepsPerCall:
+    """train.steps_per_call: scan-group dispatches in the real loop."""
+
+    def _write_dataset(self, tmp_path, n):
+        import json
+
+        import cv2
+
+        img_dir = tmp_path / "images"
+        img_dir.mkdir()
+        rs = np.random.RandomState(0)
+        images, annotations = [], []
+        for i in range(n):
+            img = rs.randint(0, 255, (64, 64, 3), np.uint8)
+            cv2.imwrite(str(img_dir / f"{i}.jpg"), img)
+            images.append({"id": i + 1, "file_name": f"{i}.jpg",
+                           "width": 64, "height": 64})
+            annotations.append({
+                "id": i + 1, "image_id": i + 1, "category_id": 1,
+                "bbox": [8, 8, 24, 24], "area": 576, "iscrowd": 0})
+        ann = tmp_path / "train.json"
+        ann.write_text(json.dumps({
+            "images": images, "annotations": annotations,
+            "categories": [{"id": 1, "name": "car"}]}))
+        return ann, img_dir
+
+    def _cfg(self, tmp_path, ann, img_dir, **over):
+        from glsdet_tpu.config import apply_overrides, get_config
+
+        cfg = get_config("coarse_det")
+        apply_overrides(cfg, {
+            "model.phi": "nano", "model.dtype": "float32",
+            "model.num_classes": 1,
+            "data.ann_file": str(ann), "data.img_root": str(img_dir),
+            "data.img_hw": (64, 64), "data.batch_size": 4,
+            "data.max_gt": 4, "data.mosaic": False, "data.mixup": False,
+            "data.hsv": False, "data.flip_prob": 0.0,
+            "data.num_workers": 1,
+            "train.epochs": 1, "train.ckpt_interval": 100,
+            "train.log_interval": 2,
+            "train.work_dir": str(tmp_path / "wd"),
+            **over,
+        })
+        return cfg
+
+    def test_groups_and_tail_single(self, tmp_path):
+        # 12 imgs / b4 -> 3 steps/epoch with K=2: one group + one single
+        from glsdet_tpu.train.loop import train
+
+        ann, img_dir = self._write_dataset(tmp_path, 12)
+        cfg = self._cfg(tmp_path, ann, img_dir,
+                        **{"train.steps_per_call": 2})
+        state = train(cfg)
+        assert int(state.step) == 3
+
+    def test_interval_validation(self, tmp_path):
+        from glsdet_tpu.train.loop import train
+
+        ann, img_dir = self._write_dataset(tmp_path, 8)
+        cfg = self._cfg(tmp_path, ann, img_dir,
+                        **{"train.steps_per_call": 3})
+        with pytest.raises(ValueError, match="steps_per_call"):
+            train(cfg)
