@@ -21,6 +21,8 @@ from typing import NamedTuple, Sequence
 import jax
 import jax.numpy as jnp
 
+from glsdet_tpu.ops.topk import topk_small_k
+
 from glsdet_tpu.ops.kmeans import cosine_kmeans
 
 
@@ -67,7 +69,9 @@ def update_dictionary(state: BoIWState, key: jax.Array,
     step = jnp.minimum(max_step, cnt)
     noise = jax.random.uniform(key, (num_slots, n))
     scores = noise + masks.astype(jnp.float32) * 10.0
-    _, idx = jax.lax.top_k(scores, max_step)                  # (C, S)
+    # bit-identical lax.top_k drop-in for small k (ops/topk.py):
+    # 10 argmax passes instead of a full sort of the (C, N) rows
+    _, idx = topk_small_k(scores, max_step)                   # (C, S)
     ranks = jnp.arange(max_step)[None, :]                     # (1, S)
     slots = (state.ptr[:, None] + ranks) % num_words          # (C, S)
     # ranks beyond each class's `step` write out-of-bounds -> dropped

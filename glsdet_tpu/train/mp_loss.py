@@ -28,6 +28,7 @@ import numpy as np
 
 from glsdet_tpu.models.mp_head import proxy_scores
 from glsdet_tpu.ops.sinkhorn import sinkhorn
+from glsdet_tpu.ops.topk import first_k_true
 from glsdet_tpu.train.boiw import BoIWState, update_dictionary
 from glsdet_tpu.train.gfl_loss import GFLTargets, gfl_loss
 
@@ -49,7 +50,11 @@ def contrastive_loss(features: jnp.ndarray, labels: jnp.ndarray,
     # exp-sum over words per slot; sims are in [-1, 1] so exp is safe
     exp_slot = jnp.exp(logits).sum(-1)  # (N, num_slots)
     total = exp_slot.sum(-1)
-    pos = jnp.take_along_axis(exp_slot, labels[:, None], axis=1)[:, 0]
+    # one-hot sum, not take_along_axis: per-row gathers on (N, slots)
+    # tensors are ~8x slower than the masked reduce at N≈175k
+    # (losses/__init__.py DFL note)
+    onehot = jax.nn.one_hot(labels, num_slots, dtype=exp_slot.dtype)
+    pos = jnp.sum(exp_slot * onehot, axis=1)
     log_prob = jnp.log(pos / jnp.maximum(total, 1e-12))
     if weights is not None:
         log_prob = log_prob * weights
@@ -79,11 +84,13 @@ def ot_proxy_loss(features: jnp.ndarray, labels: jnp.ndarray,
 
     n = features.shape[0]
     k = min(max_pos_per_class, n)
-    # per-class top-k positive selection, batched: (C, N) -> (C, K)
+    # per-class first-k positive selection, batched: (C, N) -> (C, K).
+    # first_k_true == lax.top_k on the 0/1 mask (stable ties = first k
+    # set bits) but costs one cumsum instead of a 175k-element sort
+    # (ops/topk.py; was ~1/3 of the whole mp_loss forward)
     class_ids = jnp.arange(num_classes)[:, None]
     masks = labels[None, :] == class_ids                    # (C, N)
-    _, idx = jax.lax.top_k(masks.astype(jnp.float32), k)    # (C, K)
-    valid = jnp.take_along_axis(masks, idx, axis=1)         # (C, K)
+    idx, valid = first_k_true(masks, k)                     # (C, K)
 
     # padded per-class cost blocks (C, K, maxP); pad columns get zero
     # marginal so they are inert in the transport plan

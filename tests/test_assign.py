@@ -246,3 +246,20 @@ def test_topk_small_k_matches_lax():
     v1, i1 = topk_small_k(jnp.asarray(x[..., :8]), 8)
     np.testing.assert_array_equal(np.asarray(v0), np.asarray(v1))
     np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+
+
+def test_first_k_true_matches_topk_mask_idiom():
+    """first_k_true == the lax.top_k(mask.astype(f32), k) selection."""
+    from glsdet_tpu.ops.topk import first_k_true
+
+    rs = np.random.RandomState(1)
+    for frac in (0.0, 0.01, 0.5, 1.0):
+        mask = rs.rand(6, 500) < frac
+        k = 32
+        _, i0 = jax.lax.top_k(jnp.asarray(mask, jnp.float32), k)
+        v0 = np.take_along_axis(mask, np.asarray(i0), axis=1)
+        i1, v1 = first_k_true(jnp.asarray(mask), k)
+        np.testing.assert_array_equal(v0, np.asarray(v1))
+        # valid slots: identical indices
+        np.testing.assert_array_equal(
+            np.where(v0, np.asarray(i0), -1), np.where(v0, np.asarray(i1), -1))
