@@ -145,6 +145,12 @@ def main():
             scales = pipe.calibrate_int8(frames[:4])
             calibration_s = time.time() - t0
             save_scales(scales_path, scales)
+            # round-trip through the artifact so the scale constants
+            # baked into the stage programs are IDENTICAL between a
+            # calibrating run and a warm run — otherwise the two
+            # produce different HLO hashes and the persistent compile
+            # cache misses on every program that embeds them
+            scales = load_scales(scales_path)
             log(f"int8 calibration done in {calibration_s:.0f}s "
                 f"({len(scales[0])}+{len(scales[1])} scales) -> "
                 f"{scales_path}")
