@@ -27,6 +27,12 @@ def topk_small_k(x: jnp.ndarray, k: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
     Drop-in for ``jax.lax.top_k(x, k)`` (descending values, ties by
     ascending index), implemented as k iterations of argmax + mask so it
     runs as cheap full-lane VPU reductions instead of a sort.
+
+    Caveat: extracted positions are masked to the dtype minimum, so if
+    the INPUT already contains values at the exact dtype minimum the
+    tie order among those entries can differ from ``lax.top_k`` (all
+    in-repo call sites — assignment costs, IoUs, ring-buffer scores —
+    are bounded far above it).
     """
     if k >= x.shape[-1]:
         return jax.lax.top_k(x, k)
