@@ -49,6 +49,8 @@ def sim_ota_assign(
     gt_valid: jnp.ndarray,
     center_radius: float = 2.5,
     candidate_topk: int = 10,
+    cls_cost_weight: float = 1.0,
+    iou_cost_weight: float = 3.0,
 ) -> OTAResult:
     """Fixed-shape SimOTA.
 
@@ -56,11 +58,16 @@ def sim_ota_assign(
         priors_cxy: (A, 2) prior centers in image coords.
         priors_stride: (A,).
         decoded_boxes: (A, 4) xyxy predictions.
-        cls_probs: (A, C) sigmoid class probabilities.
+        cls_probs: (A, C) sigmoid class probabilities (the no-sigmoid
+            loss ablations pass raw head outputs here; the clip below
+            keeps the sqrt/log in domain either way).
         obj_probs: (A,) sigmoid objectness.
         gt_boxes: (G, 4) padded xyxy.
         gt_labels: (G,) int32.
         gt_valid: (G,) bool.
+        cls_cost_weight/iou_cost_weight: cost-term weights — baseline
+            is cls + 3*iou; the decoupled ClsLoss ablation uses
+            3*cls + 1*iou (yolox_losses_decoupled.py:284).
     """
     num_gt = gt_boxes.shape[0]
     num_classes = cls_probs.shape[-1]
@@ -96,14 +103,22 @@ def sim_ota_assign(
     onehot = jax.nn.one_hot(gt_labels, num_classes,
                             dtype=joint.dtype)  # (G, C)
     # binary CE between probabilities (not logits), summed over classes:
-    # reference uses F.binary_cross_entropy on sqrt joint probs.
+    # reference uses F.binary_cross_entropy on sqrt joint probs, whose
+    # kernel clamps each log at -100 — replicate it so a saturated
+    # sigmoid (f32 sigmoid(20) == 1.0 exactly) yields torch's finite
+    # ~100*(1-t) cost instead of inf/NaN excluding the anchor.
     p = joint[None, :, :]  # (1, A, C)
     t = onehot[:, None, :]  # (G, 1, C)
-    cls_cost = -(t * jnp.log(p) + (1 - t) * jnp.log1p(-p)).sum(-1)  # (G, A)
+    logp = jnp.maximum(jnp.log(p), -100.0)
+    log1mp = jnp.where(
+        p < 1.0,
+        jnp.maximum(jnp.log1p(-jnp.where(p < 1.0, p, 0.0)), -100.0),
+        -100.0)
+    cls_cost = -(t * logp + (1 - t) * log1mp).sum(-1)  # (G, A)
 
     cost = (
-        cls_cost
-        + 3.0 * iou_cost
+        cls_cost_weight * cls_cost
+        + iou_cost_weight * iou_cost
         + INF * (~in_both).astype(cls_cost.dtype)
         + INF * (~is_cand[None, :]).astype(cls_cost.dtype)
     )

@@ -78,7 +78,10 @@ def distribution_focal_loss(logits: jnp.ndarray,
     iota = jnp.arange(nbins)
     w = (wl[:, None] * (iota == left[:, None])
          + wr[:, None] * (iota == right[:, None]))
-    return -jnp.sum(logp * w, axis=-1)
+    # mask before multiplying: with non-finite upstream logits a -inf
+    # logp in an unselected bin would otherwise turn 0 * -inf into NaN
+    # for the whole row (take_along_axis never read those bins)
+    return -jnp.sum(jnp.where(w != 0, logp * w, 0.0), axis=-1)
 
 
 def giou_loss(pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
@@ -122,9 +125,10 @@ def sigmoid_focal_loss(logits: jnp.ndarray, labels: jnp.ndarray,
 def softmax_cross_entropy(logits: jnp.ndarray,
                           labels: jnp.ndarray) -> jnp.ndarray:
     logp = jax.nn.log_softmax(logits, axis=-1)
-    # one-hot sum instead of a per-row gather (see DFL note above)
+    # one-hot sum instead of a per-row gather (see DFL note above);
+    # masked so a -inf logp in an unselected column stays inert
     onehot = jax.nn.one_hot(labels, logits.shape[-1], dtype=logp.dtype)
-    return -jnp.sum(logp * onehot, axis=-1)
+    return -jnp.sum(jnp.where(onehot != 0, logp * onehot, 0.0), axis=-1)
 
 
 __all__ = [

@@ -32,7 +32,9 @@ def topk_small_k(x: jnp.ndarray, k: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
     the INPUT already contains values at the exact dtype minimum the
     tie order among those entries can differ from ``lax.top_k`` (all
     in-repo call sites — assignment costs, IoUs, ring-buffer scores —
-    are bounded far above it).
+    are bounded far above it).  NaN inputs are likewise NOT drop-in:
+    ``jnp.max``/``argmax`` propagate NaN and order it differently from
+    the TPU sort's total order, so only feed bounded finite values.
     """
     if k >= x.shape[-1]:
         return jax.lax.top_k(x, k)

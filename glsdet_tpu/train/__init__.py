@@ -25,7 +25,12 @@ from glsdet_tpu.train.steps import (
     make_yolox_train_step,
     stack_batches,
 )
-from glsdet_tpu.train.yolox_loss import YOLOXLossOut, yolox_loss
+from glsdet_tpu.train.yolox_loss import (
+    YOLOXLossOut,
+    yolox_loss,
+    yolox_loss_3assign,
+    yolox_loss_decoupled,
+)
 
 __all__ = [
     "BoIWState",
@@ -56,4 +61,6 @@ __all__ = [
     "stack_batches",
     "YOLOXLossOut",
     "yolox_loss",
+    "yolox_loss_3assign",
+    "yolox_loss_decoupled",
 ]

@@ -547,7 +547,15 @@ def _train_run(cfg: Config, dataset: Optional[CocoDataset] = None,
                 stacked = stack_batches(
                     [next(loader) for _ in range(spc)])
                 state, metrics_k = gfn(state, put_group(stacked))
+                # report the LAST micro-step's metrics, but fold the
+                # whole (K,) loss vector into the invalid-loss check: a
+                # transient NaN at micro-step j<K-1 must trip the
+                # CheckInvalidLoss guard on this boundary, not K steps
+                # later when the poisoned params resurface it
                 metrics = {k: v[-1] for k, v in metrics_k.items()}
+                metrics["loss"] = jnp.where(
+                    jnp.all(jnp.isfinite(metrics_k["loss"])),
+                    metrics["loss"], jnp.float32(jnp.nan))
                 stepped = spc
             else:
                 batch = next(loader)

@@ -53,9 +53,13 @@ def contrastive_loss(features: jnp.ndarray, labels: jnp.ndarray,
     # one-hot sum, not take_along_axis: per-row gathers on (N, slots)
     # tensors are ~8x slower than the masked reduce at N≈175k
     # (losses/__init__.py DFL note)
+    # labels MUST be in [0, num_classes] (num_classes = bg slot): an
+    # out-of-range label gives an all-zero one-hot row -> pos=0 ->
+    # log(0) = -inf; the floor below keeps that finite (matching the
+    # old clamped-gather behavior: wrong value, not NaN propagation)
     onehot = jax.nn.one_hot(labels, num_slots, dtype=exp_slot.dtype)
     pos = jnp.sum(exp_slot * onehot, axis=1)
-    log_prob = jnp.log(pos / jnp.maximum(total, 1e-12))
+    log_prob = jnp.log(jnp.maximum(pos, 1e-12) / jnp.maximum(total, 1e-12))
     if weights is not None:
         log_prob = log_prob * weights
     return -jnp.sum(log_prob) / num_total_samples / num_words

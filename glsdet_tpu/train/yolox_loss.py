@@ -36,6 +36,26 @@ class YOLOXLossOut(NamedTuple):
     num_fg: jnp.ndarray
 
 
+def _bce_probs(p: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
+    """BCE on raw probabilities: the ``nn.BCELoss`` used by the
+    no-sigmoid loss ablations (yolox_losses_no_sigmoid.py:64).  Matches
+    torch's kernel exactly on (0, 1) including its log clamp at -100;
+    the [0, 1] clip additionally keeps values/grads finite where the
+    reference feeds raw head outputs outside BCELoss's domain (torch
+    raises or NaNs there)."""
+    p = jnp.clip(p, 0.0, 1.0)
+    # where-guarded logs: log(clip(x)) alone backprops inf * 0 = NaN at
+    # the clamped boundaries
+    logp = jnp.where(
+        p > 0, jnp.maximum(jnp.log(jnp.where(p > 0, p, 1.0)), -100.0),
+        -100.0)
+    log1mp = jnp.where(
+        p < 1,
+        jnp.maximum(jnp.log1p(-jnp.where(p < 1, p, 0.0)), -100.0),
+        -100.0)
+    return -(t * logp + (1.0 - t) * log1mp)
+
+
 def yolox_loss(
     cls_logits: jnp.ndarray,
     reg_raw: jnp.ndarray,
@@ -48,22 +68,40 @@ def yolox_loss(
     use_l1: bool = False,
     axis_name: Optional[str] = None,
     cls_loss_type: str = "bce",
+    variant: str = "mmdet",
 ) -> YOLOXLossOut:
     """Args:
         cls_logits: (B, A, C); reg_raw: (B, A, 4) pre-decode; obj: (B, A).
         priors_cxy: (A, 2) centers (offset 0.5, image coords);
         priors_stride: (A,).
         gt_*: (B, G, ...) padded with gt_valid mask.
+        variant: sigmoid-placement ablations from yolox-drone/models/
+            losses —
+            - 'mmdet' (default): sigmoid(cls)*sigmoid(obj) in the
+              assignment cost, BCE-with-logits losses (the baseline
+              yolox_losses.py recipe);
+            - 'cls_sigmoid' (yolox_losses_cls_sigmoid.py): sigmoid on
+              cls only in the cost; obj loss is raw-probability BCE,
+              cls loss stays with-logits;
+            - 'no_sigmoid' (yolox_losses_no_sigmoid.py): raw head
+              outputs in the cost AND raw-probability BCE for both obj
+              and cls.
     """
+    if variant not in ("mmdet", "cls_sigmoid", "no_sigmoid"):
+        raise ValueError(f"unknown yolox loss variant: {variant!r}")
     b, a, num_classes = cls_logits.shape
     grids = priors_cxy / priors_stride[:, None] - 0.5  # integer grid coords
     decoded = decode_boxes(reg_raw, grids, priors_stride)  # (B, A, 4) xyxy
 
     def assign_one(dec, cls_l, obj_l, gtb, gtl, gtv):
+        cls_p = (cls_l if variant == "no_sigmoid"
+                 else jax.nn.sigmoid(cls_l))
+        obj_p = (obj_l if variant in ("cls_sigmoid", "no_sigmoid")
+                 else jax.nn.sigmoid(obj_l))
         return sim_ota_assign(
             priors_cxy, priors_stride, dec,
-            jax.nn.sigmoid(jax.lax.stop_gradient(cls_l)),
-            jax.nn.sigmoid(jax.lax.stop_gradient(obj_l)),
+            jax.lax.stop_gradient(cls_p),
+            jax.lax.stop_gradient(obj_p),
             gtb, gtl, gtv)
 
     fg, matched_gt, matched_iou = jax.vmap(assign_one)(
@@ -90,8 +128,12 @@ def yolox_loss(
     lb = iou_loss(decoded.reshape(-1, 4), tgt_boxes.reshape(-1, 4))
     loss_bbox = 5.0 * jnp.sum(lb * fg_f.reshape(-1)) / num_fg
 
-    # objectness BCE over all anchors
-    loss_obj = jnp.sum(bce_with_logits(obj_logits, fg_f)) / num_fg
+    # objectness BCE over all anchors; the no-sigmoid family treats the
+    # raw obj output as a probability (nn.BCELoss)
+    if variant in ("cls_sigmoid", "no_sigmoid"):
+        loss_obj = jnp.sum(_bce_probs(obj_logits, fg_f)) / num_fg
+    else:
+        loss_obj = jnp.sum(bce_with_logits(obj_logits, fg_f)) / num_fg
 
     # cls loss at positives; default BCE with target = onehot * matched
     # IoU (mmdet yolox); 'focal' reproduces the yolox-drone focal-cls
@@ -103,6 +145,9 @@ def yolox_loss(
         p_t = p * onehot + (1 - p) * (1 - onehot)
         a_t = 0.25 * onehot + 0.75 * (1 - onehot)
         lc = (a_t * (1 - p_t) ** 2 * ce).sum(-1)
+    elif variant == "no_sigmoid":
+        cls_tgt = onehot * matched_iou[..., None]
+        lc = _bce_probs(cls_logits, cls_tgt).sum(-1)
     else:
         cls_tgt = onehot * matched_iou[..., None]
         lc = bce_with_logits(cls_logits, cls_tgt).sum(-1)
@@ -174,3 +219,106 @@ def yolox_loss_3assign(
         sum(wi * o.loss_l1 for wi, o in zip(w, losses)),
         counts.sum(),
     )
+
+
+def _level_weights(fg: jnp.ndarray, level_counts) -> jnp.ndarray:
+    """Per-image per-FPN-level weights from positive counts.
+
+    ``generate_weights`` (yolox_losses_decoupled.py:216): within each
+    image, a level with ``n`` positives gets
+    ``2 - (n - min) / (max - min)`` (2.0 when all levels tie), where
+    min/max run over that image's levels.  Returns a per-ANCHOR weight
+    map (B, A) with each level's weight broadcast over its anchors.
+    """
+    parts, start = [], 0
+    counts = []
+    for n in level_counts:
+        counts.append(fg[:, start:start + n].sum(axis=1).astype(jnp.float32))
+        start += n
+    c = jnp.stack(counts, axis=1)  # (B, L)
+    mx = c.max(axis=1, keepdims=True)
+    mn = c.min(axis=1, keepdims=True)
+    w = jnp.where(mx - mn > 0, 2.0 - (c - mn) / (mx - mn),
+                  jnp.full_like(c, 2.0))  # (B, L)
+    for k, n in enumerate(level_counts):
+        parts.append(jnp.broadcast_to(w[:, k:k + 1], (fg.shape[0], n)))
+    return jnp.concatenate(parts, axis=1)  # (B, A)
+
+
+def yolox_loss_decoupled(
+    cls_logits: jnp.ndarray,
+    reg_raw: jnp.ndarray,
+    obj_logits: jnp.ndarray,
+    priors_cxy: jnp.ndarray,
+    priors_stride: jnp.ndarray,
+    level_counts,
+    gt_boxes: jnp.ndarray,
+    gt_labels: jnp.ndarray,
+    gt_valid: jnp.ndarray,
+    axis_name: Optional[str] = None,
+) -> YOLOXLossOut:
+    """Decoupled cls/reg loss ablation.
+
+    Behavioral reference: yolox-drone/models/losses/yolox_losses_decoupled.py
+    — ``YOLOLoss = 1.0 * ClsLoss + 1.0 * RegLoss`` where the two halves
+    run SEPARATE SimOTA assignments with swapped cost weights
+    (ClsLoss: ``3*cls + 1*iou``, :284; RegLoss: ``cls + 3*iou``, :668 —
+    both on raw, un-sigmoided head outputs) and weight each image's FPN
+    levels by its positive counts (``generate_weights``).  Losses are
+    raw-probability BCE (nn.BCELoss) like the no-sigmoid variant, each
+    half normalized by its own num_fg.
+
+    level_counts: static per-level anchor counts summing to A.
+    """
+    b, a, num_classes = cls_logits.shape
+    grids = priors_cxy / priors_stride[:, None] - 0.5
+    decoded = decode_boxes(reg_raw, grids, priors_stride)
+
+    def assign(cls_w, iou_w):
+        def one(dec, cls_l, obj_l, gtb, gtl, gtv):
+            return sim_ota_assign(
+                priors_cxy, priors_stride, dec,
+                jax.lax.stop_gradient(cls_l),
+                jax.lax.stop_gradient(obj_l),
+                gtb, gtl, gtv,
+                cls_cost_weight=cls_w, iou_cost_weight=iou_w)
+
+        return jax.vmap(one)(decoded, cls_logits, obj_logits,
+                             gt_boxes, gt_labels, gt_valid)
+
+    def norm_fg(fg):
+        n = jnp.sum(fg.astype(jnp.float32))
+        if axis_name is not None:
+            n = jax.lax.pmean(n, axis_name)
+        return jnp.maximum(n, 1.0)
+
+    # --- cls half: 3*cls + 1*iou assignment --------------------------------
+    fg_c, matched_gt_c, matched_iou_c = assign(3.0, 1.0)
+    matched_iou_c = jax.lax.stop_gradient(matched_iou_c)
+    num_fg_c = norm_fg(fg_c)
+    safe_c = jnp.maximum(matched_gt_c, 0)
+    tgt_labels_c = jnp.take_along_axis(gt_labels, safe_c, axis=1)
+    onehot = jax.nn.one_hot(tgt_labels_c, num_classes,
+                            dtype=cls_logits.dtype)
+    cls_tgt = onehot * matched_iou_c[..., None]
+    w_cls = _level_weights(fg_c, level_counts)  # (B, A)
+    lc = _bce_probs(cls_logits, cls_tgt).sum(-1)
+    loss_cls = jnp.sum(
+        lc * fg_c.astype(jnp.float32) * w_cls) / num_fg_c
+
+    # --- reg half: cls + 3*iou assignment ----------------------------------
+    fg_r, matched_gt_r, _ = assign(1.0, 3.0)
+    num_fg_r = norm_fg(fg_r)
+    safe_r = jnp.maximum(matched_gt_r, 0)
+    tgt_boxes_r = jnp.take_along_axis(gt_boxes, safe_r[..., None], axis=1)
+    w_reg = _level_weights(fg_r, level_counts)
+    fg_rf = fg_r.astype(jnp.float32)
+    lb = iou_loss(decoded.reshape(-1, 4), tgt_boxes_r.reshape(-1, 4))
+    loss_bbox = 5.0 * jnp.sum(
+        lb * (fg_rf * w_reg).reshape(-1)) / num_fg_r
+    # obj BCE over ALL anchors, level-weighted (RegLoss:587)
+    loss_obj = jnp.sum(_bce_probs(obj_logits, fg_rf) * w_reg) / num_fg_r
+
+    total = loss_cls + loss_bbox + loss_obj
+    return YOLOXLossOut(total, loss_cls, loss_bbox, loss_obj,
+                        jnp.zeros(()), num_fg_r)
