@@ -66,6 +66,25 @@ class TrainConfig:
     # logging) fire at group boundaries, so ot_interval and log_interval
     # must be multiples of K (validated at loop start).
     steps_per_call: int = 1
+    # multi-scale training (yolox family only).  Non-empty = every
+    # multiscale_interval steps the train size hops to a deterministic
+    # pseudo-random entry of this list (parallel/mesh.py
+    # multiscale_size: a step-seeded hash every host computes
+    # identically — the zero-communication replacement for the
+    # reference's rank-0 NCCL size broadcast, SyncRandomSizeHook).  The
+    # loader stays at data.img_hw; each size is its own compiled step
+    # that resizes on device (steps.py make_yolox_train_step
+    # resize_from), so expect one extra compile per size.  Sizes should
+    # be 32-multiples.
+    multiscale_sizes: Tuple[int, ...] = ()
+    multiscale_interval: int = 10
+    # iteration-based training (mmdet IterBasedRunner +
+    # InfiniteGroupBatchSampler analog, samplers/infinite_sampler.py:9).
+    # >0 = train for exactly this many optimizer steps on an endless
+    # grouped sample stream (no epoch boundaries; epoch-cadenced hooks
+    # — checkpoint/eval — fire every len(dataset)/batch_size steps).
+    # LR schedules span max_iters instead of epochs*steps_per_epoch.
+    max_iters: int = 0
     # two-phase frozen-backbone recipe (yolox-drone train.py:196-262:
     # Freeze_Epoch phase with Freeze_lr/Freeze_batch_size and
     # backbone.requires_grad=False, then a fresh optimizer unfrozen).

@@ -188,6 +188,62 @@ class DistributedGroupSampler(GroupSampler):
         return global_batches[self.rank::self.num_replicas]
 
 
+class InfiniteGroupBatchSampler:
+    """Iteration-based grouped sampler (infinite stream, no epochs).
+
+    Behavioral reference: ``yolox-ufp/mmdet/datasets/samplers/
+    infinite_sampler.py:9`` (InfiniteGroupBatchSampler, the
+    IterBasedRunner data path, detectron2 buffering logic): an endless
+    seeded permutation stream, sliced ``rank::world_size``, with
+    per-aspect-group buffers that emit a batch whenever one group
+    accumulates ``batch_size`` members.  Unlike the epoch samplers
+    there is no padding and no epoch boundary — coverage is asymptotic
+    and batches are always single-group.
+
+    Deterministic pure function of (seed, rank): no torch generator or
+    dist handshake needed.
+    """
+
+    infinite = True
+
+    def __init__(self, dataset_or_flags, batch_size: int,
+                 num_replicas: int = 1, rank: int = 0, seed: int = 0,
+                 shuffle: bool = True):
+        flags = (dataset_or_flags
+                 if isinstance(dataset_or_flags, np.ndarray)
+                 else aspect_ratio_flags(dataset_or_flags))
+        if not 0 <= rank < num_replicas:
+            raise ValueError(f"rank {rank} not in [0, {num_replicas})")
+        self.flags = flags
+        self.batch_size = batch_size
+        self.num_replicas = num_replicas
+        self.rank = rank
+        self.seed = seed
+        self.shuffle = shuffle
+        self.size = len(flags)
+
+    def _infinite_indices(self):
+        rng = np.random.RandomState(self.seed % (2 ** 31))
+        while True:
+            if self.shuffle:
+                yield from rng.permutation(self.size)
+            else:
+                yield from range(self.size)
+
+    def __iter__(self):
+        import itertools
+
+        buffers = {int(g): [] for g in np.unique(self.flags)}
+        stream = itertools.islice(self._infinite_indices(), self.rank,
+                                  None, self.num_replicas)
+        for idx in stream:
+            buf = buffers[int(self.flags[idx])]
+            buf.append(int(idx))
+            if len(buf) == self.batch_size:
+                yield np.asarray(buf[:])
+                del buf[:]
+
+
 def train_loader(pipeline: TrainPipeline, batch_size: int, seed: int = 0,
                  num_threads: int = 4,
                  prefetch: int = 4,
@@ -205,7 +261,9 @@ def train_loader(pipeline: TrainPipeline, batch_size: int, seed: int = 0,
         epoch = 0
         master = np.random.RandomState(seed)
         while not stop.is_set():
-            if sampler is not None:
+            if getattr(sampler, "infinite", False):
+                schedule = sampler          # endless batch stream
+            elif sampler is not None:
                 schedule = sampler.epoch_batches(epoch)
             else:
                 order = master.permutation(n)

@@ -35,6 +35,7 @@ from glsdet_tpu.config import Config
 from glsdet_tpu.data.coco import CocoDataset
 from glsdet_tpu.data.loader import TrainPipeline, train_loader
 from glsdet_tpu.models import GFLDet, MPDet, YOLOXDetector
+from glsdet_tpu.parallel.mesh import multiscale_size
 from glsdet_tpu.train import schedules
 from glsdet_tpu.train.boiw import enable_emd_training, init_boiw, update_ot
 from glsdet_tpu.train.state import TrainState
@@ -103,7 +104,9 @@ def make_state_template(cfg: Config, variables, tx, rng):
 def build_optimizer(cfg: Config, steps_per_epoch: int,
                     frozen_sections: Tuple[str, ...] = ()):
     t = cfg.train
-    total = t.epochs * steps_per_epoch
+    # iter-based mode: schedules span max_iters, not epochs (mmdet
+    # IterBasedRunner semantics)
+    total = t.max_iters or t.epochs * steps_per_epoch
     if t.optimizer == "yolox_sgd":
         sched = schedules.yolox_warm_cos(
             t.base_lr, t.warmup_epochs * steps_per_epoch, total,
@@ -375,6 +378,13 @@ def _train_run(cfg: Config, dataset: Optional[CocoDataset] = None,
         hsv=cfg.data.hsv, flip_prob=cfg.data.flip_prob,
         raw_uint8=True)
     steps_per_epoch = max(len(dataset) // cfg.data.batch_size, 1)
+    # iteration-based mode (mmdet IterBasedRunner analog): an exact
+    # optimizer-step budget on the infinite grouped sample stream;
+    # epoch-cadenced hooks keep firing every steps_per_epoch steps
+    iter_based = cfg.train.max_iters > 0
+    if iter_based:
+        max_steps = (cfg.train.max_iters if max_steps is None
+                     else min(max_steps, cfg.train.max_iters))
 
     model = build_model(cfg)
     tx = build_optimizer(cfg, steps_per_epoch,
@@ -445,12 +455,38 @@ def _train_run(cfg: Config, dataset: Optional[CocoDataset] = None,
     step_fn_l1 = (step_fn if raw_step_l1 is raw_step
                   else jax.jit(raw_step_l1, donate_argnums=(0,)))
 
+    # multi-scale training: one compiled step per size, each resizing
+    # the base-size batch on device (SyncRandomSizeHook analog; see
+    # config TrainConfig.multiscale_sizes).  jax.jit is lazy, so only
+    # sizes the schedule actually visits pay a compile.
+    ms_sizes = tuple(cfg.train.multiscale_sizes or ())
+    ms_steps = {}
+    if ms_sizes:
+        if cfg.model.family in ("mpdet", "gfl"):
+            raise ValueError(
+                "train.multiscale_sizes is a YOLOX-recipe feature "
+                "(the MP-Det recipe trains fixed-size crops)")
+        strides = family_strides(cfg.model.family)
+        for s in ms_sizes:
+            if s % 32:
+                raise ValueError(f"multiscale size {s} not a 32-multiple")
+            mk = lambda use_l1, s=s: make_yolox_train_step(
+                model, tx, (s, s), use_l1=use_l1, strides=strides,
+                normalize=True, resize_from=cfg.data.img_hw)
+            ms_steps[s] = (jax.jit(mk(False), donate_argnums=(0,)),
+                           jax.jit(mk(True), donate_argnums=(0,)))
+
     # K optimizer steps per dispatch (config.train.steps_per_call,
     # steps.py make_scan_train_step). Host hooks fire at group
     # boundaries, so hook intervals must align.
     spc = max(int(cfg.train.steps_per_call), 1)
     group_fn = group_fn_l1 = None
     group_sh = None
+    if ms_sizes and spc > 1:
+        raise ValueError(
+            "train.multiscale_sizes requires steps_per_call=1 (per-size "
+            "scan-group programs would multiply the compile budget; pick "
+            "one of the two)")
     if spc > 1:
         for knob in ("ot_interval", "log_interval"):
             val = getattr(cfg.train, knob)
@@ -471,7 +507,13 @@ def _train_run(cfg: Config, dataset: Optional[CocoDataset] = None,
 
     local_batch = cfg.data.batch_size // n_proc
     sampler = None
-    if n_proc > 1:
+    if iter_based:
+        from glsdet_tpu.data.loader import InfiniteGroupBatchSampler
+
+        sampler = InfiniteGroupBatchSampler(
+            dataset, local_batch, num_replicas=n_proc,
+            rank=jax.process_index(), seed=cfg.train.seed)
+    elif n_proc > 1:
         from glsdet_tpu.data.loader import DistributedGroupSampler
 
         sampler = DistributedGroupSampler(
@@ -514,12 +556,20 @@ def _train_run(cfg: Config, dataset: Optional[CocoDataset] = None,
     jit_update_ot = jax.jit(
         lambda b, k: update_ot(b, k, cfg.model.proxies_list))
 
-    for epoch in range(start_epoch, cfg.train.epochs):
+    n_epochs = cfg.train.epochs
+    if iter_based:
+        # enough epoch-shaped chunks to cover the step budget; the
+        # max_steps check inside the loop stops exactly at max_iters
+        n_epochs = start_epoch - (-max_steps // steps_per_epoch) + 1
+    for epoch in range(start_epoch, n_epochs):
         # epoch-indexed hooks run on the GLOBAL epoch so schedules stay
         # continuous across freeze/unfreeze phases (epoch_offset=0 in
         # single-phase runs)
         gepoch = epoch + epoch_offset
-        last_phase = epoch >= cfg.train.epochs - cfg.train.num_last_epochs
+        # the last-epochs mode switch (no-aug + L1) is an epoch-recipe
+        # feature; iter-based runs keep augmentation on throughout
+        last_phase = (not iter_based and
+                      epoch >= cfg.train.epochs - cfg.train.num_last_epochs)
         if last_phase:
             pipeline.disable_aug()
         fn = step_fn_l1 if last_phase else step_fn
@@ -559,7 +609,14 @@ def _train_run(cfg: Config, dataset: Optional[CocoDataset] = None,
                 stepped = spc
             else:
                 batch = next(loader)
-                state, metrics = fn(state, put_batch(batch))
+                if ms_steps:
+                    s = multiscale_size(global_step, ms_sizes,
+                                        cfg.train.multiscale_interval)
+                    sized = ms_steps[s]
+                    fn_ms = sized[1] if last_phase else sized[0]
+                    state, metrics = fn_ms(state, put_batch(batch))
+                else:
+                    state, metrics = fn(state, put_batch(batch))
                 stepped = 1
             it += stepped
             global_step += stepped

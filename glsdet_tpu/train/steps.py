@@ -54,14 +54,39 @@ def make_yolox_train_step(model, tx: optax.GradientTransformation,
                           img_hw: Tuple[int, int],
                           use_l1: bool = False,
                           strides: Tuple[int, ...] = YOLOX_STRIDES,
-                          normalize: bool = False) -> Callable:
-    """Returns step(state, batch) -> (state, metrics)."""
+                          normalize: bool = False,
+                          resize_from: Tuple[int, int] = None) -> Callable:
+    """Returns step(state, batch) -> (state, metrics).
+
+    resize_from: when set, batches arrive at this spatial size and the
+    step bilinear-resizes images to ``img_hw`` ON DEVICE, scaling the
+    gt boxes by the ratio — the multi-scale-training primitive.  The
+    reference achieves multi-scale by re-sizing in the data pipeline
+    after an NCCL size broadcast (SyncRandomSizeHook,
+    yolox-ufp/mmdet/core/hook/sync_random_size_hook.py:52); with fixed
+    shapes the loader stays at one base size and each target size is
+    its own compiled program doing its own device-side resize (the
+    mmdetection-YOLOX ``_preprocess`` analog).
+    """
     centers_np, strides_np, _ = grid_points(img_hw, strides, offset=0.5)
     priors_cxy = jnp.asarray(centers_np)
     priors_stride = jnp.asarray(strides_np)
+    do_resize = (resize_from is not None
+                 and tuple(resize_from) != tuple(img_hw))
 
     def step(state: TrainState, batch):
-        images = _prep_images(batch["images"], normalize)
+        images = batch["images"]
+        gt_boxes = batch["gt_boxes"]
+        if do_resize:
+            b, _, _, c = images.shape
+            images = jax.image.resize(
+                images.astype(jnp.float32),
+                (b, img_hw[0], img_hw[1], c), "bilinear")
+            sy = img_hw[0] / resize_from[0]
+            sx = img_hw[1] / resize_from[1]
+            gt_boxes = gt_boxes * jnp.asarray(
+                [sx, sy, sx, sy], gt_boxes.dtype)
+        images = _prep_images(images, normalize)
 
         def loss_fn(params):
             out, mut = model.apply(
@@ -72,7 +97,7 @@ def make_yolox_train_step(model, tx: optax.GradientTransformation,
             losses = yolox_loss(
                 cls_f.astype(jnp.float32), reg_f.astype(jnp.float32),
                 obj_f.astype(jnp.float32), priors_cxy, priors_stride,
-                batch["gt_boxes"], batch["gt_labels"], batch["gt_valid"],
+                gt_boxes, batch["gt_labels"], batch["gt_valid"],
                 use_l1=use_l1)
             return losses.total, (losses, mut["batch_stats"])
 

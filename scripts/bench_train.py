@@ -49,10 +49,55 @@ def _mk_batch(rs, b, hw, max_gt=20):
             "gt_labels": jnp.asarray(labels), "gt_valid": jnp.asarray(valid)}
 
 
+def _synthetic_coco(root: str, n_images: int, img_hw, rs,
+                    num_classes: int = 10):
+    """Write a VisDrone-shaped synthetic COCO set once (cached by dir).
+
+    Source images are ~1.6x the train size so the pipeline's decode +
+    mosaic resampling costs are representative, with dense-ish random
+    boxes (VisDrone frames average tens of objects)."""
+    import json as _json
+
+    import cv2
+    import numpy as np
+
+    ann_path = os.path.join(root, "train.json")
+    img_dir = os.path.join(root, "images")
+    if os.path.exists(ann_path):
+        return ann_path, img_dir
+    os.makedirs(img_dir, exist_ok=True)
+    h = int(img_hw[0] * 1.6)
+    w = int(img_hw[1] * 1.6)
+    images, annotations = [], []
+    aid = 1
+    for i in range(n_images):
+        img = rs.randint(0, 255, (h, w, 3), np.uint8)
+        cv2.imwrite(os.path.join(img_dir, f"{i:04d}.jpg"), img)
+        images.append({"id": i + 1, "file_name": f"{i:04d}.jpg",
+                       "width": w, "height": h})
+        for _ in range(int(rs.randint(20, 60))):
+            bw = float(rs.uniform(8, 80))
+            bh = float(rs.uniform(8, 80))
+            x = float(rs.uniform(0, w - bw))
+            y = float(rs.uniform(0, h - bh))
+            annotations.append({
+                "id": aid, "image_id": i + 1,
+                "category_id": int(rs.randint(1, num_classes + 1)),
+                "bbox": [x, y, bw, bh], "area": bw * bh, "iscrowd": 0})
+            aid += 1
+    with open(ann_path, "w") as f:
+        _json.dump({
+            "images": images, "annotations": annotations,
+            "categories": [{"id": c + 1, "name": f"c{c}"}
+                           for c in range(num_classes)]}, f)
+    return ann_path, img_dir
+
+
 def bench_train(model_name: str = "mpdet", batch: int = 8,
                 size: int | None = None, steps: int = 20,
                 remat: bool = True, donate: bool = True,
-                scan_steps: int = 1,
+                scan_steps: int = 1, with_data: bool = False,
+                data_workers: int = 0,
                 peak_gbps: float = 819.0, peak_tflops: float = 197.0,
                 log=print) -> dict:
     import jax
@@ -100,6 +145,30 @@ def bench_train(model_name: str = "mpdet", batch: int = 8,
     log(f"{model_name} init done (b{batch}@{hw[0]}, remat={remat}, "
         f"donate={donate})")
 
+    loader = None
+    if with_data:
+        # real host input pipeline (mosaic+affine+mixup+hsv ON), the
+        # thing the synthetic-array mode can't see: whether the host can
+        # FEED the chip at the device rate (VERDICT: input-bound training
+        # is a real failure mode the device-only bench never measures).
+        import multiprocessing
+
+        from glsdet_tpu.data.coco import CocoDataset
+        from glsdet_tpu.data.loader import TrainPipeline, train_loader
+
+        workers = data_workers or min(8, multiprocessing.cpu_count())
+        data_root = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            ".jax_cache", f"bench_train_data_{hw[0]}")
+        ann, img_root = _synthetic_coco(data_root, 64, hw, rs)
+        ds = CocoDataset(ann, img_root)
+        pipeline = TrainPipeline(ds, hw, max_gt=300, raw_uint8=True)
+        loader = train_loader(pipeline, batch, seed=0,
+                              num_threads=workers,
+                              prefetch=2 * max(scan_steps, 1))
+        log(f"data pipeline on: 64-image synthetic set, {workers} "
+            f"loader threads, mosaic+mixup+hsv")
+
     jit_kw = {"donate_argnums": (0,)} if donate else {}
     if scan_steps > 1:
         # K optimizer steps per dispatch (train/steps.py
@@ -108,19 +177,31 @@ def bench_train(model_name: str = "mpdet", batch: int = 8,
         from glsdet_tpu.train import make_scan_train_step, stack_batches
 
         step_fn = make_scan_train_step(step_fn)
-        batch_d = jax.tree.map(
-            jnp.asarray,
-            stack_batches([_mk_batch(rs, batch, hw)
-                           for _ in range(scan_steps)]))
+        if loader is None:
+            fixed = jax.tree.map(
+                jnp.asarray,
+                stack_batches([_mk_batch(rs, batch, hw)
+                               for _ in range(scan_steps)]))
+            next_batch = lambda: fixed   # device-resident, zero host cost
+        else:
+            next_batch = lambda: jax.tree.map(
+                jnp.asarray,
+                stack_batches([next(loader) for _ in range(scan_steps)]))
     else:
-        batch_d = _mk_batch(rs, batch, hw)
+        if loader is None:
+            fixed = _mk_batch(rs, batch, hw)
+            next_batch = lambda: fixed
+        else:
+            next_batch = lambda: jax.tree.map(jnp.asarray, next(loader))
+    batch_d = next_batch()
     step = jax.jit(step_fn, **jit_kw)
 
     # cost_analysis BEFORE running (donation invalidates `state` after
     # the first call)
-    flops = bytes_ = None
+    flops = bytes_ = traffic_bytes = None
     try:
-        ca = step.lower(state, batch_d).compile().cost_analysis()
+        compiled = step.lower(state, batch_d).compile()
+        ca = compiled.cost_analysis()
         if isinstance(ca, (list, tuple)):
             ca = ca[0]
         # already per optimizer step even when scan_steps>1: XLA's
@@ -131,6 +212,18 @@ def bench_train(model_name: str = "mpdet", batch: int = 8,
         # single-step program
         flops = float(ca.get("flops", 0.0))
         bytes_ = float(ca.get("bytes accessed", 0.0))
+        # fusion-level HBM traffic (scripts/hlo_traffic.py): XLA's
+        # bytes-accessed bills intra-fusion values as HBM and overcounts
+        # small models several-fold (yolox measured 6.2x the roofline in
+        # r03) — the entry-dataflow sum is the bandwidth term a roofline
+        # can stand on
+        try:
+            from hlo_traffic import compiled_traffic
+
+            traffic_bytes = float(compiled_traffic(compiled)["bytes"])
+        except Exception as e:
+            log(f"hlo traffic model unavailable: "
+                f"{type(e).__name__}: {e}")
     except Exception as e:  # backend-dependent
         log(f"cost_analysis unavailable: {type(e).__name__}: {e}")
 
@@ -147,11 +240,11 @@ def bench_train(model_name: str = "mpdet", batch: int = 8,
 
     # warm once more, then time a chained run; the final scalar
     # readback forces the whole chain on the tunnel backend
-    state, metrics = step(state, batch_d)
+    state, metrics = step(state, next_batch())
     last_loss(metrics)
     t0 = time.time()
     for _ in range(steps):
-        state, metrics = step(state, batch_d)
+        state, metrics = step(state, next_batch())
     last = last_loss(metrics)
     dt = time.time() - t0
     opt_steps = steps * scan_steps
@@ -167,36 +260,39 @@ def bench_train(model_name: str = "mpdet", batch: int = 8,
         "platform": jax.devices()[0].platform,
         "ms_per_step": round(1000 * dt / opt_steps, 1),
         "scan_steps": scan_steps,
+        "data_included": bool(with_data),
     }
     if flops:
         peak_bw = peak_gbps * 1e9
         peak_fl = peak_tflops * 1e12
-        t_roof = max(bytes_ / peak_bw, flops / peak_fl)
+        # bandwidth term: the measured entry-dataflow traffic when
+        # available (see above), else XLA's overcounting bytes-accessed
+        bw_bytes = traffic_bytes if traffic_bytes else bytes_
+        t_roof = max(bw_bytes / peak_bw, flops / peak_fl)
         roof_ips = batch / t_roof
         mfu = (flops / (dt / opt_steps)) / peak_fl
         detail["roofline"] = {
-            "per_step": {"flops": flops, "bytes": bytes_},
+            "per_step": {"flops": flops, "bytes_cost_model": bytes_,
+                         "bytes_hbm_traffic": traffic_bytes},
             "assumed_hbm_GBps": peak_gbps,
             "assumed_peak_TFLOPs": peak_tflops,
             "roofline_images_per_sec": round(roof_ips, 1),
             "fraction_of_roofline": round(ips / roof_ips, 3),
             "mfu": round(mfu, 3),
-            "bound": ("hbm" if bytes_ / peak_bw > flops / peak_fl
+            "bound": ("hbm" if bw_bytes / peak_bw > flops / peak_fl
                       else "mxu"),
         }
         if ips > roof_ips:
-            # XLA's "bytes accessed" counts every operand of every
-            # fused op at full size, which can overcount small models
-            # several-fold — when the measured rate beats the "ideal",
-            # the bytes model is wrong and MFU is the meaningful figure
             detail["roofline"]["note"] = (
-                "cost-model bytes overcount (measured exceeds roofline);"
-                " read MFU, not fraction_of_roofline")
+                "bytes model overcounts (measured exceeds roofline); "
+                "read MFU, not fraction_of_roofline")
         log(f"roofline {roof_ips:.0f} img/s ideal -> {ips:.1f} = "
             f"{ips / roof_ips:.1%}; MFU {mfu:.1%} "
-            f"({detail['roofline']['bound']}-bound)")
+            f"({detail['roofline']['bound']}-bound, bw bytes "
+            f"{'traffic' if traffic_bytes else 'cost-model'})")
     return {
-        "metric": f"{model_name}_train_images_per_sec_per_chip",
+        "metric": (f"{model_name}_train_images_per_sec_per_chip"
+                   + ("_with_data" if with_data else "")),
         "value": round(ips, 3),
         "unit": "images/sec/chip",
         # generous reference-GPU estimate: mmdet GFL-R50 1x trains at
@@ -218,6 +314,12 @@ def main(argv=None):
     ap.add_argument("--no-donate", action="store_true")
     ap.add_argument("--scan-steps", type=int, default=1,
                     help="optimizer steps per dispatch (lax.scan group)")
+    ap.add_argument("--with-data", action="store_true",
+                    help="pull batches through the real TrainPipeline/"
+                         "train_loader (mosaic+affine+hsv on) instead of "
+                         "fixed device-resident arrays")
+    ap.add_argument("--data-workers", type=int, default=0,
+                    help="loader threads for --with-data (0 = auto)")
     args = ap.parse_args(argv)
 
     import jax
@@ -239,7 +341,9 @@ def main(argv=None):
         out = bench_train(name, batch=args.batch, size=args.size,
                           steps=args.steps, remat=not args.no_remat,
                           donate=not args.no_donate,
-                          scan_steps=args.scan_steps, log=log)
+                          scan_steps=args.scan_steps,
+                          with_data=args.with_data,
+                          data_workers=args.data_workers, log=log)
         print(json.dumps(out), flush=True)
         outs.append(out)
     if args.model == "both":

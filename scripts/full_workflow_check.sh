@@ -45,6 +45,16 @@ python tools/train.py coarse_det \
     train.warmup_epochs=2 train.num_last_epochs=5 train.ckpt_interval=60 \
     train.log_interval=24 eval.coarse_score_thr=0.05
 
+echo "=== stage 1b: iter-based training (max_iters / infinite sampler) ==="
+python tools/train.py coarse_det \
+  --ann "$WD/train.json" --img-root "$WD/images" \
+  --work-dir "$WD/coarse_iter" \
+  --cfg-options model.phi=nano model.dtype=float32 model.num_classes=10 \
+    data.batch_size=4 data.img_hw="(256,256)" data.max_gt=20 \
+    data.mosaic=False data.mixup=False data.hsv=False data.flip_prob=0.0 \
+    data.num_workers=2 train.max_iters=6 train.base_lr=0.002 \
+    train.ckpt_interval=100 train.log_interval=2 | tail -2
+
 python tools/draw_cam.py --config coarse_det \
   --checkpoint "$WD/coarse/epoch_60" --image "$WD/images/0000.jpg" \
   --out "$WD/cam.jpg" \
@@ -138,5 +148,14 @@ python scripts/multihost_smoke.py --num-processes 8 2>&1 | tail -3
 
 echo "=== stage 8: perf ledger consistent with driver artifacts ==="
 python scripts/perf_ledger.py --check > /dev/null
+
+echo "=== stage 9: multi-chip driver gate (8-device virtual mesh) ==="
+# the EXACT check the driver runs — a red gate here must fail the
+# workflow, never ship (round-3 lesson: MULTICHIP_r03 shipped red)
+XLA_FLAGS="--xla_force_host_platform_device_count=8" JAX_PLATFORMS=cpu \
+  python -c "import __graft_entry__ as g; g.dryrun_multichip(8)" 2>&1 | tail -5
+
+echo "=== stage 10: multi-chip pytest subset ==="
+JAX_PLATFORMS=cpu python -m pytest tests/test_multichip.py -q 2>&1 | tail -2
 
 echo "WORKFLOW CHECK COMPLETE"

@@ -1,0 +1,135 @@
+"""Fusion-level HBM-traffic model from optimized HLO text.
+
+XLA's ``cost_analysis()['bytes accessed']`` counts every operand of
+every op INSIDE a fusion at full size, so values that only ever live in
+registers/VMEM get billed as HBM traffic — measured 6.2x above the
+physically-possible roofline on the YOLOX train step (TRAINBENCH r03
+note), which makes ``fraction_of_roofline`` meaningless.  What actually
+moves through HBM is the ENTRY-computation dataflow: each top-level
+instruction (fusion, convolution, dot, custom-call, ...) reads its
+operands from HBM and writes its result back.  Summing those buffer
+sizes — a producer-consumer pair counted once on write and once on
+read, which is what the memory system does — gives a defensible
+traffic estimate to build a bandwidth roofline on.
+
+Known approximations (documented, small for the train programs):
+- ``while`` bodies (lax.scan) count once, not per trip — the only
+  whiles in the train steps are small-k top-k scans with few-MB
+  carries;
+- an operand read twice by one instruction counts twice (worst case;
+  XLA usually holds the reuse in VMEM);
+- plumbing ops (parameter, tuple, get-tuple-element, bitcast,
+  constant, ...) move no data and are skipped as instructions, but DO
+  define names other instructions read through (a get-tuple-element of
+  a fusion result is a view, so the read is billed at the gte's shape).
+
+Parses the post-compilation ``compiled.as_text()`` (instruction-level
+HLO python bindings are not exposed by jaxlib).
+"""
+
+from __future__ import annotations
+
+import re
+
+_NO_TRAFFIC_OPS = {
+    "parameter", "constant", "tuple", "get-tuple-element", "bitcast",
+    "after-all", "add-dependency", "partition-id", "replica-id",
+    "copy-start", "copy-done",
+}
+
+_BITS = {
+    "pred": 8, "s4": 4, "u4": 4, "s8": 8, "u8": 8, "s16": 16, "u16": 16,
+    "s32": 32, "u32": 32, "s64": 64, "u64": 64, "f8e4m3fn": 8,
+    "f8e5m2": 8, "bf16": 16, "f16": 16, "f32": 32, "f64": 64,
+    "c64": 64, "c128": 128,
+}
+
+_SHAPE_RE = re.compile(r"\b(" + "|".join(_BITS) + r")\[([0-9,]*)\]")
+_OPCODE_RE = re.compile(r" ([a-z][a-z0-9-]*)\(")
+_NAME_RE = re.compile(r"%[\w.+-]*|[\w.+-]+")
+
+
+def _type_bytes(type_str: str) -> int:
+    """Bytes of a result type string (tuples = sum of members)."""
+    total = 0
+    for prim, dims in _SHAPE_RE.findall(type_str):
+        n = 1
+        for d in dims.split(","):
+            if d:
+                n *= int(d)
+        total += (n * _BITS[prim]) // 8
+    return total
+
+
+def _split_instruction(stripped: str):
+    """'%name = <type> <opcode>(<operands>), attrs' -> parts or None."""
+    if " = " not in stripped:
+        return None
+    lhs, rhs = stripped.split(" = ", 1)
+    name = lhs.replace("ROOT", "").strip()
+    m = _OPCODE_RE.search(rhs)
+    if m is None:
+        return None
+    type_str = rhs[:m.start()]
+    opcode = m.group(1)
+    # first balanced paren group after the opcode = the operand list
+    depth = 0
+    start = m.end() - 1
+    end = start
+    for i in range(start, len(rhs)):
+        if rhs[i] == "(":
+            depth += 1
+        elif rhs[i] == ")":
+            depth -= 1
+            if depth == 0:
+                end = i
+                break
+    operands = rhs[start + 1:end]
+    return name, type_str, opcode, operands
+
+
+def hlo_entry_traffic(hlo_text: str) -> dict:
+    """Sum operand+result bytes over the ENTRY computation's
+    non-plumbing instructions.  Returns {'bytes', 'instructions'}."""
+    # pass 1: name -> result bytes for EVERY entry instruction
+    sizes = {}
+    entry_lines = []
+    in_entry = False
+    for line in hlo_text.splitlines():
+        stripped = line.strip()
+        if stripped.startswith("ENTRY "):
+            in_entry = True
+            continue
+        if in_entry and stripped == "}":
+            in_entry = False
+            continue
+        if not in_entry:
+            continue
+        parts = _split_instruction(stripped)
+        if parts is None:
+            continue
+        name, type_str, opcode, operands = parts
+        sizes[name.lstrip("%")] = _type_bytes(type_str)
+        entry_lines.append((name, type_str, opcode, operands))
+
+    total = 0
+    n_instr = 0
+    for name, type_str, opcode, operands in entry_lines:
+        if opcode in _NO_TRAFFIC_OPS:
+            continue
+        n_instr += 1
+        total += _type_bytes(type_str)              # result write
+        if _SHAPE_RE.search(operands):
+            # typed operand form: shapes inline
+            total += _type_bytes(operands)
+        else:
+            for tok in operands.split(","):
+                tok = tok.strip().lstrip("%")
+                if tok in sizes:
+                    total += sizes[tok]             # operand read
+    return {"bytes": total, "instructions": n_instr}
+
+
+def compiled_traffic(compiled) -> dict:
+    """Traffic model for a jax ``.lower(...).compile()`` executable."""
+    return hlo_entry_traffic(compiled.as_text())

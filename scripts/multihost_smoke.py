@@ -28,19 +28,27 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 COORD = "127.0.0.1:29781"
 MARK = "MULTIHOST_STEP"
-CACHE = os.path.join(REPO, ".jax_cache")
+CACHE = os.path.join(REPO, ".jax_cache", "multihost")
 
 
 def _enable_compile_cache():
-    """Share compiled programs across the smoke's worker processes.
+    """Persistent-cache opt-in (GLSDET_SMOKE_CACHE=1) — OFF by default.
 
-    All N workers trace the SAME global-view programs (identical HLO and
-    16-wide device assignment), so on a small host the N concurrent XLA
-    compiles are pure waste — the persistent cache collapses them to one
-    compile (done up-front by the launcher's prime pass) + N fast loads.
+    Round-4 root cause: executables AOT-LOADED from the persistent cache
+    execute their gloo collectives in a different order / pairing than
+    freshly-JIT-compiled ones, crashing the first MP-Det step with
+    `gloo pair.cc:459 op.preamble.length <= op.nbytes (256 vs 32)`.
+    Reproduced deterministically: every cache-hit run fails, every
+    fresh-compile run passes (incl. 5x loops), on identical HLO and
+    flags.  Multi-process CPU-gloo programs therefore must NOT load
+    from the cache; the former launcher "prime pass" existed only to
+    warm it, so it is gone too.  Real-TPU programs are unaffected
+    (ICI/DCN collectives are not gloo).
     """
     import jax
 
+    if os.environ.get("GLSDET_SMOKE_CACHE", "0") != "1":
+        return
     jax.config.update("jax_compilation_cache_dir", CACHE)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
@@ -92,6 +100,9 @@ def worker(pid: int, nproc: int) -> None:
     bs = NamedSharding(mesh, P("data"))
     repl = NamedSharding(mesh, P())
 
+    # debug knob: GLSDET_SMOKE_ONLY=mp skips the YOLOX phase (used to
+    # isolate the gloo collective-ordering crash to the MP-Det program)
+    only_mp = os.environ.get("GLSDET_SMOKE_ONLY") == "mp"
     model = YOLOXDetector(num_classes=10, phi="nano")
     rng = jax.random.PRNGKey(0)
     variables = jax.jit(
@@ -130,16 +141,22 @@ def worker(pid: int, nproc: int) -> None:
         }
 
     for i in range(3):
+        if only_mp:
+            break
         state, metrics = step(state, global_batch(i))
         loss = float(metrics["loss"])   # host readback syncs every host
         assert np.isfinite(loss), f"step {i}: non-finite loss {loss}"
         print(f"[{pid}] {MARK} {i} loss={loss:.6f}", flush=True)
 
-    # replicated-state contract: every host reads the same params
-    pnorm = float(
-        jax.tree.reduce(
+    # replicated-state contract: every host reads the same params.
+    # ONE jitted program, not a per-leaf eager chain: every eager op on
+    # a global array is its own dispatched program, and hundreds of tiny
+    # asynchronous dispatches interleaving with the next phase's
+    # collectives is exactly the kind of skew gloo cannot tolerate.
+    pnorm = float(jax.jit(
+        lambda p: jax.tree.reduce(
             lambda a, x: a + jnp.sum(jnp.abs(x.astype(jnp.float32))),
-            state.params, jnp.float32(0)))
+            p, jnp.float32(0)))(state.params))
     print(f"[{pid}] MULTIHOST_OK param_l1={pnorm:.4f}", flush=True)
 
     # MP-Det phase: the BoIW dictionary is the one piece of *stateful*
@@ -161,12 +178,25 @@ def worker(pid: int, nproc: int) -> None:
     boiw = init_boiw(rng2, num_classes=2, num_words=16, feat_channels=256,
                      proxies_list=proxies)
     mp_tx = yolox_sgd(yolox_warm_cos(0.01, 10, 100, 10))
+    # phase boundary: drain the YOLOX phase's asynchronously-dispatched
+    # collectives on EVERY process before the MP phase's replicated
+    # device_put opens new gloo ops, then re-align the processes.  The
+    # first phase's steps are async — without the drain, a fast worker's
+    # MP-phase assert-equal allgather can interleave with a slow
+    # worker's still-executing train-step collectives on the same gloo
+    # pairs (observed as pair.cc:459 'op.preamble.length <= op.nbytes'
+    # length mismatches followed by a SIGABRT).
+    jax.block_until_ready(state.params)
+    print(f"[{pid}] phase: yolox drained", flush=True)
+    _coord_barrier("glsdet_smoke_mp_phase", 900_000)
     mp_state = jax.device_put(
         TrainState.create(mp_vars, mp_tx, rng2, boiw=boiw), repl)
+    print(f"[{pid}] phase: mp state placed", flush=True)
     mp_step = jax.jit(make_mpdet_train_step(mp, mp_tx, (H, W), 2, proxies),
                       in_shardings=(repl, bs), donate_argnums=(0,))
     for i in range(2):
         mp_state, mp_metrics = mp_step(mp_state, global_batch(10 + i))
+        jax.block_until_ready(mp_state)
         loss = float(mp_metrics["loss"])
         assert np.isfinite(loss), f"mp step {i}: non-finite {loss}"
         print(f"[{pid}] {MARK}_MP {i} loss={loss:.6f}", flush=True)
@@ -175,38 +205,22 @@ def worker(pid: int, nproc: int) -> None:
     print(f"[{pid}] MULTIHOST_MP_OK boiw_l1={boiw_l1:.4f} "
           f"ptr_sum={ptr_sum}", flush=True)
 
+    # orderly teardown: drain all in-flight device work, re-align every
+    # process, then shut the distributed client down explicitly instead
+    # of racing atexit hooks (a worker that tears down its gloo context
+    # while a peer still has collectives in flight aborts the peer).
+    jax.block_until_ready(mp_state.params)
+    _coord_barrier("glsdet_smoke_done", 900_000)
+    jax.distributed.shutdown()
+
 
 def launcher(nproc: int) -> int:
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
     flags = env.get("XLA_FLAGS", "")
     if "xla_force_host_platform_device_count" not in flags:
-        env["XLA_FLAGS"] = (
-            flags + " --xla_force_host_platform_device_count=2").strip()
-    # Prime the persistent compilation cache with ONE single-process run
-    # that sees the same 2*nproc-wide global device list: the workers'
-    # programs (identical HLO + device assignment) then load from cache
-    # instead of nproc concurrent XLA compiles grinding a small host.
-    if os.environ.get("GLSDET_SMOKE_PRIME", "1") != "0":
-        prime_env = dict(env)
-        prime_env["XLA_FLAGS"] = (
-            env["XLA_FLAGS"].replace(
-                "--xla_force_host_platform_device_count=2",
-                f"--xla_force_host_platform_device_count={2 * nproc}"))
-        try:
-            prime = subprocess.run(
-                [sys.executable, os.path.abspath(__file__),
-                 "--process-id", "0", "--num-processes", "1"],
-                env=prime_env, stdout=subprocess.PIPE,
-                stderr=subprocess.STDOUT, text=True,
-                timeout=int(os.environ.get("GLSDET_SMOKE_TIMEOUT_S",
-                                           "1500")))
-            tag = "ok" if prime.returncode == 0 else "FAILED (non-fatal)"
-            print(f"cache prime pass: {tag}", flush=True)
-            if prime.returncode != 0:
-                sys.stdout.write(prime.stdout)
-        except subprocess.TimeoutExpired:
-            print("cache prime pass: timeout (non-fatal)", flush=True)
+        flags = (flags + " --xla_force_host_platform_device_count=2").strip()
+    env["XLA_FLAGS"] = flags
     procs = [
         subprocess.Popen(
             [sys.executable, os.path.abspath(__file__),
