@@ -297,6 +297,15 @@ def train_loader(pipeline: TrainPipeline, batch_size: int, seed: int = 0,
             yield q.get()
     finally:
         stop.set()
+        # unblock a producer stuck in q.put so it can observe stop and
+        # exit; a daemon thread hard-killed mid-wait at interpreter
+        # shutdown aborts the process ("FATAL: exception not rethrown")
+        try:
+            while True:
+                q.get_nowait()
+        except queue.Empty:
+            pass
+        th.join(timeout=5)
 
 
 def eval_loader(pipeline: EvalPipeline, batch_size: int) -> Iterator[dict]:

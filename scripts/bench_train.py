@@ -247,6 +247,8 @@ def bench_train(model_name: str = "mpdet", batch: int = 8,
         state, metrics = step(state, next_batch())
     last = last_loss(metrics)
     dt = time.time() - t0
+    if loader is not None:
+        loader.close()   # join the producer thread (clean teardown)
     opt_steps = steps * scan_steps
     ips = opt_steps * batch / dt
     assert np.isfinite(last), "non-finite loss after timed steps"
@@ -262,6 +264,12 @@ def bench_train(model_name: str = "mpdet", batch: int = 8,
         "scan_steps": scan_steps,
         "data_included": bool(with_data),
     }
+    if with_data:
+        import multiprocessing
+
+        detail["loader_threads"] = (data_workers
+                                    or min(8, multiprocessing.cpu_count()))
+        detail["host_cpus"] = multiprocessing.cpu_count()
     if flops:
         peak_bw = peak_gbps * 1e9
         peak_fl = peak_tflops * 1e12

@@ -114,20 +114,42 @@ def hlo_entry_traffic(hlo_text: str) -> dict:
 
     total = 0
     n_instr = 0
+    by_opcode = {}
     for name, type_str, opcode, operands in entry_lines:
         if opcode in _NO_TRAFFIC_OPS:
             continue
         n_instr += 1
-        total += _type_bytes(type_str)              # result write
-        if _SHAPE_RE.search(operands):
-            # typed operand form: shapes inline
-            total += _type_bytes(operands)
-        else:
+        out_b = _type_bytes(type_str)               # result write
+
+        def operand_bytes():
+            if _SHAPE_RE.search(operands):
+                return _type_bytes(operands)        # typed operand form
+            b = 0
             for tok in operands.split(","):
                 tok = tok.strip().lstrip("%")
                 if tok in sizes:
-                    total += sizes[tok]             # operand read
-    return {"bytes": total, "instructions": n_instr}
+                    b += sizes[tok]                 # operand read
+            return b
+
+        if opcode in ("slice", "dynamic-slice", "gather"):
+            # these READ only result-shaped bytes from the (possibly
+            # huge) operand — billing the full operand would overcount
+            in_b = out_b
+        elif opcode.endswith("-start"):
+            # async wrapper pairs (async-start/-done around a fusion):
+            # the start's tuple RESULT aliases its own operands plus the
+            # eventual outputs — billing it double/triple-counts every
+            # buffer.  Count reads at -start, writes at -done.
+            in_b, out_b = operand_bytes(), 0
+        elif opcode.endswith("-done") or opcode.endswith("-update"):
+            in_b = 0                                # token/tuple alias
+        else:
+            in_b = operand_bytes()
+        total += out_b + in_b
+        by_opcode[opcode] = by_opcode.get(opcode, 0) + out_b + in_b
+    return {"bytes": total, "instructions": n_instr,
+            "by_opcode": dict(sorted(by_opcode.items(),
+                                     key=lambda kv: -kv[1]))}
 
 
 def compiled_traffic(compiled) -> dict:
