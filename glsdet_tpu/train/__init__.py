@@ -30,6 +30,7 @@ from glsdet_tpu.train.yolox_loss import (
     yolox_loss,
     yolox_loss_3assign,
     yolox_loss_decoupled,
+    yolox_loss_fpn_weight,
 )
 
 __all__ = [
@@ -63,4 +64,5 @@ __all__ = [
     "yolox_loss",
     "yolox_loss_3assign",
     "yolox_loss_decoupled",
+    "yolox_loss_fpn_weight",
 ]

@@ -221,14 +221,18 @@ def yolox_loss_3assign(
     )
 
 
-def _level_weights(fg: jnp.ndarray, level_counts) -> jnp.ndarray:
+def _level_weights(fg: jnp.ndarray, level_counts,
+                   mode: str = "minmax") -> jnp.ndarray:
     """Per-image per-FPN-level weights from positive counts.
 
-    ``generate_weights`` (yolox_losses_decoupled.py:216): within each
-    image, a level with ``n`` positives gets
-    ``2 - (n - min) / (max - min)`` (2.0 when all levels tie), where
-    min/max run over that image's levels.  Returns a per-ANCHOR weight
-    map (B, A) with each level's weight broadcast over its anchors.
+    ``generate_weights``: within each image, a level with ``n``
+    positives gets
+    - mode='minmax' (yolox_losses_decoupled.py:216, fpn_weight family):
+      ``2 - (n - min) / (max - min)`` (2.0 when all levels tie);
+    - mode='softmax' (yolox_losses_fpn_weight_sigmoid640v2.py:209):
+      ``1.5 - softmax(n / sum(n))`` (all-ones when no positives).
+    Returns a per-ANCHOR weight map (B, A) with each level's weight
+    broadcast over its anchors.
     """
     parts, start = [], 0
     counts = []
@@ -236,13 +240,143 @@ def _level_weights(fg: jnp.ndarray, level_counts) -> jnp.ndarray:
         counts.append(fg[:, start:start + n].sum(axis=1).astype(jnp.float32))
         start += n
     c = jnp.stack(counts, axis=1)  # (B, L)
-    mx = c.max(axis=1, keepdims=True)
-    mn = c.min(axis=1, keepdims=True)
-    w = jnp.where(mx - mn > 0, 2.0 - (c - mn) / (mx - mn),
-                  jnp.full_like(c, 2.0))  # (B, L)
+    if mode == "softmax":
+        total = c.sum(axis=1, keepdims=True)
+        frac = c / jnp.maximum(total, 1.0)
+        w = jnp.where(total > 0,
+                      1.5 - jax.nn.softmax(frac, axis=1),
+                      jnp.ones_like(c))
+    else:
+        mx = c.max(axis=1, keepdims=True)
+        mn = c.min(axis=1, keepdims=True)
+        w = jnp.where(mx - mn > 0, 2.0 - (c - mn) / (mx - mn),
+                      jnp.full_like(c, 2.0))  # (B, L)
     for k, n in enumerate(level_counts):
         parts.append(jnp.broadcast_to(w[:, k:k + 1], (fg.shape[0], n)))
     return jnp.concatenate(parts, axis=1)  # (B, A)
+
+
+def _candidate_mask(priors_cxy: jnp.ndarray, priors_stride: jnp.ndarray,
+                    gt_boxes: jnp.ndarray, gt_valid: jnp.ndarray,
+                    center_radius: float = 2.5) -> jnp.ndarray:
+    """(B, A) SimOTA candidate mask: prior center inside ANY valid gt
+    box OR inside the 2.5-strides center region of any gt — the
+    ``is_in_boxes_anchor`` mask from get_in_boxes_info, which the dw
+    loss snapshots as ``is_in_box = fg_mask.clone()`` BEFORE matching
+    (yolox_losses_dw_sigmoid640.py:341)."""
+    x, y = priors_cxy[:, 0], priors_cxy[:, 1]
+    in_box = ((x[None, None, :] > gt_boxes[:, :, 0:1])
+              & (x[None, None, :] < gt_boxes[:, :, 2:3])
+              & (y[None, None, :] > gt_boxes[:, :, 1:2])
+              & (y[None, None, :] < gt_boxes[:, :, 3:4]))
+    gt_cxy = (gt_boxes[..., :2] + gt_boxes[..., 2:4]) / 2.0
+    rad = center_radius * priors_stride  # (A,)
+    in_center = (
+        (x[None, None, :] > gt_cxy[..., 0:1] - rad[None, None, :])
+        & (x[None, None, :] < gt_cxy[..., 0:1] + rad[None, None, :])
+        & (y[None, None, :] > gt_cxy[..., 1:2] - rad[None, None, :])
+        & (y[None, None, :] < gt_cxy[..., 1:2] + rad[None, None, :]))
+    cand = (in_box | in_center) & gt_valid[:, :, None]
+    return cand.any(axis=1)
+
+
+def yolox_loss_fpn_weight(
+    cls_logits: jnp.ndarray,
+    reg_raw: jnp.ndarray,
+    obj_logits: jnp.ndarray,
+    priors_cxy: jnp.ndarray,
+    priors_stride: jnp.ndarray,
+    level_counts,
+    gt_boxes: jnp.ndarray,
+    gt_labels: jnp.ndarray,
+    gt_valid: jnp.ndarray,
+    sigmoid: bool = True,
+    weight_mode: str = "minmax",
+    neg_cls_terms: bool = False,
+    axis_name: Optional[str] = None,
+) -> YOLOXLossOut:
+    """FPN-level-reweighted loss family.
+
+    Behavioral references (yolox-drone/models/losses):
+    - ``yolox_losses_fpn_weight.py`` — ``sigmoid=False``: ONE global
+      SimOTA assignment on raw head outputs, each image's FPN levels
+      weighted by positive counts (``generate_weights`` min-max
+      formula), raw-probability BCE, total = sum_w(5*iou + obj + cls)
+      / num_fg;
+    - ``yolox_losses_fpn_weight_sigmoid.py`` (and its 640/960 fpn_size
+      presets — pure config here, level_counts already derives from
+      img_hw) — ``sigmoid=True``: sigmoid-both assignment cost and
+      BCE-with-logits losses;
+    - ``..._sigmoid640v2.py`` — ``weight_mode='softmax'``: the
+      1.5 - softmax(count-fraction) weight formula;
+    - ``yolox_losses_dw_sigmoid640.py`` — ``neg_cls_terms=True``:
+      level weights pinned to 1.0 plus two extra negative-anchor cls
+      terms: focal (alpha .25, gamma 2) vs zero targets on anchors
+      OUTSIDE every gt box, and BCE-with-logits of the logits against
+      THEMSELVES on in-box negatives (:278-292, reproduced verbatim —
+      the self-target is the reference's code as written).
+    """
+    b, a, num_classes = cls_logits.shape
+    grids = priors_cxy / priors_stride[:, None] - 0.5
+    decoded = decode_boxes(reg_raw, grids, priors_stride)
+
+    def assign_one(dec, cls_l, obj_l, gtb, gtl, gtv):
+        cls_p = jax.nn.sigmoid(cls_l) if sigmoid else cls_l
+        obj_p = jax.nn.sigmoid(obj_l) if sigmoid else obj_l
+        return sim_ota_assign(
+            priors_cxy, priors_stride, dec,
+            jax.lax.stop_gradient(cls_p), jax.lax.stop_gradient(obj_p),
+            gtb, gtl, gtv)
+
+    fg, matched_gt, matched_iou = jax.vmap(assign_one)(
+        decoded, cls_logits, obj_logits, gt_boxes, gt_labels, gt_valid)
+    matched_iou = jax.lax.stop_gradient(matched_iou)
+    num_fg = jnp.sum(fg.astype(jnp.float32))
+    if axis_name is not None:
+        num_fg = jax.lax.pmean(num_fg, axis_name)
+    num_fg = jnp.maximum(num_fg, 1.0)
+
+    safe_gt = jnp.maximum(matched_gt, 0)
+    tgt_boxes = jnp.take_along_axis(gt_boxes, safe_gt[..., None], axis=1)
+    tgt_labels = jnp.take_along_axis(gt_labels, safe_gt, axis=1)
+    onehot = jax.nn.one_hot(tgt_labels, num_classes, dtype=cls_logits.dtype)
+    cls_tgt = onehot * matched_iou[..., None]
+    fg_f = fg.astype(jnp.float32)
+
+    if neg_cls_terms:
+        w = jnp.ones_like(fg_f)         # dw variant: weight = 1.0
+    else:
+        w = _level_weights(fg, level_counts, mode=weight_mode)
+
+    bce = bce_with_logits if sigmoid else _bce_probs
+    lb = iou_loss(decoded.reshape(-1, 4), tgt_boxes.reshape(-1, 4))
+    loss_bbox = 5.0 * jnp.sum(
+        lb * (fg_f * w).reshape(-1)) / num_fg
+    loss_obj = jnp.sum(bce(obj_logits, fg_f) * w) / num_fg
+    lc = bce(cls_logits, cls_tgt).sum(-1)
+    loss_cls = jnp.sum(lc * fg_f * w) / num_fg
+
+    total = loss_cls + loss_bbox + loss_obj
+    if neg_cls_terms:
+        cand = _candidate_mask(priors_cxy, priors_stride,
+                               gt_boxes, gt_valid)
+        outside = (~fg) & (~cand)
+        inside_neg = (~fg) & cand
+        ce0 = bce_with_logits(cls_logits, jnp.zeros_like(cls_logits))
+        # target=0 arm of py_focal_loss_with_logits
+        # (yolox_losses_dw_sigmoid640.py:27): its ``pt`` uses the RAW
+        # LOGITS, not their sigmoid (reference quirk, kept verbatim) —
+        # focal_weight = (1 - alpha) * logits**gamma = 0.75 * x^2
+        focal0 = (0.75 * cls_logits ** 2 * ce0).sum(-1)
+        loss_neg_out = jnp.sum(
+            focal0 * outside.astype(jnp.float32)) / num_fg
+        self_bce = bce_with_logits(cls_logits, cls_logits).sum(-1)
+        loss_neg_in = jnp.sum(
+            self_bce * inside_neg.astype(jnp.float32)) / num_fg
+        total = total + loss_neg_out + loss_neg_in
+
+    return YOLOXLossOut(total, loss_cls, loss_bbox, loss_obj,
+                        jnp.zeros(()), num_fg)
 
 
 def yolox_loss_decoupled(

@@ -58,6 +58,14 @@ def ref_losses():
                 "models.losses.yolox_losses_no_sigmoid"),
             "decoupled": importlib.import_module(
                 "models.losses.yolox_losses_decoupled"),
+            "fpn_weight": importlib.import_module(
+                "models.losses.yolox_losses_fpn_weight"),
+            "fpn_weight_sigmoid": importlib.import_module(
+                "models.losses.yolox_losses_fpn_weight_sigmoid"),
+            "fpn_weight_softmax": importlib.import_module(
+                "models.losses.yolox_losses_fpn_weight_sigmoid640v2"),
+            "dw": importlib.import_module(
+                "models.losses.yolox_losses_dw_sigmoid640"),
         }
         yield mods
     finally:
@@ -178,6 +186,39 @@ def test_decoupled_full_loss_parity(ref_losses):
         err_msg="reg half")
     np.testing.assert_allclose(float(out.total), want_cls + want_reg,
                                rtol=2e-4)
+    assert float(out.num_fg) >= 1
+
+
+@pytest.mark.parametrize("key,kwargs", [
+    ("fpn_weight", dict(sigmoid=False)),
+    ("fpn_weight_sigmoid", dict(sigmoid=True)),
+    ("fpn_weight_softmax", dict(sigmoid=True, weight_mode="softmax")),
+    ("dw", dict(sigmoid=True, neg_cls_terms=True)),
+])
+def test_fpn_weight_family_parity(ref_losses, key, kwargs):
+    """The FPN-level-reweighting family (incl. the softmax-weight v2 and
+    the dw negative-cls-terms variant) == yolox_loss_fpn_weight.  The
+    640/960 files differ from these only in their hardcoded fpn_size
+    preset, which is pure config in the fixed-shape design (level
+    counts derive from img_hw)."""
+    from glsdet_tpu.train.yolox_loss import yolox_loss_fpn_weight
+
+    inputs, gts = _fixture(seed=29)
+    mod = ref_losses[key]
+    ref_loss = mod.YOLOLoss(NUM_CLASSES, strides=list(STRIDES),
+                            fpn_size=list(SIZES))
+    with torch.no_grad():
+        want = float(ref_loss(
+            [torch.from_numpy(x.copy()) for x in inputs],
+            [torch.from_numpy(g) for g in gts]))
+
+    (cls_f, reg_f, obj_f, centers, strides, counts,
+     gt_boxes, gt_labels, gt_valid) = _jax_args(inputs, gts)
+    out = yolox_loss_fpn_weight(cls_f, reg_f, obj_f, centers, strides,
+                                counts, gt_boxes, gt_labels, gt_valid,
+                                **kwargs)
+    np.testing.assert_allclose(float(out.total), want, rtol=2e-4,
+                               err_msg=key)
     assert float(out.num_fg) >= 1
 
 
