@@ -116,9 +116,6 @@ def worker(pid: int, nproc: int) -> None:
     # generous timeout and starts everyone's 30s window together.
     _coord_barrier("glsdet_smoke_startup", 900_000)
     state = jax.device_put(TrainState.create(variables, tx, rng), repl)
-    step = jax.jit(make_yolox_train_step(model, tx, (H, W)),
-                   in_shardings=(repl, bs),
-                   donate_argnums=(0,))
 
     # per-host local batch shard -> one global array (the DCN data path:
     # every host loads only its slice of the global batch)
@@ -139,6 +136,19 @@ def worker(pid: int, nproc: int) -> None:
                 bs, v, (B_global, *v.shape[1:]))
             for k, v in local.items()
         }
+
+    # AOT-compile the step BEFORE a barrier, execute AFTER it: with the
+    # persistent cache off (see _enable_compile_cache), N concurrent
+    # fresh compiles on a small host can skew workers by minutes, and a
+    # program's first collective only gives its peers gloo's hard-30s
+    # context rendezvous window.  Compile skew lands on the barrier
+    # (900s budget); execution then starts aligned.
+    step = jax.jit(make_yolox_train_step(model, tx, (H, W)),
+                   in_shardings=(repl, bs),
+                   donate_argnums=(0,)).lower(
+                       state, global_batch(-1)).compile()
+    print(f"[{pid}] phase: yolox compiled", flush=True)
+    _coord_barrier("glsdet_smoke_yolox_compiled", 900_000)
 
     for i in range(3):
         if only_mp:
@@ -192,8 +202,15 @@ def worker(pid: int, nproc: int) -> None:
     mp_state = jax.device_put(
         TrainState.create(mp_vars, mp_tx, rng2, boiw=boiw), repl)
     print(f"[{pid}] phase: mp state placed", flush=True)
-    mp_step = jax.jit(make_mpdet_train_step(mp, mp_tx, (H, W), 2, proxies),
-                      in_shardings=(repl, bs), donate_argnums=(0,))
+    # AOT compile + barrier before the first execution (same compile-
+    # skew rationale as the yolox phase; the MP-Det program compiles
+    # for minutes fresh on a small host)
+    mp_step = jax.jit(
+        make_mpdet_train_step(mp, mp_tx, (H, W), 2, proxies),
+        in_shardings=(repl, bs), donate_argnums=(0,)).lower(
+            mp_state, global_batch(9)).compile()
+    print(f"[{pid}] phase: mp compiled", flush=True)
+    _coord_barrier("glsdet_smoke_mp_compiled", 900_000)
     for i in range(2):
         mp_state, mp_metrics = mp_step(mp_state, global_batch(10 + i))
         jax.block_until_ready(mp_state)
@@ -229,9 +246,12 @@ def launcher(nproc: int) -> int:
             text=True)
         for i in range(nproc)
     ]
-    # 8-proc runs on a loaded host spend most of the budget in 8x2
-    # parallel XLA compiles; give them room (GLSDET_SMOKE_TIMEOUT_S)
-    budget = int(os.environ.get("GLSDET_SMOKE_TIMEOUT_S", "1500"))
+    # with the persistent cache off (the AOT-load gloo bug), every
+    # worker compiles fresh; N concurrent compiles contend for the
+    # host's cores, so the default budget scales with N
+    # (GLSDET_SMOKE_TIMEOUT_S overrides)
+    budget = int(os.environ.get("GLSDET_SMOKE_TIMEOUT_S",
+                                str(1500 if nproc <= 2 else 4500)))
     outs = [p.communicate(timeout=budget)[0] for p in procs]
     ok = True
     losses, boiw = [], []
