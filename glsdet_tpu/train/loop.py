@@ -272,6 +272,15 @@ def train(cfg: Config, dataset: Optional[CocoDataset] = None,
     across phases.
     """
     if cfg.train.freeze_epochs > 0:
+        if cfg.train.max_iters > 0:
+            # each phase would otherwise apply the FULL max_iters budget
+            # independently (2x the asked steps); the reference also has
+            # no iter-based two-phase recipe (IterBasedRunner vs the
+            # drone trainer's epoch phases) — reject the combination
+            raise ValueError(
+                "train.max_iters (iteration-based mode) cannot be "
+                "combined with train.freeze_epochs (the epoch-based "
+                "two-phase freeze recipe)")
         return _train_two_phase(cfg, dataset, max_steps, eval_fn)
     return _train_run(cfg, dataset, max_steps, eval_fn)
 

@@ -110,3 +110,22 @@ class TestLoop:
             tmp_path / "wd" / "train.log.json")]
         assert [e["step"] for e in log] == [1, 2, 3, 4, 5]
         assert all(np.isfinite(e["loss"]) for e in log)
+
+    def test_max_iters_rejects_two_phase_freeze(self, tiny_coco,
+                                                tmp_path):
+        """iter mode + the two-phase freeze recipe would give EACH phase
+        the full max_iters budget — rejected up front."""
+        from glsdet_tpu.config import apply_overrides, get_config
+        from glsdet_tpu.train.loop import train
+
+        ann, img_root = tiny_coco
+        cfg = get_config("coarse_det")
+        apply_overrides(cfg, {
+            "model.phi": "nano", "model.dtype": "float32",
+            "model.num_classes": 1,
+            "data.ann_file": ann, "data.img_root": img_root,
+            "data.img_hw": (64, 64), "data.batch_size": 4,
+            "train.max_iters": 5, "train.freeze_epochs": 1,
+            "train.work_dir": str(tmp_path / "wd2")})
+        with pytest.raises(ValueError, match="max_iters"):
+            train(cfg)
