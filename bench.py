@@ -225,8 +225,12 @@ def main():
     roofline = None
     try:
         ca = pipe.cost_analysis((765, 1360))
+        # bandwidth term: the measured entry-dataflow traffic when
+        # available (hlo_traffic, same methodology as the train bench);
+        # falls back to XLA's overcounting bytes-accessed
         t_roof = sum(
-            max(ca[s]["bytes"] / peak_bw, ca[s]["flops"] / peak_fl)
+            max(ca[s].get("bytes_traffic", ca[s]["bytes"]) / peak_bw,
+                ca[s]["flops"] / peak_fl)
             for s in ("coarse", "stage2"))
         roof_ips = 1.0 / t_roof
         roofline = {

@@ -1013,12 +1013,34 @@ class TwoStagePipeline:
         cvars, mvars = self._vars_for(dev)
 
         def _per_image(lowered):
-            ca = lowered.compile().cost_analysis() or {}
-            return {
+            compiled = lowered.compile()
+            ca = compiled.cost_analysis() or {}
+            out = {
                 "flops": float(ca.get("flops", float("nan"))) / b,
                 "bytes": float(ca.get("bytes accessed",
                                       float("nan"))) / b,
             }
+            # fusion-level HBM traffic (scripts/hlo_traffic.py): the
+            # cost model bills intra-fusion values as HBM and
+            # overcounts — entry-dataflow bytes are what a bandwidth
+            # roofline can stand on (same methodology as the train
+            # bench, ARCHITECTURE §9 round-4)
+            try:
+                import os as _os
+                import sys as _sys
+
+                _scripts = _os.path.join(_os.path.dirname(_os.path.dirname(
+                    _os.path.dirname(_os.path.abspath(__file__)))),
+                    "scripts")
+                if _scripts not in _sys.path:
+                    _sys.path.append(_scripts)
+                from hlo_traffic import compiled_traffic
+
+                out["bytes_traffic"] = (
+                    float(compiled_traffic(compiled)["bytes"]) / b)
+            except Exception:
+                pass
+            return out
 
         out = {"batch": b, "bucket": bk}
         out["coarse"] = _per_image(self._coarse_jit.lower(cvars, dev))
