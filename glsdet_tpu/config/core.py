@@ -78,6 +78,12 @@ class TrainConfig:
     # be 32-multiples.
     multiscale_sizes: Tuple[int, ...] = ()
     multiscale_interval: int = 10
+    # bbox regression loss for the YOLOX families: 'square' is the
+    # reference recipe (1 - iou^2); 'giou' is a rebuild extra whose
+    # gradient attracts DISJOINT boxes — use it when training from
+    # scratch without mosaic (the square mode plateaus there until the
+    # last-epochs L1 phase; see train/yolox_loss.py bbox_loss_mode)
+    bbox_loss_mode: str = "square"
     # iteration-based training (mmdet IterBasedRunner +
     # InfiniteGroupBatchSampler analog, samplers/infinite_sampler.py:9).
     # >0 = train for exactly this many optimizer steps on an endless

@@ -456,10 +456,10 @@ def _train_run(cfg: Config, dataset: Optional[CocoDataset] = None,
         strides = family_strides(cfg.model.family)
         raw_step = make_yolox_train_step(
             model, tx, cfg.data.img_hw, use_l1=False, strides=strides,
-            normalize=True)
+            normalize=True, bbox_loss_mode=cfg.train.bbox_loss_mode)
         raw_step_l1 = make_yolox_train_step(
             model, tx, cfg.data.img_hw, use_l1=True, strides=strides,
-            normalize=True)
+            normalize=True, bbox_loss_mode=cfg.train.bbox_loss_mode)
     step_fn = jax.jit(raw_step, donate_argnums=(0,))
     step_fn_l1 = (step_fn if raw_step_l1 is raw_step
                   else jax.jit(raw_step_l1, donate_argnums=(0,)))
@@ -481,7 +481,8 @@ def _train_run(cfg: Config, dataset: Optional[CocoDataset] = None,
                 raise ValueError(f"multiscale size {s} not a 32-multiple")
             mk = lambda use_l1, s=s: make_yolox_train_step(
                 model, tx, (s, s), use_l1=use_l1, strides=strides,
-                normalize=True, resize_from=cfg.data.img_hw)
+                normalize=True, resize_from=cfg.data.img_hw,
+                bbox_loss_mode=cfg.train.bbox_loss_mode)
             ms_steps[s] = (jax.jit(mk(False), donate_argnums=(0,)),
                            jax.jit(mk(True), donate_argnums=(0,)))
 

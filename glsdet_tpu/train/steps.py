@@ -55,7 +55,8 @@ def make_yolox_train_step(model, tx: optax.GradientTransformation,
                           use_l1: bool = False,
                           strides: Tuple[int, ...] = YOLOX_STRIDES,
                           normalize: bool = False,
-                          resize_from: Tuple[int, int] = None) -> Callable:
+                          resize_from: Tuple[int, int] = None,
+                          bbox_loss_mode: str = "square") -> Callable:
     """Returns step(state, batch) -> (state, metrics).
 
     resize_from: when set, batches arrive at this spatial size and the
@@ -98,7 +99,7 @@ def make_yolox_train_step(model, tx: optax.GradientTransformation,
                 cls_f.astype(jnp.float32), reg_f.astype(jnp.float32),
                 obj_f.astype(jnp.float32), priors_cxy, priors_stride,
                 gt_boxes, batch["gt_labels"], batch["gt_valid"],
-                use_l1=use_l1)
+                use_l1=use_l1, bbox_loss_mode=bbox_loss_mode)
             return losses.total, (losses, mut["batch_stats"])
 
         (total, (losses, new_bs)), grads = jax.value_and_grad(

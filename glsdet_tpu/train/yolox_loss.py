@@ -69,6 +69,7 @@ def yolox_loss(
     axis_name: Optional[str] = None,
     cls_loss_type: str = "bce",
     variant: str = "mmdet",
+    bbox_loss_mode: str = "square",
 ) -> YOLOXLossOut:
     """Args:
         cls_logits: (B, A, C); reg_raw: (B, A, 4) pre-decode; obj: (B, A).
@@ -86,6 +87,15 @@ def yolox_loss(
             - 'no_sigmoid' (yolox_losses_no_sigmoid.py): raw head
               outputs in the cost AND raw-probability BCE for both obj
               and cls.
+        bbox_loss_mode: 'square' (reference default, 1 - iou^2) /
+            'linear' / 'log' (IOUloss modes, yolox_losses.py:45) /
+            'giou' — a TPU-rebuild EXTRA: the square/linear/log modes
+            all have ZERO gradient on disjoint box pairs, so
+            from-scratch training without mosaic can plateau at
+            loss_bbox = 5.0 until the last-epochs L1 phase rescues it
+            (measured: big_synthetic_check stays saturated for ~95% of
+            coarse training); GIoU attracts disjoint boxes through the
+            enclosing-box term.
     """
     if variant not in ("mmdet", "cls_sigmoid", "no_sigmoid"):
         raise ValueError(f"unknown yolox loss variant: {variant!r}")
@@ -124,8 +134,14 @@ def yolox_loss(
 
     fg_f = fg.astype(jnp.float32)
 
-    # IoU loss (mode 'square', weight 5.0)
-    lb = iou_loss(decoded.reshape(-1, 4), tgt_boxes.reshape(-1, 4))
+    # IoU loss (reference mode 'square', weight 5.0; giou opt-in above)
+    if bbox_loss_mode == "giou":
+        from glsdet_tpu.losses import giou_loss
+
+        lb = giou_loss(decoded.reshape(-1, 4), tgt_boxes.reshape(-1, 4))
+    else:
+        lb = iou_loss(decoded.reshape(-1, 4), tgt_boxes.reshape(-1, 4),
+                      mode=bbox_loss_mode)
     loss_bbox = 5.0 * jnp.sum(lb * fg_f.reshape(-1)) / num_fg
 
     # objectness BCE over all anchors; the no-sigmoid family treats the

@@ -249,3 +249,36 @@ def test_variant_gradients_finite():
         grads = jax.grad(fn, argnums=(0, 1, 2))(cls_f, reg_f, obj_f)
         for g in grads:
             assert bool(jnp.all(jnp.isfinite(g))), name
+
+
+def test_bbox_loss_mode_giou_escapes_disjoint_plateau():
+    """bbox_loss_mode='giou' (rebuild extra): gradients w.r.t. the raw
+    regression outputs are NONZERO for matched-but-disjoint boxes,
+    where the reference 'square' mode's vanish (the from-scratch
+    plateau documented in yolox_loss)."""
+    import jax
+    import jax.numpy as jnp
+
+    inputs, gts = _fixture(seed=31)
+    (cls_f, reg_f, obj_f, centers, strides, _counts,
+     gt_boxes, gt_labels, gt_valid) = _jax_args(inputs, gts)
+    from glsdet_tpu.train.yolox_loss import yolox_loss
+
+    # shrink every predicted box to ~0.1px so every matched pair is
+    # disjoint: wh = exp(raw)*stride, raw=-6 -> 0.02*stride
+    reg_small = reg_f.at[..., 2:].set(-6.0)
+
+    def bbox_term(mode):
+        def f(r):
+            return yolox_loss(cls_f, r, obj_f, centers, strides,
+                              gt_boxes, gt_labels, gt_valid,
+                              bbox_loss_mode=mode).loss_bbox
+        val = f(reg_small)
+        g = jax.grad(f)(reg_small)
+        return float(val), float(jnp.max(jnp.abs(g)))
+
+    v_sq, g_sq = bbox_term("square")
+    v_gi, g_gi = bbox_term("giou")
+    assert v_sq > 4.99           # fully saturated: no overlap anywhere
+    assert g_sq < 1e-5           # ...and NO gradient to escape with
+    assert g_gi > 1e-3           # giou pulls disjoint boxes together
