@@ -51,6 +51,16 @@ python tools/train.py coarse_det \
     train.num_last_epochs=10 train.ckpt_interval=150 \
     train.log_interval=100 eval.coarse_score_thr=0.1
 
+echo "=== stage 1b: coarse-only AP (informational) ==="
+# stage-1 quality on its own: the square-IoU recipe converges
+# localization only in the last-epochs L1 phase, so expect the
+# high-AP@.5 / low-AP@.75 profile (r04 reference point on this set:
+# 0.330 / 0.685 / 0.233 @ [.5:.95] / .5 / .75) — the e2e AP is carried
+# by MP-Det; watch this number when touching the coarse recipe
+python tools/test.py coarse_det --ckpt "$WD/coarse/epoch_150" \
+  --ann "$WD/train.json" --img-root "$WD/images" \
+  --cfg-options eval.score_thr=0.05 2>&1 | grep -E "AP@|AP small|AP medium"
+
 echo "=== stage 2: UFP dataset build ==="
 python tools/build_ufp_dataset.py coarse_det "$WD/coarse/epoch_150" \
   "$WD/train.json" "$WD/images" "$WD/ufp" \
