@@ -39,6 +39,17 @@ class DataConfig:
     hsv: bool = True
     flip_prob: float = 0.5
     num_workers: int = 4
+    # render the color stage (mixup blend + HSV jitter) on device inside
+    # the train step (data/device_color.py) — host keeps parameter
+    # sampling + exact box geometry.  Frees ~half the per-sample host
+    # cost on CPU-starved hosts; pixel numerics differ from the cv2
+    # path by <=2 codes on <1% of pixels (see device_color docstring).
+    device_color: bool = True
+    # decoded-image RAM cache (CocoDataset cache_images): mosaic decodes
+    # 4 images per sample, the dominant host cost once the color stage
+    # is on device.  Off by default (RAM budget is the caller's call).
+    cache_images: bool = False
+    cache_bytes: int = 4 << 30
 
 
 @dataclass

@@ -34,10 +34,21 @@ class CocoDataset:
     """Index of a COCO json; images loaded lazily by the pipeline."""
 
     def __init__(self, ann_file: str, img_root: str,
-                 filter_empty: bool = False):
+                 filter_empty: bool = False,
+                 cache_images: bool = False,
+                 cache_bytes: int = 4 << 30):
         with open(ann_file) as f:
             coco = json.load(f)
         self.img_root = img_root
+        # decoded-image RAM cache (the yolox-drone dataloader's
+        # cache-in-RAM training mode analog): mosaic reads 4 images per
+        # sample, so on a CPU-starved host jpeg/png decode dominates the
+        # input pipeline.  Insert-until-budget, no eviction — datasets
+        # that fit are fully resident, larger ones cache a stable prefix.
+        self.cache_images = cache_images
+        self.cache_bytes = int(cache_bytes)
+        self._cache: Dict[int, np.ndarray] = {}
+        self._cache_used = 0
         self.categories = sorted(
             coco.get("categories", []), key=lambda c: c["id"])
         self.cat_ids = [c["id"] for c in self.categories]
@@ -80,11 +91,21 @@ class CocoDataset:
     def load_image(self, rec: CocoRecord) -> np.ndarray:
         import cv2
 
+        if self.cache_images:
+            cached = self._cache.get(rec.img_id)
+            if cached is not None:
+                return cached
         path = os.path.join(self.img_root, rec.file_name)
         img = cv2.imread(path)  # BGR uint8
         if img is None:
             raise FileNotFoundError(path)
-        return cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+        img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+        if self.cache_images and self._cache_used + img.nbytes <= \
+                self.cache_bytes:
+            img.setflags(write=False)   # shared across loader threads
+            self._cache[rec.img_id] = img
+            self._cache_used += img.nbytes
+        return img
 
 
 # ImageNet mean/std of the mmdet pipelines (configs *img_norm_cfg*).

@@ -35,7 +35,8 @@ class TrainPipeline:
     def __init__(self, dataset: CocoDataset, img_hw: Tuple[int, int],
                  max_gt: int = 300, mosaic: bool = True,
                  enable_mixup: bool = True, hsv: bool = True,
-                 flip_prob: float = 0.5, raw_uint8: bool = False):
+                 flip_prob: float = 0.5, raw_uint8: bool = False,
+                 device_color: bool = False):
         self.ds = dataset
         self.img_hw = img_hw
         self.max_gt = max_gt
@@ -46,6 +47,14 @@ class TrainPipeline:
         # raw_uint8: skip host-side normalize; the train step normalizes
         # on device (4x smaller host->device transfer)
         self.raw_uint8 = raw_uint8
+        # device_color: move the COLOR stage (mixup pixel blend + HSV
+        # jitter) on device too — the host samples the parameters and
+        # does the exact box geometry, the train step renders the pixels
+        # (data/device_color.py).  On a CPU-starved host this halves the
+        # per-sample cost: the blend + two cv2.cvtColor passes are the
+        # most expensive host ops after normalize.  Implies raw uint8
+        # images; batches gain mix_images/mix_weight/hsv_deltas keys.
+        self.device_color = device_color
 
     def disable_aug(self):
         """YOLOXModeSwitchHook analog: last-15-epochs plain pipeline."""
@@ -59,6 +68,7 @@ class TrainPipeline:
 
     def __call__(self, idx: int, rng: np.random.RandomState) -> dict:
         n = len(self.ds)
+        mix_img = None              # device_color: deferred pixel blend
         if self.mosaic:
             idxs = [idx] + [rng.randint(n) for _ in range(3)]
             imgs, bxs, lbs = zip(*[self._load(i) for i in idxs])
@@ -69,22 +79,64 @@ class TrainPipeline:
             if self.mixup and rng.rand() < 0.5 and len(self.ds) > 1:
                 img2, b2, l2 = self._load(rng.randint(n))
                 img2, b2, _, _ = letterbox(img2, b2, self.img_hw)
-                img, boxes, labels = mixup(
-                    img, boxes, labels, img2, b2, l2, rng)
+                if self.device_color:
+                    # GT concat is mixup()'s box half; pixels blend in
+                    # the train step (device_color.apply_color)
+                    mix_img = img2
+                    boxes = (np.concatenate([boxes, b2])
+                             if len(b2) else boxes)
+                    labels = (np.concatenate([labels, l2])
+                              if len(l2) else labels)
+                else:
+                    img, boxes, labels = mixup(
+                        img, boxes, labels, img2, b2, l2, rng)
         else:
             img, boxes, labels = self._load(idx)
             img, boxes, _, _ = letterbox(img, boxes, self.img_hw)
+        hsv_deltas = np.zeros((3,), np.float32)
         if self.hsv:
-            img = hsv_aug(img, rng)
-        img, boxes = random_flip(img, boxes, rng, self.flip_prob)
+            if self.device_color:
+                # identical rng stream to hsv_aug (h/s/v deltas, int
+                # truncation); the conversion happens on device
+                hsv_deltas = np.array(
+                    [int(rng.uniform(-5, 5)), int(rng.uniform(-30, 30)),
+                     int(rng.uniform(-30, 30))], np.float32)
+            else:
+                img = hsv_aug(img, rng)
+        if self.device_color:
+            # flip commutes with the per-pixel color stage: flip both
+            # blend inputs here, blend+jitter on device
+            do_flip = rng.rand() < self.flip_prob
+            if do_flip:
+                w = img.shape[1]
+                img = img[:, ::-1]
+                if len(boxes):
+                    boxes = boxes.copy()
+                    boxes[:, [0, 2]] = w - boxes[:, [2, 0]]
+                if mix_img is not None:
+                    mix_img = mix_img[:, ::-1]
+        else:
+            img, boxes = random_flip(img, boxes, rng, self.flip_prob)
         gt_boxes, gt_labels, gt_valid = pad_gts(boxes, labels, self.max_gt)
-        return {
+        sample = {
             "images": (np.ascontiguousarray(img, np.uint8)
-                       if self.raw_uint8 else normalize(img)),
+                       if (self.raw_uint8 or self.device_color)
+                       else normalize(img)),
             "gt_boxes": gt_boxes,
             "gt_labels": gt_labels,
             "gt_valid": gt_valid,
         }
+        if self.device_color:
+            h, w = self.img_hw
+            if mix_img is None:
+                sample["mix_images"] = np.zeros((h, w, 3), np.uint8)
+                sample["mix_weight"] = np.float32(1.0)
+            else:
+                sample["mix_images"] = np.ascontiguousarray(
+                    mix_img, np.uint8)
+                sample["mix_weight"] = np.float32(0.5)
+            sample["hsv_deltas"] = hsv_deltas
+        return sample
 
 
 class EvalPipeline:

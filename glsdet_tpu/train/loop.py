@@ -380,12 +380,14 @@ def _train_run(cfg: Config, dataset: Optional[CocoDataset] = None,
 
     if dataset is None:
         dataset = CocoDataset(cfg.data.ann_file, cfg.data.img_root,
-                              filter_empty=True)
+                              filter_empty=True,
+                              cache_images=cfg.data.cache_images,
+                              cache_bytes=cfg.data.cache_bytes)
     pipeline = TrainPipeline(
         dataset, cfg.data.img_hw, cfg.data.max_gt,
         mosaic=cfg.data.mosaic, enable_mixup=cfg.data.mixup,
         hsv=cfg.data.hsv, flip_prob=cfg.data.flip_prob,
-        raw_uint8=True)
+        raw_uint8=True, device_color=cfg.data.device_color)
     steps_per_epoch = max(len(dataset) // cfg.data.batch_size, 1)
     # iteration-based mode (mmdet IterBasedRunner analog): an exact
     # optimizer-step budget on the infinite grouped sample stream;

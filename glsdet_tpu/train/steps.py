@@ -50,6 +50,20 @@ def _prep_images(images, normalize: bool):
     return (images.astype(jnp.float32) - mean) / std
 
 
+def _batch_images(batch):
+    """Resolve the image tensor, running the device color stage (mixup
+    blend + HSV jitter, data/device_color.py) when the pipeline deferred
+    it (TrainPipeline(device_color=True) batches carry mix_images/
+    mix_weight/hsv_deltas).  Key presence is static per jit trace."""
+    images = batch["images"]
+    if "mix_images" in batch:
+        from glsdet_tpu.data.device_color import apply_color
+
+        images = apply_color(images, batch["mix_images"],
+                             batch["mix_weight"], batch["hsv_deltas"])
+    return images
+
+
 def make_yolox_train_step(model, tx: optax.GradientTransformation,
                           img_hw: Tuple[int, int],
                           use_l1: bool = False,
@@ -76,7 +90,7 @@ def make_yolox_train_step(model, tx: optax.GradientTransformation,
                  and tuple(resize_from) != tuple(img_hw))
 
     def step(state: TrainState, batch):
-        images = batch["images"]
+        images = _batch_images(batch)
         gt_boxes = batch["gt_boxes"]
         if do_resize:
             b, _, _, c = images.shape
@@ -141,7 +155,7 @@ def make_mpdet_train_step(model, tx: optax.GradientTransformation,
             anchors, counts, batch["gt_boxes"], batch["gt_labels"],
             batch["gt_valid"], num_classes)
 
-        images = _prep_images(batch["images"], normalize)
+        images = _prep_images(_batch_images(batch), normalize)
 
         def loss_fn(params):
             out, mut = model.apply(
@@ -238,7 +252,7 @@ def make_gfl_train_step(model, tx: optax.GradientTransformation,
             anchors, counts, batch["gt_boxes"], batch["gt_labels"],
             batch["gt_valid"], num_classes)
 
-        images = _prep_images(batch["images"], normalize)
+        images = _prep_images(_batch_images(batch), normalize)
 
         def loss_fn(params):
             out, mut = model.apply(

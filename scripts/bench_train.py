@@ -161,8 +161,14 @@ def bench_train(model_name: str = "mpdet", batch: int = 8,
             os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
             ".jax_cache", f"bench_train_data_{hw[0]}")
         ann, img_root = _synthetic_coco(data_root, 64, hw, rs)
-        ds = CocoDataset(ann, img_root)
-        pipeline = TrainPipeline(ds, hw, max_gt=300, raw_uint8=True)
+        # decode cache + device color stage: the production input-path
+        # defaults (config DataConfig.device_color; cache is what the
+        # reference's RAM-cached dataloader mode would do for a 64-image
+        # set).  GLSDET_HOST_COLOR=1 A/Bs the all-host pipeline.
+        host_color = os.environ.get("GLSDET_HOST_COLOR", "0") == "1"
+        ds = CocoDataset(ann, img_root, cache_images=not host_color)
+        pipeline = TrainPipeline(ds, hw, max_gt=300, raw_uint8=True,
+                                 device_color=not host_color)
         loader = train_loader(pipeline, batch, seed=0,
                               num_threads=workers,
                               prefetch=2 * max(scan_steps, 1))
@@ -270,6 +276,8 @@ def bench_train(model_name: str = "mpdet", batch: int = 8,
         detail["loader_threads"] = (data_workers
                                     or min(8, multiprocessing.cpu_count()))
         detail["host_cpus"] = multiprocessing.cpu_count()
+        detail["device_color"] = not host_color
+        detail["decode_cache"] = not host_color
     if flops:
         peak_bw = peak_gbps * 1e9
         peak_fl = peak_tflops * 1e12
