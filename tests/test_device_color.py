@@ -223,6 +223,37 @@ class TestTrainStepIntegration:
                               batch)
         assert np.isfinite(float(metrics["loss"]))
 
+    def test_color_keys_with_multiscale_resize(self):
+        """device_color composes with the resize_from multi-scale path:
+        color renders at the loader's base size, the step resizes the
+        rendered codes on device (resample commutes with normalize)."""
+        from glsdet_tpu.models import YOLOXDetector
+        from glsdet_tpu.train import (TrainState, make_yolox_train_step,
+                                      yolox_sgd)
+
+        model = YOLOXDetector(num_classes=3, phi="nano")
+        rng = jax.random.PRNGKey(0)
+        variables = jax.jit(model.init, static_argnames="train")(
+            rng, jnp.zeros((1, 64, 64, 3)), train=False)
+        tx = yolox_sgd(lambda s: 0.01)
+        rs = np.random.RandomState(2)
+        batch = {
+            "images": jnp.asarray(
+                rs.randint(0, 256, (2, 64, 64, 3), np.uint8)),
+            "mix_images": jnp.asarray(
+                rs.randint(0, 256, (2, 64, 64, 3), np.uint8)),
+            "mix_weight": jnp.asarray([0.5, 1.0], jnp.float32),
+            "hsv_deltas": jnp.asarray([[1, 5, -3], [0, 0, 0]],
+                                      jnp.float32),
+            "gt_boxes": jnp.asarray([[[8., 8., 40., 40.]]] * 2),
+            "gt_labels": jnp.zeros((2, 1), jnp.int32),
+            "gt_valid": jnp.ones((2, 1), bool),
+        }
+        step = jax.jit(make_yolox_train_step(
+            model, tx, (96, 96), normalize=True, resize_from=(64, 64)))
+        _, metrics = step(TrainState.create(variables, tx, rng), batch)
+        assert np.isfinite(float(metrics["loss"]))
+
     def test_color_keys_match_pre_rendered(self):
         """A step on (uint8 + params) equals the step on the already
         device-rendered f32 images — the integration adds nothing but
