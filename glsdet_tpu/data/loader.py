@@ -140,11 +140,18 @@ class TrainPipeline:
 
 
 class EvalPipeline:
-    """Deterministic letterbox -> normalize; keeps undo metadata."""
+    """Deterministic letterbox -> normalize; keeps undo metadata.
 
-    def __init__(self, dataset: CocoDataset, img_hw: Tuple[int, int]):
+    ``raw_uint8``: ship the letterboxed uint8 canvas and let the jitted
+    eval program normalize on device (eval/runner.py _maybe_normalize) —
+    4x less host->device transfer and no host normalize pass (the
+    train-path raw_uint8 contract, applied to eval)."""
+
+    def __init__(self, dataset: CocoDataset, img_hw: Tuple[int, int],
+                 raw_uint8: bool = False):
         self.ds = dataset
         self.img_hw = img_hw
+        self.raw_uint8 = raw_uint8
 
     def __call__(self, idx: int) -> dict:
         rec = self.ds.records[idx]
@@ -152,7 +159,8 @@ class EvalPipeline:
         out, _, scale, (dx, dy) = letterbox(
             img, np.zeros((0, 4), np.float32), self.img_hw)
         return {
-            "images": normalize(out),
+            "images": (np.ascontiguousarray(out, np.uint8)
+                       if self.raw_uint8 else normalize(out)),
             "img_id": np.int64(rec.img_id),
             "scale": np.float32(scale),
             "offset": np.array([dx, dy], np.float32),

@@ -41,6 +41,7 @@ python tools/train.py coarse_det \
   --cfg-options model.phi=nano model.dtype=float32 model.num_classes=10 \
     data.batch_size=4 data.img_hw="(256,256)" data.max_gt=20 \
     data.mosaic=False data.mixup=False data.hsv=False data.flip_prob=0.0 \
+    data.cache_images=True \
     data.num_workers=2 train.epochs=60 train.base_lr=0.002 \
     train.warmup_epochs=2 train.num_last_epochs=5 train.ckpt_interval=60 \
     train.log_interval=24 eval.coarse_score_thr=0.05

@@ -88,6 +88,21 @@ class TestRunEvalTTA:
             train=False)
         return ds, model, variables
 
+    def test_maybe_normalize_matches_host(self):
+        import jax.numpy as jnp
+
+        from glsdet_tpu.data.coco import normalize
+        from glsdet_tpu.eval.runner import _maybe_normalize
+
+        img = np.random.RandomState(0).randint(
+            0, 256, (2, 8, 8, 3), np.uint8)
+        dev = np.asarray(_maybe_normalize(jnp.asarray(img)))
+        np.testing.assert_allclose(dev, normalize(img), rtol=0,
+                                   atol=1e-5)
+        # f32 passes through untouched
+        f32 = jnp.asarray(normalize(img))
+        assert _maybe_normalize(f32) is f32
+
     def test_single_scale_matches_run_eval(self, eval_setup):
         from glsdet_tpu.eval.runner import run_eval, run_eval_tta
 
