@@ -79,6 +79,7 @@ def gfl_loss(
     reg_max: int = 16,
     loss_dfl_weight: float = 0.25,
     loss_bbox_weight: float = 2.0,
+    avg_factor_floor: float = 1.0,
     axis_name: Optional[str] = None,
 ) -> GFLLossOut:
     """Compute QFL + GIoU + DFL.
@@ -87,10 +88,19 @@ def gfl_loss(
         cls_scores: (B, A, C) joint cls-quality logits.
         bbox_pred_logits: (B, A, 4*(reg_max+1)).
         anchor_centers: (A, 2); anchor_strides: (A,).
+        avg_factor_floor: floor on the quality-weight normalizer.  The
+            reference GFLHead clamps it at 1 (gfl_head.py:374
+            ``.clamp_(min=1)``) while MPHead divides by the raw value
+            (mp_head.py:473) — MP callers pass a tiny floor that only
+            guards 0/0.
     """
     b, a, c = cls_scores.shape
     pos = targets.pos_mask
-    num_pos = jnp.sum(pos.astype(jnp.float32))
+    # reference counts max(pos_i, 1) PER IMAGE (anchor_head.py
+    # get_targets: ``sum([max(inds.numel(), 1) for inds in pos_inds_list])``)
+    # — an empty image still contributes 1 to the QFL normalizer
+    num_pos = jnp.sum(jnp.maximum(
+        jnp.sum(pos.astype(jnp.float32), axis=1), 1.0))
     if axis_name is not None:
         num_pos = jax.lax.pmean(num_pos, axis_name)
     num_total_samples = jnp.maximum(num_pos, 1.0)
@@ -114,7 +124,7 @@ def gfl_loss(
     sum_weight = jnp.sum(weight)
     if axis_name is not None:
         sum_weight = jax.lax.pmean(sum_weight, axis_name)
-    avg_factor = jnp.maximum(sum_weight, 1e-6)
+    avg_factor = jnp.maximum(sum_weight, avg_factor_floor)
 
     # GIoU
     lb = giou_loss(pred_boxes.reshape(-1, 4), tgt_boxes.reshape(-1, 4))

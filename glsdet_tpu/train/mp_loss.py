@@ -167,6 +167,10 @@ def mp_loss(
     gfl = gfl_loss(
         scores.reshape(b, a, num_classes), bbox_pred_logits, targets,
         anchor_centers, anchor_strides, num_classes, reg_max,
+        # MPHead divides by the RAW weight sum (mp_head.py:473, no
+        # clamp); the tiny floor only turns the reference's 0/0-NaN
+        # case (no positives anywhere) into 0
+        avg_factor_floor=1e-6,
         axis_name=axis_name)
 
     beta = boiw.beta
