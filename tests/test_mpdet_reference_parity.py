@@ -270,3 +270,172 @@ def test_gfl_gradient_parity():
     np.testing.assert_allclose(g_cls, g_cls_ref, atol=2e-5 * scale)
     scale_r = np.abs(g_reg_ref).max()
     np.testing.assert_allclose(g_reg, g_reg_ref, atol=2e-5 * scale_r)
+
+
+# ---------------------------------------------------------------------------
+# 5/6. MPHead loss values + gradients (proxy QFL + contrastive + OT)
+# ---------------------------------------------------------------------------
+
+C_FEAT = 64
+
+
+def _mp_head(seed=0):
+    torch.manual_seed(seed)
+    head = make_mp_head(NC, C_FEAT, num_words=NUM_WORDS, beta=1.0,
+                        proxies_list=PROXIES, feat_channels=C_FEAT)
+    return head
+
+
+def _boiw_from_head(head):
+    import jax.numpy as jnp
+
+    from glsdet_tpu.train.boiw import BoIWState
+    return BoIWState(
+        embedding=jnp.asarray(head._embedding.numpy().copy()),
+        ptr=jnp.asarray(
+            head._pos_embedding_ptr.numpy().copy().astype(np.int32)),
+        proxies_prob=jnp.asarray(head._proxies_prob.numpy().copy()),
+        beta=jnp.asarray(float(head.beta), jnp.float32),
+    )
+
+
+def _ref_mp_losses(head, feat_l, reg_l, boxes, labels, grad=False):
+    random.seed(0)  # _update_dictionary's random.sample (post-loss)
+    feat_t = [torch.tensor(t, requires_grad=grad) for t in feat_l]
+    reg_t = [torch.tensor(t, requires_grad=grad) for t in reg_l]
+    if grad and head.proxies.grad is not None:
+        head.proxies.grad = None
+    losses = head.loss(list(feat_t), list(reg_t),
+                       [torch.from_numpy(b) for b in boxes],
+                       [torch.from_numpy(l) for l in labels],
+                       _img_metas(len(boxes)))
+    sums = {k: sum(v) if isinstance(v, list) else v
+            for k, v in losses.items()}
+    if grad:
+        total = sum(sums.values())
+        total.backward()
+        return ({k: float(v) for k, v in sums.items()},
+                _flatten_levels([t.grad.numpy() for t in feat_t]),
+                _flatten_levels([t.grad.numpy() for t in reg_t]),
+                head.proxies.grad.numpy().copy())
+    return {k: float(v) for k, v in sums.items()}
+
+
+def _our_mp(head, feat_flat, reg_flat, gb, gl, gv, grad=False):
+    import jax
+    import jax.numpy as jnp
+
+    from glsdet_tpu.models.mp_head import proxy_class_matrix
+    from glsdet_tpu.train.gfl_loss import gfl_targets
+    from glsdet_tpu.train.mp_loss import mp_loss
+
+    anchors_np, counts, centers, strides = _our_anchor_geom()
+    targets = gfl_targets(jnp.asarray(anchors_np), counts, jnp.asarray(gb),
+                          jnp.asarray(gl), jnp.asarray(gv), NC)
+    membership = jnp.asarray(proxy_class_matrix(PROXIES))
+    boiw = _boiw_from_head(head)
+    proxies = jnp.asarray(head.proxies.detach().numpy().copy())
+    rng = jax.random.PRNGKey(0)
+
+    def run(feat_j, reg_j, prox_j):
+        out = mp_loss(feat_j, reg_j, prox_j, membership, boiw, rng,
+                      targets, centers, strides, NC, PROXIES)
+        return out.total, out
+
+    args = (jnp.asarray(feat_flat), jnp.asarray(reg_flat), proxies)
+    if not grad:
+        return run(*args)[1]
+    (_, out), grads = jax.value_and_grad(
+        run, argnums=(0, 1, 2), has_aux=True)(*args)
+    return out, tuple(np.asarray(g) for g in grads)
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_mp_loss_value_parity(seed):
+    head = _mp_head(seed)
+    boxes, labels = _gts(seed, counts=(6, 5))
+    feat_l, reg_l = _preds(seed + 10, channels=C_FEAT)
+    ours = _our_mp(head, _flatten_levels(feat_l), _flatten_levels(reg_l),
+                   *_pad_gts(boxes, labels))
+    ref = _ref_mp_losses(head, feat_l, reg_l, boxes, labels)
+    assert float(ours.loss_cls) == pytest.approx(ref["loss_cls"], rel=2e-5)
+    assert float(ours.loss_bbox) == pytest.approx(ref["loss_bbox"], rel=2e-5)
+    assert float(ours.loss_dfl) == pytest.approx(ref["loss_dfl"], rel=2e-5)
+    assert float(ours.loss_emb) == pytest.approx(ref["loss_emb"], rel=2e-5)
+    assert float(ours.loss_op) == pytest.approx(ref["loss_op"], rel=1e-4,
+                                                abs=1e-7)
+
+
+def test_mp_gradient_parity():
+    head = _mp_head(0)
+    boxes, labels = _gts(2, counts=(6, 5))
+    feat_l, reg_l = _preds(12, channels=C_FEAT)
+    ours, (g_feat, g_reg, g_prox) = _our_mp(
+        head, _flatten_levels(feat_l), _flatten_levels(reg_l),
+        *_pad_gts(boxes, labels), grad=True)
+    ref, g_feat_ref, g_reg_ref, g_prox_ref = _ref_mp_losses(
+        head, feat_l, reg_l, boxes, labels, grad=True)
+
+    tot = sum(float(getattr(ours, k)) for k in
+              ("loss_cls", "loss_bbox", "loss_dfl", "loss_emb", "loss_op"))
+    assert tot == pytest.approx(sum(ref.values()), rel=3e-5)
+    for name, a, b in (("cls_feat", g_feat, g_feat_ref),
+                       ("bbox_pred", g_reg, g_reg_ref),
+                       ("proxies", g_prox, g_prox_ref)):
+        scale = np.abs(b).max()
+        np.testing.assert_allclose(
+            a, b, atol=5e-5 * scale,
+            err_msg=f"{name} gradient mismatch (ref-grad scale {scale:.3e})")
+
+
+# ---------------------------------------------------------------------------
+# 7. BoIW ring-buffer mechanics (mp_head.py:184-201)
+# ---------------------------------------------------------------------------
+
+def test_boiw_update_parity():
+    """With <= max_step positives per class the reference writes ALL of a
+    class's features (random.sample only permutes); content-as-a-set and
+    pointer advance must match ours exactly, including ring wraparound."""
+    import jax
+    import jax.numpy as jnp
+
+    from glsdet_tpu.train.boiw import BoIWState, update_dictionary
+
+    head = _mp_head(3)
+    rs = np.random.RandomState(0)
+    n = 40
+    feats = rs.randn(n, C_FEAT).astype(np.float32)
+    lbls = rs.randint(0, NC + 1, n).astype(np.int64)
+    # force a wrap: class 0's pointer starts near the end of the ring
+    head._pos_embedding_ptr[0] = NUM_WORDS - 2
+
+    random.seed(1)
+    head._update_dictionary(torch.from_numpy(feats),
+                            torch.from_numpy(lbls), 10)
+
+    state = BoIWState(
+        embedding=jnp.zeros((NC + 1, NUM_WORDS, C_FEAT)),
+        ptr=jnp.asarray(
+            np.concatenate([[NUM_WORDS - 2], np.zeros(NC)]).astype(np.int32)),
+        proxies_prob=jnp.asarray(head._proxies_prob.numpy()),
+        beta=jnp.ones(()))
+    new = update_dictionary(state, jax.random.PRNGKey(0),
+                            jnp.asarray(feats), jnp.asarray(lbls))
+
+    ref_emb = head._embedding.numpy()
+    our_emb = np.asarray(new.embedding)
+    np.testing.assert_array_equal(np.asarray(new.ptr),
+                                  head._pos_embedding_ptr.numpy())
+    for cls in range(NC + 1):
+        cnt = int((lbls == cls).sum())
+        assert cnt <= 10, "fixture must keep classes under max_step"
+        want = feats[lbls == cls]
+        start = NUM_WORDS - 2 if cls == 0 else 0
+        slots = [(start + i) % NUM_WORDS for i in range(cnt)]
+        got_ref = ref_emb[cls, slots]
+        got_ours = our_emb[cls, slots]
+        # both write the same SET of rows (selection order is RNG-local)
+        for got in (got_ref, got_ours):
+            d = np.linalg.norm(got[:, None, :] - want[None, :, :], axis=-1)
+            assert (d.min(axis=1) < 1e-6).all(), f"class {cls}"
+            assert (d.min(axis=0) < 1e-6).all(), f"class {cls}"
