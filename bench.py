@@ -217,28 +217,40 @@ def main():
     # max(bytes/BW, flops/peak), vs the measured e2e rate (which also
     # carries host packing + per-chunk RPC overhead — the fraction is a
     # lower bound on program efficiency).  Peaks default to v5e
-    # (819 GB/s HBM, 197 bf16 TFLOP/s; int8 MXU ops are counted at the
-    # bf16 peak, making the int8 fraction conservative).  Override via
-    # GLSDET_PEAK_GBPS / GLSDET_PEAK_TFLOPS for other chips.
+    # (819 GB/s HBM, 197 bf16 TFLOP/s, 394 int8 TOP/s).  The int8 share
+    # of each program's MXU work (int8_flop_frac, from the HLO dtype
+    # split) is charged at the int8 peak — charging it at the bf16 peak
+    # (rounds 1-4) understated the roofline and OVERstated
+    # fraction_of_roofline for the int8-dataflow stage-2 program.
+    # Override via GLSDET_PEAK_GBPS / GLSDET_PEAK_TFLOPS /
+    # GLSDET_PEAK_INT8_TOPS for other chips.
     peak_bw = float(os.environ.get("GLSDET_PEAK_GBPS", "819")) * 1e9
     peak_fl = float(os.environ.get("GLSDET_PEAK_TFLOPS", "197")) * 1e12
+    peak_i8 = float(os.environ.get("GLSDET_PEAK_INT8_TOPS", "394")) * 1e12
     roofline = None
     try:
         ca = pipe.cost_analysis((765, 1360))
         # bandwidth term: the measured entry-dataflow traffic when
         # available (hlo_traffic, same methodology as the train bench);
         # falls back to XLA's overcounting bytes-accessed
+
+        def flop_time(s):
+            frac = ca[s].get("int8_flop_frac", 0.0)
+            return ca[s]["flops"] * ((1.0 - frac) / peak_fl
+                                     + frac / peak_i8)
+
         t_roof = sum(
             max(ca[s].get("bytes_traffic", ca[s]["bytes"]) / peak_bw,
-                ca[s]["flops"] / peak_fl)
+                flop_time(s))
             for s in ("coarse", "stage2"))
         roof_ips = 1.0 / t_roof
         roofline = {
-            "per_image_cost": {s: {k: round(v, 0) for k, v in
+            "per_image_cost": {s: {k: round(v, 4) for k, v in
                                    ca[s].items()}
                                for s in ("coarse", "stage2")},
             "assumed_hbm_GBps": peak_bw / 1e9,
             "assumed_peak_TFLOPs": peak_fl / 1e12,
+            "assumed_peak_int8_TOPs": peak_i8 / 1e12,
             "roofline_images_per_sec": round(roof_ips, 1),
             "fraction_of_roofline": round(ips / roof_ips, 3),
         }

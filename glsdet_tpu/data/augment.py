@@ -43,14 +43,25 @@ def letterbox(img: np.ndarray, boxes: np.ndarray, size: Tuple[int, int],
     return out, boxes, scale, (dx, dy)
 
 
+def sample_hsv_deltas(rng: np.random.RandomState, h_delta: int = 5,
+                      s_delta: int = 30, v_delta: int = 30) -> np.ndarray:
+    """Draw the YOLOXHSVRandomAug (dh, ds, dv) integer deltas.
+
+    The ONE parameter-sampling point shared by the host path (hsv_aug)
+    and the device path (TrainPipeline device_color batches) — both
+    consume the same rng stream, so the pipelines stay interchangeable.
+    """
+    return np.array([int(rng.uniform(-h_delta, h_delta)),
+                     int(rng.uniform(-s_delta, s_delta)),
+                     int(rng.uniform(-v_delta, v_delta))], np.float32)
+
+
 def hsv_aug(img: np.ndarray, rng: np.random.RandomState,
             h_delta: int = 5, s_delta: int = 30, v_delta: int = 30):
     """YOLOXHSVRandomAug (transforms.py:2698): random HSV jitter."""
     import cv2
 
-    dh = rng.uniform(-h_delta, h_delta)
-    ds = rng.uniform(-s_delta, s_delta)
-    dv = rng.uniform(-v_delta, v_delta)
+    dh, ds, dv = sample_hsv_deltas(rng, h_delta, s_delta, v_delta)
     hsv = cv2.cvtColor(img, cv2.COLOR_RGB2HSV).astype(np.int16)
     hsv[..., 0] = (hsv[..., 0] + int(dh)) % 180
     hsv[..., 1] = np.clip(hsv[..., 1] + int(ds), 0, 255)

@@ -49,6 +49,9 @@ class CocoDataset:
         self.cache_bytes = int(cache_bytes)
         self._cache: Dict[int, np.ndarray] = {}
         self._cache_used = 0
+        # budget check+insert is check-then-act across loader threads
+        import threading
+        self._cache_lock = threading.Lock()
         self.categories = sorted(
             coco.get("categories", []), key=lambda c: c["id"])
         self.cat_ids = [c["id"] for c in self.categories]
@@ -100,11 +103,12 @@ class CocoDataset:
         if img is None:
             raise FileNotFoundError(path)
         img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
-        if self.cache_images and self._cache_used + img.nbytes <= \
-                self.cache_bytes:
-            img.setflags(write=False)   # shared across loader threads
-            self._cache[rec.img_id] = img
-            self._cache_used += img.nbytes
+        if self.cache_images:
+            with self._cache_lock:
+                if self._cache_used + img.nbytes <= self.cache_bytes:
+                    img.setflags(write=False)  # shared across threads
+                    self._cache[rec.img_id] = img
+                    self._cache_used += img.nbytes
         return img
 
 

@@ -99,25 +99,34 @@ def hsv_jitter(img: jnp.ndarray, deltas: jnp.ndarray) -> jnp.ndarray:
     return hsv_to_rgb_u8(jnp.stack([h, s, v], axis=-1))
 
 
-def apply_color(images: jnp.ndarray, mix_images: jnp.ndarray,
-                mix_weight: jnp.ndarray,
-                hsv_deltas: jnp.ndarray) -> jnp.ndarray:
+def apply_color(images: jnp.ndarray, mix_images=None, mix_weight=None,
+                hsv_deltas=None) -> jnp.ndarray:
     """The fused device color stage: blend -> HSV jitter.
 
     images, mix_images: (B, H, W, 3) uint8
     mix_weight: (B,) f32 — 1.0 = no mixup (mix_images ignored),
                 0.5 = the YOLOX recipe's fixed blend
-    hsv_deltas: (B, 3) f32 integer deltas — all-zero = no HSV aug
+    hsv_deltas: (B, 3) f32 integer deltas
     Returns (B, H, W, 3) f32 uint8-codes (un-normalized).
+
+    ``mix_images``/``hsv_deltas`` may be None (stage statically
+    disabled): a pipeline with hsv off must be an EXACT no-op on
+    pixels — the uint8 HSV round-trip at zero deltas is not one (the
+    quantization moves saturated pixels by several codes) — and a
+    mixup-off pipeline must not pay the blend.
 
     Order matches the host pipeline (mixup -> hsv); the blend truncates
     like the host's ``.astype(np.uint8)`` (values are non-negative so
     floor == trunc).
     """
-    a = images.astype(jnp.float32)
-    w = mix_weight.astype(jnp.float32)[:, None, None, None]
-    blended = jnp.floor(a * w + mix_images.astype(jnp.float32) * (1.0 - w))
-    return hsv_jitter(blended, hsv_deltas.astype(jnp.float32)[:, None, None, :])
+    out = images.astype(jnp.float32)
+    if mix_images is not None:
+        w = mix_weight.astype(jnp.float32)[:, None, None, None]
+        out = jnp.floor(out * w + mix_images.astype(jnp.float32) * (1.0 - w))
+    if hsv_deltas is not None:
+        out = hsv_jitter(out,
+                         hsv_deltas.astype(jnp.float32)[:, None, None, :])
+    return out
 
 
 def prep_batch_images(batch: dict, normalize: bool) -> jnp.ndarray:
@@ -128,10 +137,26 @@ def prep_batch_images(batch: dict, normalize: bool) -> jnp.ndarray:
     Without color keys and with ``normalize=False`` this is the legacy
     already-normalized-f32 contract of train/steps.py.
     """
+    return normalize_images(apply_batch_color(batch), normalize)
+
+
+def apply_batch_color(batch: dict) -> jnp.ndarray:
+    """The color half of ``prep_batch_images``: resolve ``images`` and run
+    ``apply_color`` for whichever color keys the pipeline emitted.
+    Split out because the multi-scale train step resizes BETWEEN color
+    and normalize (train/steps.py)."""
     images = batch["images"]
-    if "mix_images" in batch:
-        images = apply_color(images, batch["mix_images"],
-                             batch["mix_weight"], batch["hsv_deltas"])
+    if "mix_images" in batch or "hsv_deltas" in batch:
+        images = apply_color(images, batch.get("mix_images"),
+                             batch.get("mix_weight"),
+                             batch.get("hsv_deltas"))
+    return images
+
+
+def normalize_images(images: jnp.ndarray,
+                     normalize: bool = True) -> jnp.ndarray:
+    """ImageNet-normalize uint8-code images (no-op when ``normalize``
+    is False: the legacy already-normalized-f32 batch contract)."""
     if not normalize:
         return images
     mean = jnp.asarray(_MEAN, jnp.float32)

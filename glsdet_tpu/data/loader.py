@@ -25,6 +25,7 @@ from glsdet_tpu.data.augment import (
     mosaic4,
     random_affine,
     random_flip,
+    sample_hsv_deltas,
 )
 from glsdet_tpu.data.coco import CocoDataset, make_batch, normalize, pad_gts
 
@@ -96,11 +97,9 @@ class TrainPipeline:
         hsv_deltas = np.zeros((3,), np.float32)
         if self.hsv:
             if self.device_color:
-                # identical rng stream to hsv_aug (h/s/v deltas, int
-                # truncation); the conversion happens on device
-                hsv_deltas = np.array(
-                    [int(rng.uniform(-5, 5)), int(rng.uniform(-30, 30)),
-                     int(rng.uniform(-30, 30))], np.float32)
+                # identical rng stream to hsv_aug (shared sampling
+                # helper); the conversion happens on device
+                hsv_deltas = sample_hsv_deltas(rng)
             else:
                 img = hsv_aug(img, rng)
         if self.device_color:
@@ -127,15 +126,24 @@ class TrainPipeline:
             "gt_valid": gt_valid,
         }
         if self.device_color:
-            h, w = self.img_hw
-            if mix_img is None:
-                sample["mix_images"] = np.zeros((h, w, 3), np.uint8)
-                sample["mix_weight"] = np.float32(1.0)
-            else:
-                sample["mix_images"] = np.ascontiguousarray(
-                    mix_img, np.uint8)
-                sample["mix_weight"] = np.float32(0.5)
-            sample["hsv_deltas"] = hsv_deltas
+            # Keys are emitted ONLY for stages that are statically
+            # enabled: a mixup-off pipeline (e.g. after disable_aug)
+            # stops shipping the zero (H, W, 3) mix canvas that would
+            # double upload bytes, and an hsv=False pipeline skips the
+            # device HSV round-trip entirely (uint8 HSV quantization is
+            # NOT a no-op at zero deltas) — key presence picks the
+            # compiled program in device_color.prep_batch_images.
+            if self.mosaic and self.mixup:
+                h, w = self.img_hw
+                if mix_img is None:
+                    sample["mix_images"] = np.zeros((h, w, 3), np.uint8)
+                    sample["mix_weight"] = np.float32(1.0)
+                else:
+                    sample["mix_images"] = np.ascontiguousarray(
+                        mix_img, np.uint8)
+                    sample["mix_weight"] = np.float32(0.5)
+            if self.hsv:
+                sample["hsv_deltas"] = hsv_deltas
         return sample
 
 

@@ -1034,10 +1034,23 @@ class TwoStagePipeline:
                     "scripts")
                 if _scripts not in _sys.path:
                     _sys.path.append(_scripts)
-                from hlo_traffic import compiled_traffic
+                from hlo_traffic import (compiled_flops_by_dtype,
+                                         compiled_traffic)
 
                 out["bytes_traffic"] = (
                     float(compiled_traffic(compiled)["bytes"]) / b)
+                # dtype split of the MXU work: the s8 share should be
+                # charged at the chip's int8 peak (~2x bf16 on v5e),
+                # not the bf16 peak — VERDICT r04's int8-peak
+                # conservatism.  Only the RATIO is used downstream
+                # (post-layout halo padding inflates absolute HLO
+                # flop counts symmetrically across dtypes).
+                by_dtype = compiled_flops_by_dtype(compiled)
+                tot = sum(by_dtype.values())
+                if tot:
+                    s8 = sum(v for k, v in by_dtype.items()
+                             if k.startswith("s8"))
+                    out["int8_flop_frac"] = s8 / tot
             except Exception:
                 pass
             return out

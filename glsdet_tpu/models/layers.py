@@ -115,6 +115,9 @@ class ConvNormAct(nn.Module):
         elif self.norm == "gn":
             x = nn.GroupNorm(
                 num_groups=min(self.gn_groups, self.out_channels),
+                # torch nn.GroupNorm eps (mmcv ConvModule GN); the flax
+                # default is 1e-6, a ~5e-6-relative transplant-parity gap
+                epsilon=1e-5,
                 dtype=self.dtype,
                 name="gn",
             )(x)

@@ -27,6 +27,8 @@ import jax
 import jax.numpy as jnp
 import optax
 
+from glsdet_tpu.data.device_color import (apply_batch_color,
+                                          normalize_images)
 from glsdet_tpu.models.mp_head import proxy_class_matrix
 from glsdet_tpu.models.yolox_head import flatten_head_outputs
 from glsdet_tpu.ops.priors import grid_anchors, grid_points
@@ -38,30 +40,10 @@ from glsdet_tpu.train.yolox_loss import yolox_loss
 YOLOX_STRIDES = (8, 16, 32)
 GFL_STRIDES = (8, 16, 32, 64, 128)
 
-_MEAN = (123.675, 116.28, 103.53)
-_STD = (58.395, 57.12, 57.375)
-
-
-def _prep_images(images, normalize: bool):
-    if not normalize:
-        return images
-    mean = jnp.asarray(_MEAN, jnp.float32)
-    std = jnp.asarray(_STD, jnp.float32)
-    return (images.astype(jnp.float32) - mean) / std
-
-
-def _batch_images(batch):
-    """Resolve the image tensor, running the device color stage (mixup
-    blend + HSV jitter, data/device_color.py) when the pipeline deferred
-    it (TrainPipeline(device_color=True) batches carry mix_images/
-    mix_weight/hsv_deltas).  Key presence is static per jit trace."""
-    images = batch["images"]
-    if "mix_images" in batch:
-        from glsdet_tpu.data.device_color import apply_color
-
-        images = apply_color(images, batch["mix_images"],
-                             batch["mix_weight"], batch["hsv_deltas"])
-    return images
+# color + normalize live in ONE place (data/device_color.py); the train
+# steps only pick where the multi-scale resize goes between them
+_batch_images = apply_batch_color
+_prep_images = normalize_images
 
 
 def make_yolox_train_step(model, tx: optax.GradientTransformation,

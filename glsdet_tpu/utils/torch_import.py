@@ -201,6 +201,10 @@ def _map_mpdet(key: str) -> MapResult:
         # BoIW dictionary buffers (mp_head.py:80-92) live in this repo's
         # TrainState.boiw, not in model params — the CLI extracts them
         return "SKIP"
+    if key == "bbox_head.integral.project":
+        # the Integral layer's fixed linspace(0, reg_max) buffer
+        # (gfl_head.py:31) — a constant, rebuilt by integral_decode
+        return "SKIP"
     return None
 
 

@@ -155,3 +155,102 @@ def hlo_entry_traffic(hlo_text: str) -> dict:
 def compiled_traffic(compiled) -> dict:
     """Traffic model for a jax ``.lower(...).compile()`` executable."""
     return hlo_entry_traffic(compiled.as_text())
+
+
+# ---------------------------------------------------------------------------
+# MXU FLOPs by operand dtype — the int8-honest roofline input
+# ---------------------------------------------------------------------------
+
+_TYPED_OPERAND_RE = re.compile(
+    r"\b(" + "|".join(_BITS) + r")\[([0-9,]*)\][^ ]* %")
+_DIM_LABELS_RE = re.compile(r"dim_labels=([\w?]+)_([\w?]+)->([\w?]+)")
+_CONTRACT_RE = re.compile(r"lhs_contracting_dims=\{([0-9,]+)\}")
+_BATCH_DIMS_RE = re.compile(r"lhs_batch_dims=\{([0-9,]*)\}")
+
+
+def _shape_dims(prim_dims):
+    prim, dims = prim_dims
+    return prim, [int(d) for d in dims.split(",") if d]
+
+
+def _instr_operand_shapes(operands: str):
+    """Typed operand list -> [(prim, [dims...]), ...]."""
+    return [_shape_dims(m) for m in
+            re.findall(r"\b(" + "|".join(_BITS) + r")\[([0-9,]*)\]",
+                       operands)]
+
+
+def hlo_flops_by_dtype(hlo_text: str) -> dict:
+    """Sum 2*MACs of every ``convolution``/``dot`` in the module,
+    bucketed by operand primitive type (s8 = the explicit int8 dataflow
+    of ops/quant_static.py; bf16/f32 = everything else).
+
+    Scans ALL computations (convs may sit inside fusions); ``while``
+    bodies count once — same scan caveat as the traffic model.  TPU HLO
+    references operands by bare name, so a module-wide name -> shape map
+    resolves them.
+    """
+    # pass 1: every instruction's (prim, dims) by name, module-wide
+    shapes = {}
+    instrs = []
+    for line in hlo_text.splitlines():
+        parts = _split_instruction(line.strip())
+        if parts is None:
+            continue
+        name, type_str, opcode, operands = parts
+        m = _SHAPE_RE.search(type_str)
+        if m:
+            shapes[name.lstrip("%")] = _shape_dims(m.groups())
+        instrs.append((line.strip(), type_str, opcode, operands))
+
+    def operand_shapes(operands):
+        typed = _instr_operand_shapes(operands)
+        if typed:
+            return typed
+        out = []
+        for tok in operands.split(","):
+            tok = tok.strip().lstrip("%")
+            if tok in shapes:
+                out.append(shapes[tok])
+        return out
+
+    out = {}
+    for stripped, type_str, opcode, operands in instrs:
+        if opcode not in ("convolution", "dot"):
+            continue
+        ops = operand_shapes(operands)
+        if len(ops) < 2:
+            continue
+        (lhs_prim, lhs_dims), (rhs_prim, rhs_dims) = ops[0], ops[1]
+        res = _SHAPE_RE.search(type_str)
+        if res is None:
+            continue
+        _, out_dims = _shape_dims(res.groups())
+        out_elems = 1
+        for d in out_dims:
+            out_elems *= d
+        if opcode == "convolution":
+            m = _DIM_LABELS_RE.search(stripped)
+            if m is None:
+                continue
+            rhs_spec = m.group(2)
+            # kernel spec: digits = spatial, i = input features
+            # (already / feature_group_count in the kernel shape)
+            red = 1
+            for ch, d in zip(rhs_spec, rhs_dims):
+                if ch.isdigit() or ch == "i":
+                    red *= d
+        else:
+            m = _CONTRACT_RE.search(stripped)
+            if m is None:
+                continue
+            red = 1
+            for i in (int(x) for x in m.group(1).split(",")):
+                red *= lhs_dims[i]
+        key = lhs_prim if lhs_prim == rhs_prim else f"{lhs_prim}x{rhs_prim}"
+        out[key] = out.get(key, 0) + 2 * out_elems * red
+    return out
+
+
+def compiled_flops_by_dtype(compiled) -> dict:
+    return hlo_flops_by_dtype(compiled.as_text())

@@ -179,13 +179,24 @@ class TestPipelineEquivalence:
         assert s_d["mix_weight"].dtype == np.float32
         assert s_d["hsv_deltas"].shape == (3,)
 
-    def test_no_aug_mode_mix_weight_one(self, tiny_ds):
+    def test_no_aug_mode_emits_no_color_keys(self, tiny_ds):
+        """With mixup/hsv statically off the device path must not ship
+        the zero mix canvas (double upload bytes) nor run the uint8 HSV
+        round-trip (NOT a pixel no-op at zero deltas) — the color keys
+        disappear and the stage compiles out."""
         dev = TrainPipeline(tiny_ds, (96, 96), max_gt=20, mosaic=False,
                             enable_mixup=False, hsv=False,
                             device_color=True)
         s = dev(0, np.random.RandomState(0))
-        assert float(s["mix_weight"]) == 1.0
-        np.testing.assert_array_equal(s["hsv_deltas"], np.zeros(3))
+        assert "mix_images" not in s and "mix_weight" not in s
+        assert "hsv_deltas" not in s
+        assert s["images"].dtype == np.uint8
+        # and the batch prep is then a pure pass-through before normalize
+        from glsdet_tpu.data.device_color import apply_batch_color
+        img = jnp.asarray(s["images"])[None]
+        np.testing.assert_array_equal(
+            np.asarray(apply_batch_color({"images": img})),
+            np.asarray(img))
 
     def test_pair_uses_raw_uint8_host(self, tiny_ds):
         host = TrainPipeline(tiny_ds, (96, 96), max_gt=20)

@@ -139,3 +139,57 @@ class TestCompiled:
         c8 = make(8)
         assert t8["bytes"] <= float(
             c8.cost_analysis()["bytes accessed"]) * 1.01
+
+
+def test_flops_by_dtype_counts_conv_and_dot_macs():
+    """compiled_flops_by_dtype counts 2*MACs of convolution/dot exactly
+    on the CPU backend (no layout padding there)."""
+    import sys
+
+    import jax
+    import jax.numpy as jnp
+
+    sys.path.append(os.path.join(os.path.dirname(__file__), "..", "scripts"))
+    from hlo_traffic import compiled_flops_by_dtype
+
+    def f(x, k):
+        a = jax.lax.conv_general_dilated(
+            x, k, (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        c = jnp.dot(x[:, 0, 0], k[0, 0])
+        return a.sum() + c.sum()
+
+    x = jnp.zeros((2, 16, 16, 8), jnp.float32)
+    k = jnp.zeros((3, 3, 8, 32), jnp.float32)
+    fl = compiled_flops_by_dtype(jax.jit(f).lower(x, k).compile())
+    conv_macs2 = 2 * 2 * 16 * 16 * 32 * 3 * 3 * 8
+    dot_macs2 = 2 * 2 * 32 * 8
+    assert sum(fl.values()) == conv_macs2 + dot_macs2, fl
+
+
+def test_flops_by_dtype_classifies_s8_tpu_hlo():
+    """The s8 bucket: TPU HLO keeps int8 convs on s8 operands referenced
+    by bare name (fusion outputs) — pin the classification on a
+    representative hand-written module (the CPU backend upcasts s8 to
+    s32 pre-conv, so a compiled fixture can't exercise this path)."""
+    import sys
+
+    sys.path.append(os.path.join(os.path.dirname(__file__), "..", "scripts"))
+    from hlo_traffic import hlo_flops_by_dtype
+
+    hlo = """
+HloModule jit_f
+
+ENTRY %main () -> s32[] {
+  %fusion.a = s8[2,16,16,8]{3,2,1,0:T(8,128)(4,1)} fusion(), kind=kLoop, calls=%fused_a
+  %fusion.b = s8[3,3,8,32]{3,2,1,0:T(8,128)(4,1)} fusion(), kind=kLoop, calls=%fused_a
+  %convolution.1 = s32[2,16,16,32]{3,2,1,0:T(8,128)} convolution(%fusion.a, %fusion.b), window={size=3x3 pad=1_1x1_1}, dim_labels=b01f_01io->b01f
+  %p.bf = bf16[2,16,16,8]{3,2,1,0} parameter(1)
+  %k.bf = bf16[3,3,8,32]{3,2,1,0} parameter(2)
+  %conv.bf = bf16[2,16,16,32]{3,2,1,0} convolution(%p.bf, %k.bf), window={size=3x3 pad=1_1x1_1}, dim_labels=b01f_01io->b01f
+}
+"""
+    fl = hlo_flops_by_dtype(hlo)
+    conv_macs2 = 2 * 2 * 16 * 16 * 32 * 3 * 3 * 8
+    assert fl.get("s8") == conv_macs2, fl
+    assert fl.get("bf16") == conv_macs2, fl
