@@ -80,27 +80,22 @@ def random_flip(img: np.ndarray, boxes: np.ndarray,
     return img, boxes
 
 
-def mosaic4(images: Sequence[np.ndarray], boxes_list: Sequence[np.ndarray],
-            labels_list: Sequence[np.ndarray], out_size: Tuple[int, int],
-            rng: np.random.RandomState, center_ratio=(0.5, 1.5),
-            pad_val: float = 114.0):
-    """4-image mosaic (transforms.py:1947): 2x canvas, random center split,
-    each image keep-ratio scaled into its quadrant; boxes clipped."""
-    import cv2
-
+def mosaic4_params(shapes: Sequence[Tuple[int, int]],
+                   out_size: Tuple[int, int],
+                   rng: np.random.RandomState, center_ratio=(0.5, 1.5)):
+    """Sample the mosaic placement: returns (cx, cy, quads) where
+    ``quads[i] = (x1, y1, x2, y2, sx1, sy1, scale, nw, nh)`` describes
+    where image i's keep-ratio-resized copy lands on the 2x canvas and
+    which part of it is cropped.  Shared by the host painter
+    (:func:`mosaic4`) and the device gather-warp (data/device_geom.py)
+    so both consume the SAME rng stream and box geometry."""
     h, w = out_size
-    canvas = np.full((h * 2, w * 2, 3), pad_val, np.uint8)
     cy = int(rng.uniform(*center_ratio) * h)
     cx = int(rng.uniform(*center_ratio) * w)
-    all_boxes, all_labels = [], []
-
-    quadrants = ["tl", "tr", "bl", "br"]
-    for loc, img, boxes, labels in zip(
-            quadrants, images, boxes_list, labels_list):
-        h0, w0 = img.shape[:2]
+    quads = []
+    for loc, (h0, w0) in zip(["tl", "tr", "bl", "br"], shapes):
         scale = min(h / h0, w / w0)
         nw, nh = int(w0 * scale), int(h0 * scale)
-        img_r = cv2.resize(img, (nw, nh))
         if loc == "tl":
             x1, y1 = max(cx - nw, 0), max(cy - nh, 0)
             x2, y2 = cx, cy
@@ -117,15 +112,23 @@ def mosaic4(images: Sequence[np.ndarray], boxes_list: Sequence[np.ndarray],
             x1, y1 = cx, cy
             x2, y2 = min(cx + nw, w * 2), min(cy + nh, h * 2)
             sx1, sy1 = 0, 0
-        canvas[y1:y2, x1:x2] = img_r[sy1:sy1 + (y2 - y1),
-                                     sx1:sx1 + (x2 - x1)]
+        quads.append((x1, y1, x2, y2, sx1, sy1, scale, nw, nh))
+    return cx, cy, quads
+
+
+def mosaic4_boxes(quads, boxes_list, labels_list,
+                  out_size: Tuple[int, int]):
+    """The box half of :func:`mosaic4` for given placements."""
+    h, w = out_size
+    all_boxes, all_labels = [], []
+    for (x1, y1, _x2, _y2, sx1, sy1, scale, _nw, _nh), boxes, labels in zip(
+            quads, boxes_list, labels_list):
         if len(boxes):
             b = boxes.copy() * scale
             b[:, [0, 2]] += x1 - sx1
             b[:, [1, 3]] += y1 - sy1
             all_boxes.append(b)
             all_labels.append(labels)
-
     if all_boxes:
         boxes = np.concatenate(all_boxes)
         labels = np.concatenate(all_labels)
@@ -136,7 +139,60 @@ def mosaic4(images: Sequence[np.ndarray], boxes_list: Sequence[np.ndarray],
     else:
         boxes = np.zeros((0, 4), np.float32)
         labels = np.zeros((0,), np.int32)
-    return canvas, boxes.astype(np.float32), labels
+    return boxes.astype(np.float32), labels
+
+
+def mosaic4(images: Sequence[np.ndarray], boxes_list: Sequence[np.ndarray],
+            labels_list: Sequence[np.ndarray], out_size: Tuple[int, int],
+            rng: np.random.RandomState, center_ratio=(0.5, 1.5),
+            pad_val: float = 114.0):
+    """4-image mosaic (transforms.py:1947): 2x canvas, random center split,
+    each image keep-ratio scaled into its quadrant; boxes clipped."""
+    import cv2
+
+    h, w = out_size
+    canvas = np.full((h * 2, w * 2, 3), pad_val, np.uint8)
+    _cx, _cy, quads = mosaic4_params(
+        [img.shape[:2] for img in images], out_size, rng, center_ratio)
+    for (x1, y1, x2, y2, sx1, sy1, _scale, nw, nh), img in zip(
+            quads, images):
+        img_r = cv2.resize(img, (nw, nh))
+        canvas[y1:y2, x1:x2] = img_r[sy1:sy1 + (y2 - y1),
+                                     sx1:sx1 + (x2 - x1)]
+
+    boxes, labels = mosaic4_boxes(quads, boxes_list, labels_list, out_size)
+    return canvas, boxes, labels
+
+
+def random_affine_params(rng: np.random.RandomState,
+                         in_size: Tuple[int, int],
+                         out_size: Tuple[int, int],
+                         max_rotate: float = 10.0,
+                         max_translate: float = 0.1,
+                         scale_range: Tuple[float, float] = (0.5, 1.5),
+                         max_shear: float = 2.0) -> np.ndarray:
+    """Sample the RandomAffine 3x3 matrix (canvas -> output coords).
+
+    Shared by :func:`random_affine` (cv2 warp) and the device
+    gather-warp; same rng draw order, same composition."""
+    h, w = out_size
+    h0, w0 = in_size
+    ang = math.radians(rng.uniform(-max_rotate, max_rotate))
+    scale = rng.uniform(*scale_range)
+    shear_x = math.tan(math.radians(rng.uniform(-max_shear, max_shear)))
+    shear_y = math.tan(math.radians(rng.uniform(-max_shear, max_shear)))
+    tx = rng.uniform(0.5 - max_translate, 0.5 + max_translate) * w
+    ty = rng.uniform(0.5 - max_translate, 0.5 + max_translate) * h
+
+    # center -> rotate/scale -> shear -> translate
+    cxm = np.array([[1, 0, -w0 / 2], [0, 1, -h0 / 2], [0, 0, 1]], np.float64)
+    rot = np.array([
+        [math.cos(ang) * scale, -math.sin(ang) * scale, 0],
+        [math.sin(ang) * scale, math.cos(ang) * scale, 0],
+        [0, 0, 1]], np.float64)
+    shr = np.array([[1, shear_x, 0], [shear_y, 1, 0], [0, 0, 1]], np.float64)
+    trn = np.array([[1, 0, tx], [0, 1, ty], [0, 0, 1]], np.float64)
+    return trn @ shr @ rot @ cxm
 
 
 def random_affine(img: np.ndarray, boxes: np.ndarray, labels: np.ndarray,
@@ -153,31 +209,25 @@ def random_affine(img: np.ndarray, boxes: np.ndarray, labels: np.ndarray,
 
     h, w = out_size
     h0, w0 = img.shape[:2]
-    if border is None:
-        border = (-h0 // 4, -w0 // 4) if (h0 > h or w0 > w) else (0, 0)
-
-    ang = math.radians(rng.uniform(-max_rotate, max_rotate))
-    scale = rng.uniform(*scale_range)
-    shear_x = math.tan(math.radians(rng.uniform(-max_shear, max_shear)))
-    shear_y = math.tan(math.radians(rng.uniform(-max_shear, max_shear)))
-    tx = rng.uniform(0.5 - max_translate, 0.5 + max_translate) * w
-    ty = rng.uniform(0.5 - max_translate, 0.5 + max_translate) * h
-
-    # center -> rotate/scale -> shear -> translate
-    cxm = np.array([[1, 0, -w0 / 2], [0, 1, -h0 / 2], [0, 0, 1]], np.float64)
-    rot = np.array([
-        [math.cos(ang) * scale, -math.sin(ang) * scale, 0],
-        [math.sin(ang) * scale, math.cos(ang) * scale, 0],
-        [0, 0, 1]], np.float64)
-    shr = np.array([[1, shear_x, 0], [shear_y, 1, 0], [0, 0, 1]], np.float64)
-    trn = np.array([[1, 0, tx], [0, 1, ty], [0, 0, 1]], np.float64)
-    mat = trn @ shr @ rot @ cxm
+    mat = random_affine_params(rng, (h0, w0), out_size, max_rotate,
+                               max_translate, scale_range, max_shear)
 
     # the composed matrix is affine (last row [0,0,1]); warpAffine
     # computes the identical map (verified bit-identical) ~1.2x faster
     # than the reference's warpPerspective (transforms.py:2568)
     out = cv2.warpAffine(
         img, mat[:2], (w, h), borderValue=(pad_val,) * 3)
+    boxes, labels = affine_boxes(mat, boxes, labels, out_size)
+    return out, boxes, labels
+
+
+def affine_boxes(mat: np.ndarray, boxes: np.ndarray, labels: np.ndarray,
+                 out_size: Tuple[int, int]):
+    """The box half of :func:`random_affine`: warp corners by ``mat``,
+    re-box, clip, filter sides > 2px.  Shared with the device-geom
+    pipeline (pixel warp on device, boxes here — bit-exact either way).
+    """
+    h, w = out_size
     if len(boxes):
         n = len(boxes)
         corners = np.ones((n * 4, 3), np.float64)
@@ -191,7 +241,7 @@ def random_affine(img: np.ndarray, boxes: np.ndarray, labels: np.ndarray,
         wh = new[:, 2:4] - new[:, :2]
         keep = (wh > 2).all(axis=1)
         boxes, labels = new[keep].astype(np.float32), labels[keep]
-    return out, boxes, labels
+    return boxes, labels
 
 
 def mixup(img_a, boxes_a, labels_a, img_b, boxes_b, labels_b,

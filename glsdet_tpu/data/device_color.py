@@ -140,12 +140,24 @@ def prep_batch_images(batch: dict, normalize: bool) -> jnp.ndarray:
     return normalize_images(apply_batch_color(batch), normalize)
 
 
-def apply_batch_color(batch: dict) -> jnp.ndarray:
-    """The color half of ``prep_batch_images``: resolve ``images`` and run
-    ``apply_color`` for whichever color keys the pipeline emitted.
+def apply_batch_color(batch: dict, out_hw=None) -> jnp.ndarray:
+    """The color half of ``prep_batch_images``: resolve ``images`` —
+    rendering them with the device geometric warp first when the
+    pipeline deferred it (``geom_*`` keys, data/device_geom.py) — and
+    run ``apply_color`` for whichever color keys the pipeline emitted.
     Split out because the multi-scale train step resizes BETWEEN color
-    and normalize (train/steps.py)."""
-    images = batch["images"]
+    and normalize (train/steps.py).
+
+    out_hw: static output size, required only for geom batches (they
+    carry no ``images`` tensor to infer it from)."""
+    if "geom_sources" in batch:
+        from glsdet_tpu.data.device_geom import geom_warp
+
+        assert out_hw is not None, "geom batches need a static out_hw"
+        images = geom_warp(batch["geom_sources"], batch["geom_quads"],
+                           batch["geom_mat"], out_hw)
+    else:
+        images = batch["images"]
     if "mix_images" in batch or "hsv_deltas" in batch:
         images = apply_color(images, batch.get("mix_images"),
                              batch.get("mix_weight"),

@@ -19,11 +19,15 @@ from typing import Iterator, Optional, Sequence, Tuple
 import numpy as np
 
 from glsdet_tpu.data.augment import (
+    affine_boxes,
     hsv_aug,
     letterbox,
     mixup,
     mosaic4,
+    mosaic4_boxes,
+    mosaic4_params,
     random_affine,
+    random_affine_params,
     random_flip,
     sample_hsv_deltas,
 )
@@ -37,7 +41,8 @@ class TrainPipeline:
                  max_gt: int = 300, mosaic: bool = True,
                  enable_mixup: bool = True, hsv: bool = True,
                  flip_prob: float = 0.5, raw_uint8: bool = False,
-                 device_color: bool = False):
+                 device_color: bool = False, device_geom: bool = False,
+                 geom_src_hw: Optional[Tuple[int, int]] = None):
         self.ds = dataset
         self.img_hw = img_hw
         self.max_gt = max_gt
@@ -56,6 +61,19 @@ class TrainPipeline:
         # most expensive host ops after normalize.  Implies raw uint8
         # images; batches gain mix_images/mix_weight/hsv_deltas keys.
         self.device_color = device_color
+        # device_geom: ALSO move the geometric stage (mosaic paint +
+        # affine warp) on device as a fused gather-warp
+        # (data/device_geom.py).  Host keeps parameter sampling + exact
+        # box math; batches gain geom_sources/geom_quads/geom_mat and
+        # drop "images" while mosaic is active.  Opt-in: it enlarges
+        # host->device transfer (raw sources vs the final canvas) —
+        # right on PCIe hosts, wrong on slow links (the module
+        # docstring has the measured trade).
+        self.device_geom = device_geom
+        if device_geom:
+            assert device_color, "device_geom requires device_color"
+        # static padded source size for geom batches; images must fit
+        self.geom_src_hw = geom_src_hw
 
     def disable_aug(self):
         """YOLOXModeSwitchHook analog: last-15-epochs plain pipeline."""
@@ -70,13 +88,27 @@ class TrainPipeline:
     def __call__(self, idx: int, rng: np.random.RandomState) -> dict:
         n = len(self.ds)
         mix_img = None              # device_color: deferred pixel blend
+        geom = None                 # device_geom: deferred pixel warp
         if self.mosaic:
             idxs = [idx] + [rng.randint(n) for _ in range(3)]
             imgs, bxs, lbs = zip(*[self._load(i) for i in idxs])
-            img, boxes, labels = mosaic4(
-                imgs, bxs, lbs, self.img_hw, rng)
-            img, boxes, labels = random_affine(
-                img, boxes, labels, rng, self.img_hw)
+            if self.device_geom:
+                # SAME rng draws and box math as the host path below —
+                # only the pixel rendering is deferred to the device
+                shapes = [im.shape[:2] for im in imgs]
+                _cx, _cy, quads = mosaic4_params(shapes, self.img_hw, rng)
+                boxes, labels = mosaic4_boxes(quads, bxs, lbs, self.img_hw)
+                h2, w2 = self.img_hw[0] * 2, self.img_hw[1] * 2
+                mat = random_affine_params(rng, (h2, w2), self.img_hw)
+                boxes, labels = affine_boxes(mat, boxes, labels,
+                                             self.img_hw)
+                geom = [list(imgs), quads, mat]
+                img = None
+            else:
+                img, boxes, labels = mosaic4(
+                    imgs, bxs, lbs, self.img_hw, rng)
+                img, boxes, labels = random_affine(
+                    img, boxes, labels, rng, self.img_hw)
             if self.mixup and rng.rand() < 0.5 and len(self.ds) > 1:
                 img2, b2, l2 = self._load(rng.randint(n))
                 img2, b2, _, _ = letterbox(img2, b2, self.img_hw)
@@ -107,8 +139,13 @@ class TrainPipeline:
             # blend inputs here, blend+jitter on device
             do_flip = rng.rand() < self.flip_prob
             if do_flip:
-                w = img.shape[1]
-                img = img[:, ::-1]
+                w = self.img_hw[1]
+                if geom is not None:
+                    # fold the output flip into the affine matrix
+                    from glsdet_tpu.data.device_geom import flip_affine
+                    geom[2] = flip_affine(geom[2], w)
+                else:
+                    img = img[:, ::-1]
                 if len(boxes):
                     boxes = boxes.copy()
                     boxes[:, [0, 2]] = w - boxes[:, [2, 0]]
@@ -118,13 +155,33 @@ class TrainPipeline:
             img, boxes = random_flip(img, boxes, rng, self.flip_prob)
         gt_boxes, gt_labels, gt_valid = pad_gts(boxes, labels, self.max_gt)
         sample = {
-            "images": (np.ascontiguousarray(img, np.uint8)
-                       if (self.raw_uint8 or self.device_color)
-                       else normalize(img)),
             "gt_boxes": gt_boxes,
             "gt_labels": gt_labels,
             "gt_valid": gt_valid,
         }
+        if geom is not None:
+            from glsdet_tpu.data.device_geom import (inverse_affine_2x3,
+                                                     quads_to_array)
+            imgs4, quads, mat = geom
+            hs, ws = self.geom_src_hw or (
+                max(im.shape[0] for im in imgs4),
+                max(im.shape[1] for im in imgs4))
+            srcs = np.zeros((4, hs, ws, 3), np.uint8)
+            for i, im in enumerate(imgs4):
+                if im.shape[0] > hs or im.shape[1] > ws:
+                    raise ValueError(
+                        f"geom_src_hw {(hs, ws)} too small for source "
+                        f"{im.shape[:2]} — raise TrainPipeline geom_src_hw")
+                srcs[i, :im.shape[0], :im.shape[1]] = im
+            sample["geom_sources"] = srcs
+            sample["geom_quads"] = quads_to_array(
+                quads, [im.shape[:2] for im in imgs4])
+            sample["geom_mat"] = inverse_affine_2x3(mat)
+        else:
+            sample["images"] = (
+                np.ascontiguousarray(img, np.uint8)
+                if (self.raw_uint8 or self.device_color)
+                else normalize(img))
         if self.device_color:
             # Keys are emitted ONLY for stages that are statically
             # enabled: a mixup-off pipeline (e.g. after disable_aug)

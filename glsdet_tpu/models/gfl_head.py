@@ -20,7 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-from glsdet_tpu.models.layers import ConvNormAct, Scale, remat_active
+from glsdet_tpu.models.layers import ConvNormAct, Scale, remat_active, remat_policy
 
 
 class GFLHead(nn.Module):
@@ -72,7 +72,8 @@ class GFLHead(nn.Module):
         # remat only at apply time: during init the shared tower children
         # must be created outside any lifted transform (see mp_head.py)
         use_remat = remat_active(self.remat) and not self.is_initializing()
-        run = (nn.remat(level, prevent_cse=False, static_argnums=(2,))
+        run = (nn.remat(level, prevent_cse=False, static_argnums=(2,),
+                        policy=remat_policy())
                if use_remat else level)
         cls_scores, bbox_preds = [], []
         for lvl, x in enumerate(feats):

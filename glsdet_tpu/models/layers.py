@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import contextlib
 import contextvars
+import os
 from typing import Any, Callable, Optional, Sequence, Tuple
 
 import jax
@@ -49,6 +50,43 @@ def disable_remat():
         yield
     finally:
         _REMAT_DISABLED.reset(tok)
+
+
+def remat_policy():
+    """The ``jax.checkpoint`` rematerialization policy for this process.
+
+    ``GLSDET_REMAT_POLICY`` selects what the checkpointed blocks SAVE
+    instead of recomputing (default: nothing — classic full remat):
+
+      - ``none``            save nothing (recompute everything)
+      - ``dots``            ``dots_saveable`` — keep matmul/conv outputs,
+                            recompute only the cheap elementwise chains
+      - ``dots_no_batch``   ``dots_with_no_batch_dims_saveable``
+      - ``offload_dots``    save matmul outputs to HOST memory
+                            (``save_and_offload_only_these_names`` class
+                            of policies; falls back to ``dots`` if the
+                            offload policy is unavailable)
+
+    A per-call knob would thread through every model field for what is
+    a process-level tuning experiment; env scope matches how the bench
+    sweeps it (scripts/bench_train.py).
+    """
+    name = os.environ.get("GLSDET_REMAT_POLICY", "none")
+    if name in ("", "none"):
+        return None
+    import jax
+
+    if name == "dots":
+        return jax.checkpoint_policies.dots_saveable
+    if name == "dots_no_batch":
+        return jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+    if name == "offload_dots":
+        try:
+            return jax.checkpoint_policies.offload_dot_with_no_batch_dims(
+                "device", "pinned_host")
+        except Exception:
+            return jax.checkpoint_policies.dots_saveable
+    raise ValueError(f"unknown GLSDET_REMAT_POLICY {name!r}")
 
 # torch BN(momentum=0.03, eps=0.001) from yolox configs → flax momentum 0.97.
 BN_MOMENTUM = 0.97

@@ -31,7 +31,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-from glsdet_tpu.models.layers import ConvNormAct, Scale, remat_active
+from glsdet_tpu.models.layers import ConvNormAct, Scale, remat_active, remat_policy
 
 VISDRONE_PROXIES = (2, 3, 2, 5, 4, 8, 8, 4, 3, 3)
 
@@ -140,7 +140,8 @@ class MPHead(nn.Module):
         # must be *created* outside any lifted transform (a child created
         # inside one remat trace and reused in the next leaks tracers)
         use_remat = remat_active(self.remat) and not self.is_initializing()
-        run = (nn.remat(level, prevent_cse=False, static_argnums=(2,))
+        run = (nn.remat(level, prevent_cse=False, static_argnums=(2,),
+                        policy=remat_policy())
                if use_remat else level)
         cls_out, bbox_preds = [], []
         for lvl, x in enumerate(feats):

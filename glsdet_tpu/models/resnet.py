@@ -16,7 +16,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from glsdet_tpu.models.layers import BN_EPS, BN_MOMENTUM, remat_active
+from glsdet_tpu.models.layers import BN_EPS, BN_MOMENTUM, remat_active, remat_policy
 
 STAGE_BLOCKS = {
     18: (2, 2, 2, 2),
@@ -126,6 +126,7 @@ class ResNet(nn.Module):
         # ``train`` stays a closed-over Python bool: passing it through
         # the remat boundary would trace it (TracerBoolConversionError).
         run = (nn.remat(lambda mdl, h: mdl(h, train=train),
+               policy=remat_policy(),
                         prevent_cse=False)
                if remat_active(self.remat)
                else (lambda mdl, h: mdl(h, train=train)))

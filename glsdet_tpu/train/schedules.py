@@ -59,9 +59,15 @@ def schedule_1x(base_lr: float, steps_per_epoch: int,
 
 
 def yolox_sgd(schedule, momentum: float = 0.9,
-              weight_decay: float = 5e-4, nesterov: bool = True):
+              weight_decay: float = 5e-4, nesterov: bool = True,
+              momentum_dtype=None):
     """SGD + nesterov + weight decay (yolox 8x8 config optimizer). BN/bias
-    exemption from weight decay is handled via the mask below."""
+    exemption from weight decay is handled via the mask below.
+
+    momentum_dtype: dtype of the momentum buffers (optax
+    accumulator_dtype) — ``jnp.bfloat16`` halves optimizer-state HBM
+    traffic on the hbm-bound train steps (A/B via bench --train,
+    GLSDET_MOMENTUM_DTYPE=bfloat16)."""
 
     def wd_mask(params):
         import jax
@@ -75,17 +81,20 @@ def yolox_sgd(schedule, momentum: float = 0.9,
     return optax.chain(
         optax.add_decayed_weights(weight_decay, mask=wd_mask),
         optax.sgd(learning_rate=schedule, momentum=momentum,
-                  nesterov=nesterov),
+                  nesterov=nesterov, accumulator_dtype=momentum_dtype),
     )
 
 
 def mp_det_sgd(schedule, momentum: float = 0.9, weight_decay: float = 1e-4,
-               grad_clip: float = 35.0):
-    """schedule_1x SGD (lr 0.01, wd 1e-4, grad clip 35) per mmdet default."""
+               grad_clip: float = 35.0, momentum_dtype=None):
+    """schedule_1x SGD (lr 0.01, wd 1e-4, grad clip 35) per mmdet default.
+
+    momentum_dtype: see :func:`yolox_sgd`."""
     return optax.chain(
         optax.clip_by_global_norm(grad_clip),
         optax.add_decayed_weights(weight_decay),
-        optax.sgd(learning_rate=schedule, momentum=momentum),
+        optax.sgd(learning_rate=schedule, momentum=momentum,
+                  accumulator_dtype=momentum_dtype),
     )
 
 

@@ -72,7 +72,7 @@ def make_yolox_train_step(model, tx: optax.GradientTransformation,
                  and tuple(resize_from) != tuple(img_hw))
 
     def step(state: TrainState, batch):
-        images = _batch_images(batch)
+        images = _batch_images(batch, resize_from if do_resize else img_hw)
         gt_boxes = batch["gt_boxes"]
         if do_resize:
             b, _, _, c = images.shape
@@ -137,7 +137,7 @@ def make_mpdet_train_step(model, tx: optax.GradientTransformation,
             anchors, counts, batch["gt_boxes"], batch["gt_labels"],
             batch["gt_valid"], num_classes)
 
-        images = _prep_images(_batch_images(batch), normalize)
+        images = _prep_images(_batch_images(batch, img_hw), normalize)
 
         def loss_fn(params):
             out, mut = model.apply(
@@ -234,7 +234,7 @@ def make_gfl_train_step(model, tx: optax.GradientTransformation,
             anchors, counts, batch["gt_boxes"], batch["gt_labels"],
             batch["gt_valid"], num_classes)
 
-        images = _prep_images(_batch_images(batch), normalize)
+        images = _prep_images(_batch_images(batch, img_hw), normalize)
 
         def loss_fn(params):
             out, mut = model.apply(

@@ -102,5 +102,69 @@ def main():
           f"{per_batch_ms:.1f} ms/batch ({per_batch_ms / B:.2f} ms/img)")
 
 
+
+
+def wired_ab():
+    """A/B the two WIRED pipelines (host geometry vs device_geom) on a
+    synthetic dataset: host sample-production rate and per-sample
+    host->device payload bytes.  The on-chip warp cost is main()'s
+    microbench; the full train-step A/B is
+    ``python bench.py --train --with-data`` with GLSDET_DEVICE_GEOM=1.
+    """
+    import json
+    import os
+    import tempfile
+
+    import cv2
+
+    from glsdet_tpu.data.coco import CocoDataset
+    from glsdet_tpu.data.loader import TrainPipeline
+
+    rs = np.random.RandomState(0)
+    tmp = tempfile.mkdtemp()
+    imgs, anns = [], []
+    aid = 0
+    for i in range(16):
+        h, w = 765, 1360
+        img = rs.randint(0, 255, (h, w, 3), np.uint8)
+        cv2.imwrite(os.path.join(tmp, f"{i}.jpg"), img)
+        imgs.append({"id": i, "file_name": f"{i}.jpg",
+                     "width": w, "height": h})
+        for _ in range(20):
+            x, y = rs.uniform(0, w - 60), rs.uniform(0, h - 60)
+            anns.append({"id": aid, "image_id": i,
+                         "bbox": [x, y, 30, 30], "category_id": 1,
+                         "iscrowd": 0, "area": 900})
+            aid += 1
+    ann_path = os.path.join(tmp, "ann.json")
+    with open(ann_path, "w") as f:
+        json.dump({"images": imgs, "annotations": anns,
+                   "categories": [{"id": 1, "name": "x"}]}, f)
+    ds = CocoDataset(ann_path, tmp, cache_images=True)
+
+    for name, kw in [("host-geom", {}),
+                     ("device-geom", dict(device_geom=True,
+                                          geom_src_hw=(1088, 1440)))]:
+        pipe = TrainPipeline(ds, (640, 640), max_gt=300, raw_uint8=True,
+                             device_color=True, **kw)
+        rng = np.random.RandomState(0)
+        pipe(0, rng)  # warm the decode cache
+        t0 = time.perf_counter()
+        n = 24
+        payload = 0
+        for i in range(n):
+            s = pipe(i % len(ds), rng)
+            payload += sum(v.nbytes for v in s.values()
+                           if hasattr(v, "nbytes"))
+        dt = time.perf_counter() - t0
+        print(f"{name}: {1000 * dt / n:.1f} ms/sample host, "
+              f"{payload / n / 1e6:.2f} MB/sample payload")
+
+
 if __name__ == "__main__":
-    main()
+    import sys
+
+    if "--wired" in sys.argv:
+        wired_ab()
+    else:
+        main()

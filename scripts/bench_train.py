@@ -166,9 +166,16 @@ def bench_train(model_name: str = "mpdet", batch: int = 8,
         # reference's RAM-cached dataloader mode would do for a 64-image
         # set).  GLSDET_HOST_COLOR=1 A/Bs the all-host pipeline.
         host_color = os.environ.get("GLSDET_HOST_COLOR", "0") == "1"
+        # GLSDET_DEVICE_GEOM=1: also warp mosaic geometry on device
+        # (data/device_geom.py; the wired A/B the module docstring asks
+        # for — upload-heavier, host-lighter)
+        device_geom = os.environ.get("GLSDET_DEVICE_GEOM", "0") == "1"
         ds = CocoDataset(ann, img_root, cache_images=not host_color)
         pipeline = TrainPipeline(ds, hw, max_gt=300, raw_uint8=True,
-                                 device_color=not host_color)
+                                 device_color=not host_color,
+                                 device_geom=device_geom,
+                                 geom_src_hw=(1088, 1440)
+                                 if device_geom else None)
         loader = train_loader(pipeline, batch, seed=0,
                               num_threads=workers,
                               prefetch=2 * max(scan_steps, 1))
@@ -205,6 +212,7 @@ def bench_train(model_name: str = "mpdet", batch: int = 8,
     # cost_analysis BEFORE running (donation invalidates `state` after
     # the first call)
     flops = bytes_ = traffic_bytes = None
+    traffic_top = []
     try:
         compiled = step.lower(state, batch_d).compile()
         ca = compiled.cost_analysis()
@@ -226,7 +234,9 @@ def bench_train(model_name: str = "mpdet", batch: int = 8,
         try:
             from hlo_traffic import compiled_traffic
 
-            traffic_bytes = float(compiled_traffic(compiled)["bytes"])
+            traffic = compiled_traffic(compiled)
+            traffic_bytes = float(traffic["bytes"])
+            traffic_top = traffic.get("top", [])
         except Exception as e:
             log(f"hlo traffic model unavailable: "
                 f"{type(e).__name__}: {e}")
@@ -278,6 +288,7 @@ def bench_train(model_name: str = "mpdet", batch: int = 8,
         detail["host_cpus"] = multiprocessing.cpu_count()
         detail["device_color"] = not host_color
         detail["decode_cache"] = not host_color
+        detail["device_geom"] = device_geom
     if flops:
         peak_bw = peak_gbps * 1e9
         peak_fl = peak_tflops * 1e12
@@ -290,6 +301,12 @@ def bench_train(model_name: str = "mpdet", batch: int = 8,
         detail["roofline"] = {
             "per_step": {"flops": flops, "bytes_cost_model": bytes_,
                          "bytes_hbm_traffic": traffic_bytes},
+            # where the GB/step go: the 20 biggest entry instructions
+            # (GB, name, opcode) — the lever list for remat-policy and
+            # layout experiments
+            "top_traffic": [
+                {"GB": round(t["bytes"] / 1e9, 3), "name": t["name"],
+                 "opcode": t["opcode"]} for t in traffic_top[:20]],
             "assumed_hbm_GBps": peak_gbps,
             "assumed_peak_TFLOPs": peak_tflops,
             "roofline_images_per_sec": round(roof_ips, 1),

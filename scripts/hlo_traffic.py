@@ -115,6 +115,7 @@ def hlo_entry_traffic(hlo_text: str) -> dict:
     total = 0
     n_instr = 0
     by_opcode = {}
+    per_instr = []
     for name, type_str, opcode, operands in entry_lines:
         if opcode in _NO_TRAFFIC_OPS:
             continue
@@ -147,9 +148,15 @@ def hlo_entry_traffic(hlo_text: str) -> dict:
             in_b = operand_bytes()
         total += out_b + in_b
         by_opcode[opcode] = by_opcode.get(opcode, 0) + out_b + in_b
+        per_instr.append((out_b + in_b, name.lstrip("%"), opcode))
+    per_instr.sort(reverse=True)
     return {"bytes": total, "instructions": n_instr,
             "by_opcode": dict(sorted(by_opcode.items(),
-                                     key=lambda kv: -kv[1]))}
+                                     key=lambda kv: -kv[1])),
+            # the aim-here list: which instructions move the GB/step
+            # (VERDICT r04: "no top-N table to aim at")
+            "top": [{"bytes": b, "name": n, "opcode": o}
+                    for b, n, o in per_instr[:30]]}
 
 
 def compiled_traffic(compiled) -> dict:

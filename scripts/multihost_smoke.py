@@ -219,8 +219,17 @@ def worker(pid: int, nproc: int) -> None:
         print(f"[{pid}] {MARK}_MP {i} loss={loss:.6f}", flush=True)
     boiw_l1 = float(jnp.sum(jnp.abs(mp_state.boiw.embedding)))
     ptr_sum = int(jnp.sum(mp_state.boiw.ptr))
+    # end-STATE digest, not just losses: params + EMA after the final
+    # step must be identical on every host (one jitted reduction per
+    # tree — see the eager-chain warning above)
+    _l1 = jax.jit(lambda p: jax.tree.reduce(
+        lambda a, x: a + jnp.sum(jnp.abs(x.astype(jnp.float32))),
+        p, jnp.float32(0)))
+    mp_param_l1 = float(_l1(mp_state.params))
+    mp_ema_l1 = float(_l1(mp_state.ema_params))
     print(f"[{pid}] MULTIHOST_MP_OK boiw_l1={boiw_l1:.4f} "
-          f"ptr_sum={ptr_sum}", flush=True)
+          f"ptr_sum={ptr_sum} param_l1={mp_param_l1:.4f} "
+          f"ema_l1={mp_ema_l1:.4f}", flush=True)
 
     # orderly teardown: drain all in-flight device work, re-align every
     # process, then shut the distributed client down explicitly instead

