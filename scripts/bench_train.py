@@ -109,7 +109,12 @@ def bench_train(model_name: str = "mpdet", batch: int = 8,
     rng = jax.random.PRNGKey(0)
     rs = np.random.RandomState(0)
     dtype = jnp.bfloat16
-    tx = yolox_sgd(yolox_warm_cos(0.01, 100, 1000, 100))
+    # GLSDET_MOMENTUM_DTYPE=bfloat16 halves optimizer-state traffic on
+    # the hbm-bound steps — the A/B VERDICT r04 asked for
+    mdt = os.environ.get("GLSDET_MOMENTUM_DTYPE", "")
+    tx = yolox_sgd(yolox_warm_cos(0.01, 100, 1000, 100),
+                   momentum_dtype=jnp.bfloat16 if mdt == "bfloat16"
+                   else None)
 
     if model_name == "mpdet":
         from glsdet_tpu.models import MPDet
@@ -279,6 +284,9 @@ def bench_train(model_name: str = "mpdet", batch: int = 8,
         "ms_per_step": round(1000 * dt / opt_steps, 1),
         "scan_steps": scan_steps,
         "data_included": bool(with_data),
+        "remat_policy": os.environ.get("GLSDET_REMAT_POLICY", "none"),
+        "momentum_dtype": os.environ.get("GLSDET_MOMENTUM_DTYPE",
+                                         "float32"),
     }
     if with_data:
         import multiprocessing
