@@ -314,7 +314,8 @@ def bench_train(model_name: str = "mpdet", batch: int = 8,
             # layout experiments
             "top_traffic": [
                 {"GB": round(t["bytes"] / 1e9, 3), "name": t["name"],
-                 "opcode": t["opcode"]} for t in traffic_top[:20]],
+                 "opcode": t["opcode"], "op": t.get("op", "")}
+                for t in traffic_top[:20]],
             "assumed_hbm_GBps": peak_gbps,
             "assumed_peak_TFLOPs": peak_tflops,
             "roofline_images_per_sec": round(roof_ips, 1),

@@ -93,6 +93,7 @@ def hlo_entry_traffic(hlo_text: str) -> dict:
     non-plumbing instructions.  Returns {'bytes', 'instructions'}."""
     # pass 1: name -> result bytes for EVERY entry instruction
     sizes = {}
+    raw_lines = {}
     entry_lines = []
     in_entry = False
     for line in hlo_text.splitlines():
@@ -110,6 +111,7 @@ def hlo_entry_traffic(hlo_text: str) -> dict:
             continue
         name, type_str, opcode, operands = parts
         sizes[name.lstrip("%")] = _type_bytes(type_str)
+        raw_lines[name.lstrip("%")] = stripped
         entry_lines.append((name, type_str, opcode, operands))
 
     total = 0
@@ -148,15 +150,22 @@ def hlo_entry_traffic(hlo_text: str) -> dict:
             in_b = operand_bytes()
         total += out_b + in_b
         by_opcode[opcode] = by_opcode.get(opcode, 0) + out_b + in_b
-        per_instr.append((out_b + in_b, name.lstrip("%"), opcode))
-    per_instr.sort(reverse=True)
+        per_instr.append((out_b + in_b, name.lstrip("%"), opcode,
+                          raw_lines.get(name.lstrip("%"), "")))
+    per_instr.sort(key=lambda t: -t[0])
+    top = []
+    for b, n, o, raw in per_instr[:30]:
+        m = re.search(r'op_name="([^"]*)"', raw)
+        top.append({"bytes": b, "name": n, "opcode": o,
+                    # the jax op_name metadata says WHICH model op this
+                    # buffer belongs to — the aim-here label
+                    "op": m.group(1) if m else ""})
     return {"bytes": total, "instructions": n_instr,
             "by_opcode": dict(sorted(by_opcode.items(),
                                      key=lambda kv: -kv[1])),
             # the aim-here list: which instructions move the GB/step
             # (VERDICT r04: "no top-N table to aim at")
-            "top": [{"bytes": b, "name": n, "opcode": o}
-                    for b, n, o in per_instr[:30]]}
+            "top": top}
 
 
 def compiled_traffic(compiled) -> dict:
