@@ -68,24 +68,27 @@ def bench(apply_fn, variables, x, tag):
     lowered = run.lower(variables, x)
     t0 = time.time()
     compiled = lowered.compile()
-    # dtype-split MXU work + HBM traffic of the program (per image):
-    # achieved-vs-peak rates answer VERDICT r04's "does the int8 stage
-    # run near the INT8 ideal, not the bf16 one" — hlo flop counts are
+    # dtype-split MXU work + HBM traffic (per image): achieved-vs-peak
+    # rates answer VERDICT r04's "does the int8 stage run near the INT8
+    # ideal, not the bf16 one".  Analyzed on an UNSCANNED twin program:
+    # the timed program wraps apply_fn in a lax.scan, whose body is a
+    # non-entry computation — entry-dataflow traffic would see only the
+    # loop carry, and flop sums would count one iteration (the r03
+    # scan-counting gotcha, both ways).  hlo flop counts are
     # post-layout (inflated a few % by halo padding), consistent across
-    # stages
+    # stages.
     an = {}
     try:
         sys.path.append(os.path.join(os.path.dirname(
             os.path.abspath(__file__))))
         from hlo_traffic import compiled_flops_by_dtype, compiled_traffic
 
-        fl = compiled_flops_by_dtype(compiled)
+        flat = jax.jit(apply_fn).lower(variables, x).compile()
+        fl = compiled_flops_by_dtype(flat)
         an["s8_flops"] = sum(v for k, v in fl.items()
-                             if k.startswith("s8")) / ITERS / B
-        an["other_flops"] = (sum(fl.values()) / ITERS / B
-                             - an["s8_flops"])
-        an["traffic_bytes"] = (compiled_traffic(compiled)["bytes"]
-                               / ITERS / B)
+                             if k.startswith("s8")) / B
+        an["other_flops"] = sum(fl.values()) / B - an["s8_flops"]
+        an["traffic_bytes"] = compiled_traffic(flat)["bytes"] / B
     except Exception as e:
         log(f"hlo analysis unavailable: {e}")
     t0w = time.time()
