@@ -64,6 +64,10 @@ SLOW_FILES = {
     "test_pallas_nms.py",
     "test_pallas_gn.py",
     "test_pallas_bottleneck.py",
+    # measured >2 min each on the 1-CPU host (full-suite --durations):
+    "test_quant.py",
+    "test_nms.py",
+    "test_train_state.py",
 }
 
 
