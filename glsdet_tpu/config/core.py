@@ -280,6 +280,29 @@ def yolox_s_300e() -> Config:
     )
 
 
+def _register_yolox_size_family():
+    """Named configs for every stock YOLOX size the reference ships
+    (configs/yolox/yolox_{nano,tiny,m,l,x}_8x8_300e_coco.py — each is a
+    width/depth override of the s config; PHI_TABLE carries the same
+    (deepen, widen, depthwise) triples, incl. nano's use_depthwise).
+
+    The reference tiny/nano configs also narrow the multi-scale range to
+    (10,20)*32 and test at 416; multi-scale stays opt-in here
+    (train.multiscale_sizes) and eval size follows data.img_hw, so those
+    knobs are left to --cfg-options like every other recipe detail.
+    """
+    for phi in ("nano", "tiny", "m", "l", "x"):
+        def make(phi=phi):
+            cfg = yolox_s_300e()
+            cfg.model.phi = phi
+            cfg.train.work_dir = f"work_dirs/yolox_{phi}_300e"
+            return cfg
+        register_config(f"yolox_{phi}_300e")(make)
+
+
+_register_yolox_size_family()
+
+
 @register_config("yolox_tiny_ufp")
 def yolox_tiny_ufp() -> Config:
     """yolox-drone style UFP trainer (train_ufp.py: 640, Adam+StepLR)."""

@@ -19,6 +19,19 @@ class TestConfigs:
         assert "coarse_det" in list_configs()
         assert "mp_det_res50" in list_configs()
 
+    def test_yolox_size_family(self):
+        # one named config per stock size the reference ships
+        # (configs/yolox/yolox_{nano,tiny,s,m,l,x}_8x8_300e_coco.py)
+        from glsdet_tpu.models.csp_darknet import PHI_TABLE
+        for phi in ("nano", "tiny", "s", "m", "l", "x"):
+            cfg = get_config(f"yolox_{phi}_300e")
+            assert cfg.model.family == "yolox"
+            assert cfg.model.phi == phi
+            assert phi in PHI_TABLE
+            assert cfg.train.work_dir.endswith(f"yolox_{phi}_300e")
+        # nano really is the depthwise variant (reference nano config)
+        assert PHI_TABLE["nano"][2] is True
+
     def test_py_suffix_and_path(self):
         assert get_config("coarse_det.py").name == "coarse_det"
         assert get_config("configs/UFPMP-Det/coarse_det.py").name == \
